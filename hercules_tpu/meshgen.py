@@ -1,0 +1,55 @@
+"""mesh_generate: the full meshing pipeline (psolve.c:1921-2176).
+
+newtree -> [progressive] refine -> balance -> (carve buildings) ->
+extract -> correct properties.  Single global host pass; partitioning
+for multi-chip runs happens afterwards (hercules_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import Params
+from .cvm import CVM
+from .material import (MeshOrigin, correct_properties, make_setrec,
+                       make_toexpand)
+from .mesh import Octree, extract_mesh
+from .mesh.extract import MeshArrays
+
+
+def generate_mesh(params: Params, cvm: CVM,
+                  buildings=None, verbose=False) -> MeshArrays:
+    origin = MeshOrigin.from_params(params, cvm.ctl)
+    tree = Octree.newtree(params.region_length_north_m,
+                          params.region_length_east_m,
+                          params.region_depth_deep_m)
+
+    setrec = make_setrec(cvm, params, origin)
+    toexpand = make_toexpand(params)
+
+    # progressive meshing (psolve.c:2002-2090): refine towards the target
+    # frequency in factor-of-2 steps to keep 2:1 ripple local
+    steps = max(0, int(params.step_meshing))
+    for mstep_pow in range(steps, -1, -1):
+        mstep = 1 << mstep_pow
+        scale = 1.0 / mstep
+
+        if mstep == 1:
+            te = toexpand
+        else:
+            def te(tree_, hi, lo, lv, rec, _s=scale):
+                return rec["edgesize"] > rec["Vs"] / (params.factor * _s)
+
+        tree.refine(setrec, te)
+        tree.balance()
+        if verbose:
+            print(f"  meshing step x{mstep}: {tree.n} leaves")
+
+    if buildings is not None:
+        buildings.carve(tree)
+        tree.balance()
+
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, params, origin)
+    mesh.origin = origin
+    return mesh
