@@ -1,0 +1,93 @@
+"""Benchmark: element-updates/sec/chip of the explicit solver step.
+
+Builds a large uniform mesh (the examples/simple domain refined to a
+production-sized element count), assembles the solver, and times the
+jitted scan on the default device (the real TPU under axon; CPU
+elsewhere).
+
+Baseline: the reference publishes no in-tree numbers (BASELINE.md); the
+north star is >10x a CPU-cluster-core-equivalent on one chip.  A
+well-tuned Hercules core sustains roughly 1e6 element-updates/s/core
+(~600 flop matrix-free element kernel + memory traffic on ~2.5 GHz
+cores), so vs_baseline is reported against 1e7 element-updates/s
+(= 10 cluster cores), matching BASELINE.json's target ratio.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(target_elems=2_000_000, damping="rayleigh"):
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.solver.assemble import assemble
+
+    S = "/root/reference/examples/simple"
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.type_of_damping = damping
+    # refine the 1000x1000x500 m domain until the element count reaches
+    # the target: E = 2**(3k+2) at level k+1
+    k = int(np.ceil((np.log2(target_elems) - 2.0) / 3.0))
+    edge = 1000.0 / 2 ** (k + 1)
+    p.freq = 3464.0 / (p.ppw * edge)
+    p.finalize()
+    cvm = CVM(f"{S}/simple_case.e")
+    t0 = time.time()
+    mesh = generate_mesh(p, cvm)
+    t_mesh = time.time() - t0
+    t0 = time.time()
+    tables = assemble(mesh, p)
+    t_asm = time.time() - t0
+    return p, mesh, tables, t_mesh, t_asm
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hercules_tpu.solver.step import make_step, init_state
+
+    target = int(os.environ.get("BENCH_ELEMS", 2_000_000))
+    steps = int(os.environ.get("BENCH_STEPS", 200))
+    damping = os.environ.get("BENCH_DAMPING", "rayleigh")
+
+    p, mesh, tables, t_mesh, t_asm = build(target, damping)
+    E = mesh.lenum
+    print(f"# mesh: {E} elements, {mesh.nnum} nodes "
+          f"(mesh {t_mesh:.1f}s, assemble {t_asm:.1f}s) on "
+          f"{jax.devices()[0]}", file=sys.stderr)
+
+    nid = int(mesh.elem_lnid[E // 2, 0])
+    src_ids = np.array([nid], np.int32)
+    step, _ = make_step(tables, src_ids, dtype=jnp.float32)
+    scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
+
+    state = init_state(tables, jnp.float32)
+    xs = jnp.ones((steps, 1, 3), jnp.float32)
+
+    # compile + warmup
+    state = scan(state, xs[:1])
+    jax.block_until_ready(state[0])
+    t0 = time.time()
+    state = scan(state, xs)
+    jax.block_until_ready(state[0])
+    dt = time.time() - t0
+
+    eups = E * steps / dt
+    print(f"# {steps} steps in {dt:.3f}s -> {eups:.3e} "
+          f"element-updates/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "element-updates/sec/chip",
+        "value": eups,
+        "unit": "elem-updates/s",
+        "vs_baseline": eups / 1e7,
+    }))
+
+
+if __name__ == "__main__":
+    main()

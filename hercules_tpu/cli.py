@@ -1,0 +1,87 @@
+"""psolve-compatible command line entry.
+
+Usage (both reference forms accepted):
+  python -m hercules_tpu.cli <parameters.in>
+  python -m hercules_tpu.cli <cvmdb> <physics.in> <numerical.in> \
+      [mesh.e out.q4d]     (the legacy quake.sh argument order)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 2
+
+    cvmdb = None
+    mesh_out = None
+    if len(argv) == 1:
+        physics_in = numerical_in = argv[0]
+    elif len(argv) >= 3 and (argv[0].endswith(".e")
+                             or os.path.exists(argv[0])
+                             and not argv[0].endswith(".in")):
+        cvmdb, physics_in, numerical_in = argv[0], argv[1], argv[2]
+        if len(argv) > 3:
+            mesh_out = argv[3]
+    else:
+        physics_in = argv[0]
+        numerical_in = argv[1] if len(argv) > 1 else argv[0]
+
+    import jax
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from .sim import Simulation, write_station_files
+    from .io.monitor import Monitor
+
+    t0 = time.time()
+    sim = Simulation.setup(physics_in, numerical_in, cvmdb=cvmdb,
+                           verbose=True)
+    p = sim.params
+    mon = Monitor(p.monitor_file)
+    mon.print(f"mesh_generate + solver_init: {time.time()-t0:.1f} s\n")
+    mon.print(f"Total elements: {sim.mesh.lenum}\n"
+              f"Total nodes: {sim.mesh.nnum}\n"
+              f"Total dangling nodes: {len(sim.mesh.dn_ids)}\n")
+
+    if p.output_mesh and (mesh_out or p.mesh_etree_output_file):
+        from .io.meshout import write_mesh_etree
+        path = mesh_out or p.mesh_etree_output_file
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        write_mesh_etree(path, sim.mesh)
+        mon.print(f"mesh database written: {path}\n")
+
+    t1 = time.time()
+    mon.print(f"solver_run() start: {p.total_steps} steps\n")
+
+    def on_chunk(done, state):
+        el = time.time() - t1
+        eta = el / done * (p.total_steps - done)
+        mon.print(f"step {done:8d}/{p.total_steps}  "
+                  f"wall {el:8.1f}s  ETA {eta:8.1f}s\n")
+
+    state, samples = sim.run(on_chunk=on_chunk)
+    mon.print(f"solver_run done: {time.time()-t1:.1f} s\n")
+
+    if sim.stations is not None:
+        outdir = p.stations_dir or "stations"
+        rundir = os.path.dirname(os.path.dirname(
+            os.path.abspath(physics_in))) or "."
+        if not os.path.isabs(outdir):
+            outdir = os.path.join(rundir, outdir)
+        write_station_files(outdir, sim.stations, samples, p.delta_t,
+                            print_rate=p.stations_print_rate)
+        mon.print(f"station files written: {outdir}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

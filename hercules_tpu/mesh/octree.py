@@ -152,12 +152,14 @@ class Octree:
         """
         nsplits = 0
         while True:
+            if self.n == 0:
+                break
             self.sort()
             x, y, z = self.coords()
             e = self.edgeticks()
             lv = self.level.astype(np.int64)
-            maxlv = int(lv.max(initial=0))
-            minlv = int(lv.min(initial=0))
+            maxlv = int(lv.max())
+            minlv = int(lv.min())
             if maxlv <= minlv + 1:
                 break
             to_split = np.zeros(self.n, dtype=bool)

@@ -1,0 +1,194 @@
+"""SPMD time stepping over a jax.sharding.Mesh.
+
+One shard_map'ed lax.scan: per-device element kernels + segment sums,
+dangling distribution applied to *partial* forces (linearity makes one
+psum exact — see partition.py), a single [B,3] psum over the
+shared-node boundary buffer per step, locally consistent updates.
+
+This replaces the reference's schedule_senddata MPI halo machinery
+(psolve.c:4946-5079) with one ICI collective per step instead of four.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _dev_tables(st, dtype):
+    f = lambda x: jnp.asarray(x, dtype)
+    i = lambda x: jnp.asarray(x, jnp.int32)
+    d = {
+        "lnid": i(st.lnid),
+        "c1": f(st.c["c1"]), "c2": f(st.c["c2"]),
+        "c3": f(st.c["c3"]), "c4": f(st.c["c4"]),
+        "inv_mass": f(st.inv_mass),
+        "mass_minusaM": f(st.mass_minusaM),
+        "mass2_minusaM": f(st.mass2_minusaM),
+        "scat_perm": i(st.scat_perm), "scat_seg": i(st.scat_seg),
+        "dn_ids": i(st.dn_ids), "dn_anchors": i(st.dn_anchors),
+        "dn_weights": f(st.dn_weights),
+        "dn_scat_perm": i(st.dn_scat_perm),
+        "dn_scat_seg": i(st.dn_scat_seg),
+        "b_lidx": i(st.b_lidx), "b_mask": jnp.asarray(st.b_mask),
+    }
+    if st.src_lidx is not None:
+        d["src_lidx"] = i(st.src_lidx)
+        d["src_mask"] = jnp.asarray(st.src_mask)
+    if st.damping == "bkt":
+        d["bkt"] = {k: f(v) for k, v in st.bkt.items()}
+    return d
+
+
+def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
+    """Returns (scan_fn, tables_device, init_state).
+
+    scan_fn(state, xs) -> (state, None); xs = per-step global source
+    forces [K, L, 3] (replicated, dt^2-scaled)."""
+    m48 = jnp.asarray(st.m48, dtype)
+    kmu = jnp.asarray(st.kmu, dtype) if st.kmu is not None else None
+    kkappa = (jnp.asarray(st.kkappa, dtype)
+              if st.kkappa is not None else None)
+    N_pad = st.N_pad
+    damping = st.damping
+
+    def local_step(t, carry, srcf):
+        u_now, u_prev, conv = carry
+        E = t["lnid"].shape[0]
+        ue = u_now[t["lnid"]].reshape(E, 24)
+        upe = u_prev[t["lnid"]].reshape(E, 24)
+
+        if damping != "bkt":
+            du = ue - upe
+            a = t["c1"][:, None] * ue + t["c3"][:, None] * du
+            b = t["c2"][:, None] * ue + t["c4"][:, None] * du
+            f_elem = -(jnp.concatenate([a, b], 1) @ m48)
+        else:
+            bk = t["bkt"]
+            ue3 = ue.reshape(E, 8, 3)
+            upe3 = upe.reshape(E, 8, 3)
+            s0, s1, k0, k1 = conv
+
+            def upd(f0, f1, p):
+                f0n = (bk[f"{p}_c2"][:, None, None] * ue3
+                       + bk[f"{p}_c1"][:, None, None] * upe3
+                       + bk[f"{p}_e0"][:, None, None] * f0)
+                f1n = (bk[f"{p}_c4"][:, None, None] * ue3
+                       + bk[f"{p}_c3"][:, None, None] * upe3
+                       + bk[f"{p}_e1"][:, None, None] * f1)
+                return f0n, f1n
+
+            s0, s1 = upd(s0, s1, "shear")
+            k0, k1 = upd(k0, k1, "kappa")
+            du3 = ue3 - upe3
+            dvs = (bk["shear_coef"][:, None, None] * du3
+                   - (bk["a0_shear"][:, None, None] * s0
+                      + bk["a1_shear"][:, None, None] * s1) + ue3)
+            dvk = (bk["kappa_coef"][:, None, None] * du3
+                   - (bk["a0_kappa"][:, None, None] * k0
+                      + bk["a1_kappa"][:, None, None] * k1) + ue3)
+            f_elem = (bk["mu_f"][:, None] * (dvs.reshape(E, 24) @ kmu)
+                      + bk["kappa_f"][:, None]
+                      * (dvk.reshape(E, 24) @ kkappa))
+            conv = (s0, s1, k0, k1)
+
+        # partial force: source (owner only) + element scatter
+        force = jnp.zeros((N_pad, 3), dtype)
+        if "src_lidx" in t:
+            sf = jnp.where(t["src_mask"][:, None], srcf, 0)
+            force = force.at[t["src_lidx"]].add(sf)
+        flat = f_elem.reshape(-1, 3)[t["scat_perm"]]
+        force = force + jax.ops.segment_sum(
+            flat, t["scat_seg"], num_segments=N_pad,
+            indices_are_sorted=True)
+
+        # distribute dangling partials to anchors (linear => psum-safe)
+        contrib = (force[t["dn_ids"]][:, None, :]
+                   * t["dn_weights"][:, :, None]).reshape(-1, 3)
+        force = force + jax.ops.segment_sum(
+            contrib[t["dn_scat_perm"]], t["dn_scat_seg"],
+            num_segments=N_pad, indices_are_sorted=True)
+
+        # ONE boundary exchange: psum shared-node partials
+        bbuf = jnp.where(t["b_mask"][:, None], force[t["b_lidx"]], 0)
+        tot = jax.lax.psum(bbuf, axis)
+        newv = jnp.where(t["b_mask"][:, None], tot, force[t["b_lidx"]])
+        force = force.at[t["b_lidx"]].set(newv)
+
+        u_next = (force + t["mass2_minusaM"] * u_now
+                  - t["mass_minusaM"] * u_prev) * t["inv_mass"][:, None]
+        # dangling assignment (local anchors, consistent replicas)
+        vals = (u_next[t["dn_anchors"]]
+                * t["dn_weights"][:, :, None]).sum(1)
+        live = t["dn_ids"] < N_pad - 1
+        vals = jnp.where(live[:, None], vals, u_next[t["dn_ids"]])
+        u_next = u_next.at[t["dn_ids"]].set(vals)
+        # keep the trash slot zeroed
+        u_next = u_next.at[N_pad - 1].set(0.0)
+
+        return (u_next, u_now, conv), None
+
+    tdev = _dev_tables(st, dtype)
+
+    def scan_all(tables, state, xs):
+        # inside shard_map the stacked per-device axis has local size 1
+        tables = jax.tree.map(lambda x: x[0], tables)
+        state = jax.tree.map(lambda x: x[0], state)
+        step = partial(local_step, tables)
+        state, _ = jax.lax.scan(step, state, xs)
+        return jax.tree.map(lambda x: x[None], state)
+
+    # shard_map specs: every per-device table has leading axis d
+    tspec = jax.tree.map(lambda _: P(axis), tdev)
+    conv_spec = ((P(axis), P(axis), P(axis), P(axis))
+                 if damping == "bkt" else ())
+    state_spec = (P(axis), P(axis), conv_spec)
+
+    smap = jax.shard_map(
+        scan_all, mesh=mesh,
+        in_specs=(tspec, state_spec, P()),
+        out_specs=state_spec)
+    return jax.jit(smap), tdev
+
+
+def init_sharded_state(st, dtype=jnp.float32):
+    u = jnp.zeros((st.n_dev, st.N_pad, 3), dtype)
+    conv = ()
+    if st.damping == "bkt":
+        z = jnp.zeros((st.n_dev, st.E_pad, 8, 3), dtype)
+        conv = (z, z, z, z)
+    return (u, u, conv)
+
+
+def run_sharded(st, mesh, src_forces, total_steps, dt,
+                dtype=jnp.float32, chunk=None, axis="d", state=None):
+    """Chunked sharded time loop.  src_forces [T, L, 3] unscaled."""
+    scan_fn, tdev = make_sharded_step(st, mesh, axis=axis, dtype=dtype)
+    if state is None:
+        state = init_sharded_state(st, dtype)
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        if src_forces is not None and src_forces.shape[1]:
+            xs = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
+        else:
+            xs = jnp.zeros((k, 0, 3), dtype)
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
+def gather_global(st, u_sharded, N):
+    """Assemble the global displacement field from owned local slices."""
+    u = np.zeros((N, 3), np.asarray(u_sharded).dtype)
+    arr = np.asarray(u_sharded)
+    for d in range(st.n_dev):
+        u[st.owned_global[d]] = arr[d][st.owned_local[d]]
+    return u

@@ -1,0 +1,213 @@
+"""The jitted explicit central-difference time step.
+
+The reference's per-step pipeline (solver_run, psolve.c:4241-4324):
+source scatter -> element stiffness+damping forces -> halo/dangling
+force adjust -> node displacement update -> dangling displacement
+assignment.  Here the element force is one batched [E,48] @ [48,24]
+matmul against constant operators (see physics.kmats), the
+element->node accumulation is a sorted segment-sum, and the dangling
+adjusts are gather/scatter with precomputed index plans — all inside a
+single lax.scan over time steps.
+
+Station sampling happens in-loop: each step records the 8-node
+trilinear interpolation (interpolate_station_displacements,
+psolve.c:6680-6795) of the *current* displacement, so row s of the
+output equals the reference's station line at step s.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dev(tables, dtype):
+    """Cast solver tables to device arrays of the given dtype."""
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    d = {
+        "lnid": i(tables.lnid),
+        "m48": f(tables.m48),
+        "c1": f(tables.c1), "c2": f(tables.c2),
+        "c3": f(tables.c3), "c4": f(tables.c4),
+        "inv_mass": f(tables.inv_mass),
+        "mass_minusaM": f(tables.mass_minusaM),
+        "mass2_minusaM": f(tables.mass2_minusaM),
+        "scat_perm": i(tables.scat_perm), "scat_seg": i(tables.scat_seg),
+        "dn_ids": i(tables.dn_ids),
+        "dn_anchors": i(tables.dn_anchors),
+        "dn_weights": f(tables.dn_weights),
+        "dn_scat_perm": i(tables.dn_scat_perm),
+        "dn_scat_seg": i(tables.dn_scat_seg),
+    }
+    if tables.damping == "bkt":
+        d["kmu"] = f(tables.kmu)
+        d["kkappa"] = f(tables.kkappa)
+        d["bkt"] = {k: f(v) for k, v in tables.bkt.items()}
+    return d
+
+
+def element_forces(d, damping, u_now, u_prev, conv=None):
+    """Element nodal forces [E, 8, 3] from current/previous displacement.
+
+    rayleigh/mass/none: f = -(c1 M1 + c2 M2) u - (c3 M1 + c4 M2) du
+    (compute_addforce_effective + damping_addforce).
+    bkt: calc_conv + constant_Q_addforce; returns (f, new_conv)."""
+    lnid = d["lnid"]
+    E = lnid.shape[0]
+    ue = u_now[lnid].reshape(E, 24)
+    upe = u_prev[lnid].reshape(E, 24)
+
+    if damping != "bkt":
+        du = ue - upe
+        a = d["c1"][:, None] * ue + d["c3"][:, None] * du
+        b = d["c2"][:, None] * ue + d["c4"][:, None] * du
+        ab = jnp.concatenate([a, b], axis=1)          # [E, 48]
+        f = -(ab @ d["m48"])                          # [E, 24]
+        return f.reshape(E, 8, 3), None
+
+    # ---- BKT ----
+    bk = d["bkt"]
+    ue3 = ue.reshape(E, 8, 3)
+    upe3 = upe.reshape(E, 8, 3)
+    s0, s1, k0, k1 = conv
+
+    def upd(f0, f1, c1_, c2_, c3_, c4_, e0, e1):
+        f0n = (c2_[:, None, None] * ue3 + c1_[:, None, None] * upe3
+               + e0[:, None, None] * f0)
+        f1n = (c4_[:, None, None] * ue3 + c3_[:, None, None] * upe3
+               + e1[:, None, None] * f1)
+        return f0n, f1n
+
+    s0, s1 = upd(s0, s1, bk["shear_c1"], bk["shear_c2"], bk["shear_c3"],
+                 bk["shear_c4"], bk["shear_e0"], bk["shear_e1"])
+    k0, k1 = upd(k0, k1, bk["kappa_c1"], bk["kappa_c2"], bk["kappa_c3"],
+                 bk["kappa_c4"], bk["kappa_e0"], bk["kappa_e1"])
+
+    du3 = ue3 - upe3
+    # damping vectors (constant_Q_addforce, damping.c:266-372)
+    dvs = (bk["shear_coef"][:, None, None] * du3
+           - (bk["a0_shear"][:, None, None] * s0
+              + bk["a1_shear"][:, None, None] * s1) + ue3)
+    dvk = (bk["kappa_coef"][:, None, None] * du3
+           - (bk["a0_kappa"][:, None, None] * k0
+              + bk["a1_kappa"][:, None, None] * k1) + ue3)
+    f = (bk["mu_f"][:, None] * (dvs.reshape(E, 24) @ d["kmu"])
+         + bk["kappa_f"][:, None] * (dvk.reshape(E, 24) @ d["kkappa"]))
+    return f.reshape(E, 8, 3), (s0, s1, k0, k1)
+
+
+def scatter_to_nodes(d, N, f_elem):
+    """Element-corner forces -> node forces via sorted segment sum."""
+    flat = f_elem.reshape(-1, 3)[d["scat_perm"]]
+    return jax.ops.segment_sum(flat, d["scat_seg"], num_segments=N,
+                               indices_are_sorted=True)
+
+
+def dangling_distribute(d, N, v):
+    """compute_adjust DISTRIBUTION: add each dangling value (prorated)
+    to its anchors (psolve.c:5943-5988)."""
+    if d["dn_ids"].shape[0] == 0:
+        return v
+    contrib = (v[d["dn_ids"]][:, None, :]
+               * d["dn_weights"][:, :, None]).reshape(-1, 3)
+    add = jax.ops.segment_sum(contrib[d["dn_scat_perm"]],
+                              d["dn_scat_seg"], num_segments=N,
+                              indices_are_sorted=True)
+    return v + add
+
+
+def dangling_assign(d, v):
+    """compute_adjust ASSIGNMENT: dangling value = prorated sum of its
+    anchors (psolve.c:5990-6036)."""
+    if d["dn_ids"].shape[0] == 0:
+        return v
+    vals = (v[d["dn_anchors"]] * d["dn_weights"][:, :, None]).sum(axis=1)
+    return v.at[d["dn_ids"]].set(vals)
+
+
+def make_step(tables, src_ids, st_nodes=None, st_phi=None,
+              dtype=jnp.float64):
+    """Build the scan-able step function.
+
+    carry = (u_now, u_prev, conv)        [conv None unless BKT]
+    x     = per-step source force [L, 3] (already dt^2-scaled)
+    out   = per-step station displacements [S, 3] (empty if no stations)
+    """
+    d = _dev(tables, dtype)
+    N = tables.N
+    damping = tables.damping
+    src_ids = jnp.asarray(src_ids, jnp.int32)
+    if st_nodes is not None:
+        st_nodes = jnp.asarray(st_nodes, jnp.int32)
+        st_phi = jnp.asarray(st_phi, dtype)
+
+    def step(carry, srcf):
+        u_now, u_prev, conv = carry
+
+        # station sample of the current displacement (output row s)
+        if st_nodes is not None:
+            sample = jnp.einsum("sn,snc->sc", st_phi, u_now[st_nodes])
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+
+        # source force (compute_addforce_s, psolve.c:5912-5928)
+        force = jnp.zeros((N, 3), dtype).at[src_ids].add(srcf)
+
+        f_elem, conv = element_forces(d, damping, u_now, u_prev, conv)
+        force = force + scatter_to_nodes(d, N, f_elem)
+        force = dangling_distribute(d, N, force)
+
+        # node update (solver_compute_displacement, psolve.c:4072-4114)
+        u_next = (force + d["mass2_minusaM"] * u_now
+                  - d["mass_minusaM"] * u_prev) * d["inv_mass"][:, None]
+        u_next = dangling_assign(d, u_next)
+
+        return (u_next, u_now, conv), sample
+
+    return step, d
+
+
+def init_state(tables, dtype=jnp.float64):
+    N, E = tables.N, tables.E
+    u = jnp.zeros((N, 3), dtype)
+    conv = None
+    if tables.damping == "bkt":
+        z = jnp.zeros((E, 8, 3), dtype)
+        conv = (z, z, z, z)
+    return (u, u, conv)
+
+
+def run_solver(tables, src_ids, src_forces, total_steps, dt,
+               st_nodes=None, st_phi=None, dtype=jnp.float64,
+               chunk=None, state=None, start_step=0,
+               on_chunk=None):
+    """Run the time loop in jitted chunks.
+
+    src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
+    Returns (final_state, station_samples [T, S, 3])."""
+    step, _ = make_step(tables, src_ids, st_nodes, st_phi, dtype)
+    scan = jax.jit(partial(jax.lax.scan, step))
+
+    if state is None:
+        state = init_state(tables, dtype)
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+
+    outs = []
+    dt2 = dt * dt
+    s = start_step
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
+        state, samples = scan(state, xs)
+        outs.append(np.asarray(samples))
+        if on_chunk is not None:
+            on_chunk(s + k, state)
+        s += k
+    samples = (np.concatenate(outs) if outs
+               else np.zeros((0, 0, 3)))
+    return state, samples

@@ -1,0 +1,395 @@
+"""Kinematic earthquake sources: geometry, moment-tensor nodal forces,
+and the per-node force time series the solver streams each step.
+
+Replaces quakesource.c's force machinery: instead of per-PE force files
+on disk, the result is an in-memory (node_ids [L], forces [T, L, 3])
+pair (with an optional reference-format force-file writer for parity
+tooling).  Citations:
+
+- source_initnodalforce (quakesource.c:420-475): double-couple from
+  strike/dip/rake via shape-function gradients
+- compute_domain_coords_linearinterp (geometrics.c:176-244): Newton
+  solve of the bilinear corner interpolation
+- compute_myForces_srfh / _point (quakesource.c:3157,3286-3460)
+- update_point_source_srfh (quakesource.c:1357-1383)
+- compute_point_source_strike_srfh (quakesource.c:1297-1352)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import ConfigFile
+from ..mesh.locate import locate_points
+from ..mesh.octree import PIXELLEVEL
+from .filter import butterworth_filter_signal
+from .slip import compute_source_function
+
+PI = np.pi
+
+
+def compute_domain_coords_linearinterp(lon, lat, corners_long,
+                                       corners_lat, len_east, len_north):
+    """Vectorized Newton solve (geometrics.c:176-244).  Returns
+    (x_north, y_east) domain coordinates."""
+    X = np.atleast_1d(np.asarray(lat, np.float64))
+    Y = np.atleast_1d(np.asarray(lon, np.float64))
+    Xi = np.asarray(corners_lat, np.float64)
+    Yi = np.asarray(corners_long, np.float64)
+
+    Ax = 4 * X - Xi.sum()
+    Ay = 4 * Y - Yi.sum()
+    Bx = -Xi[0] + Xi[1] + Xi[2] - Xi[3]
+    By = -Yi[0] + Yi[1] + Yi[2] - Yi[3]
+    Cx = -Xi[0] - Xi[1] + Xi[2] + Xi[3]
+    Cy = -Yi[0] - Yi[1] + Yi[2] + Yi[3]
+    Dx = Xi[0] - Xi[1] + Xi[2] - Xi[3]
+    Dy = Yi[0] - Yi[1] + Yi[2] - Yi[3]
+
+    c = np.zeros_like(X)   # csi
+    e = np.zeros_like(X)   # etha
+    res = np.full_like(X, np.inf)
+    for _ in range(200):
+        live = res > 1e-6
+        if not live.any():
+            break
+        M00 = Bx + Dx * e
+        M01 = Cx + Dx * c
+        M10 = By + Dy * e
+        M11 = Cy + Dy * c
+        F0 = -Ax + Bx * c + Cx * e + Dx * c * e
+        F1 = -Ay + By * c + Cy * e + Dy * c * e
+        det = M00 * M11 - M10 * M01
+        dc = -(F0 * M11 - F1 * M01) / det
+        de = -(F1 * M00 - F0 * M10) / det
+        res = np.abs(F0) + np.abs(F1)
+        c = np.where(live, c + dc, c)
+        e = np.where(live, e + de, e)
+    return (0.5 * (c + 1) * len_north, 0.5 * (e + 1) * len_east)
+
+
+def source_initnodalforce(strike, dip, rake, x, y, z, h):
+    """Equivalent nodal force weights [8, 3] for a double couple at
+    local offset (x, y, z) from the element center
+    (source_initnodalforce, quakesource.c:420-475)."""
+    s = strike / 180.0 * PI
+    d = dip / 180.0 * PI
+    r = rake / 180.0 * PI
+    hcube = h ** 3
+
+    n = np.array([-np.sin(s) * np.sin(d),
+                  np.cos(s) * np.sin(d),
+                  -np.cos(d)])
+    t = np.array([np.cos(r) * np.sin(PI / 2 - s)
+                  + np.sin(r) * np.sin(s) * np.cos(d),
+                  np.cos(r) * np.sin(s) - np.sin(r) * np.cos(s) * np.cos(d),
+                  -np.sin(r) * np.sin(d)])
+    v = np.outer(n, t) + np.outer(t, n)
+
+    xi = np.array([
+        [-1, 1, -1, 1, -1, 1, -1, 1],
+        [-1, -1, 1, 1, -1, -1, 1, 1],
+        [-1, -1, -1, -1, 1, 1, 1, 1],
+    ], dtype=np.float64)
+
+    force = np.zeros((8, 3))
+    for j in range(8):
+        dx = (2 * xi[0][j]) * (h + 2 * xi[1][j] * y) * (h + 2 * xi[2][j] * z) \
+            / (8 * hcube)
+        dy = (2 * xi[1][j]) * (h + 2 * xi[2][j] * z) * (h + 2 * xi[0][j] * x) \
+            / (8 * hcube)
+        dz = (2 * xi[2][j]) * (h + 2 * xi[0][j] * x) * (h + 2 * xi[1][j] * y) \
+            / (8 * hcube)
+        grad = np.array([dx, dy, dz])
+        force[j] = v @ grad
+    return force
+
+
+@dataclass
+class SourceModel:
+    """Parsed source description + force computation."""
+
+    type_of_source: str = "point"
+    source_function_type: str = "ramp"
+    is_filtered: int = 0
+    threshold_frequency: float = 0.0
+    number_of_poles: int = 0
+    average_risetime: float = 0.0
+    ricker_ts: float = 0.0
+    ricker_tp: float = 0.0
+    corners_long: Optional[np.ndarray] = None
+    corners_lat: Optional[np.ndarray] = None
+    # point source
+    moment_magnitude: float = 0.0
+    moment_amplitude: float = 0.0
+    lonlat_or_cartesian: int = 0
+    hypo_lat: float = 0.0
+    hypo_lon: float = 0.0
+    hypo_depth: float = 0.0
+    strike: float = 0.0
+    dip: float = 0.0
+    rake: float = 0.0
+    # srfh arrays
+    src_lon: Optional[np.ndarray] = None
+    src_lat: Optional[np.ndarray] = None
+    src_depth: Optional[np.ndarray] = None
+    src_area: Optional[np.ndarray] = None
+    src_strike: Optional[np.ndarray] = None
+    src_dip: Optional[np.ndarray] = None
+    src_rake: Optional[np.ndarray] = None
+    src_slip: Optional[np.ndarray] = None
+    src_tinit: Optional[np.ndarray] = None
+    src_dtfn: Optional[np.ndarray] = None
+    src_slipfn: list = field(default_factory=list)
+    # plane sources
+    plane: dict = field(default_factory=dict)
+    # bookkeeping
+    total_m0: float = 0.0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def parse(cls, params, global_delay_t=0.0, surface_shift=0.0):
+        """source_init_parameters (quakesource.c:3879-4003)."""
+        sm = cls()
+        srcdir = params.source_directory
+        if not os.path.isabs(srcdir):
+            srcdir = os.path.join(
+                os.path.dirname(os.path.dirname(params.physics_path)) or ".",
+                srcdir)
+            # reference resolves relative to the run cwd; prefer that if
+            # the physics-relative guess is missing
+            if not os.path.exists(os.path.join(srcdir, "source.in")) \
+                    and os.path.exists(os.path.join(params.source_directory,
+                                                    "source.in")):
+                srcdir = params.source_directory
+        sm.srcdir = srcdir
+        src = ConfigFile(os.path.join(srcdir, "source.in"))
+
+        sm.is_filtered = src.get_int("source_is_filtered", 0)
+        if sm.is_filtered:
+            sm.threshold_frequency = src.get_double("threshold_frequency",
+                                                    required=True)
+            sm.number_of_poles = src.get_int("number_of_poles",
+                                             required=True)
+        sm.type_of_source = src.get_string("type_of_source",
+                                           required=True).lower()
+        sm.source_function_type = src.get_string("source_function_type",
+                                                 required=True).lower()
+        if sm.source_function_type in ("ramp", "sine", "quadratic",
+                                       "exponential"):
+            sm.average_risetime = src.get_double("average_risetime_sec",
+                                                 required=True)
+        if sm.source_function_type == "ricker":
+            sm.ricker_ts = src.get_double("ricker_Ts", required=True)
+            sm.ricker_tp = src.get_double("ricker_Tp", required=True)
+
+        corners = src.get_table("domain_surface_corners", 4, 2)
+        if corners is not None:
+            sm.corners_long = corners[:, 0]
+            sm.corners_lat = corners[:, 1]
+
+        if sm.type_of_source == "point":
+            sm.moment_magnitude = src.get_double("moment_magnitude", 0.0)
+            sm.moment_amplitude = src.get_double("moment_amplitude", 0.0)
+            sm.lonlat_or_cartesian = src.get_int("lonlat_or_cartesian", 0)
+            if sm.lonlat_or_cartesian == 0:
+                sm.hypo_lat = src.get_double("hypocenter_lat_deg",
+                                             required=True)
+                sm.hypo_lon = src.get_double("hypocenter_long_deg",
+                                             required=True)
+            else:
+                sm.hypo_lat = src.get_double("hypocenter_x", required=True)
+                sm.hypo_lon = src.get_double("hypocenter_y", required=True)
+            sm.hypo_depth = src.get_double("hypocenter_depth_m",
+                                           required=True)
+            sm.strike = src.get_double("source_strike_deg", required=True)
+            sm.dip = src.get_double("source_dip_deg", required=True)
+            sm.rake = src.get_double("source_rake_deg", required=True)
+        elif sm.type_of_source == "srfh":
+            nsrc = src.get_int("number_of_point_sources", required=True)
+            vals = _read_numbers(os.path.join(srcdir, "coords.in"))
+            coords = vals.reshape(nsrc, 3)
+            sm.src_lon = coords[:, 0]
+            sm.src_lat = coords[:, 1]
+            sm.src_depth = coords[:, 2] + surface_shift
+            sm.src_area = _read_numbers(
+                os.path.join(srcdir, "area.in"))[:nsrc]
+            sm.src_strike = _read_numbers(
+                os.path.join(srcdir, "strike.in"))[:nsrc]
+            sm.src_dip = _read_numbers(os.path.join(srcdir, "dip.in"))[:nsrc]
+            sm.src_rake = _read_numbers(
+                os.path.join(srcdir, "rake.in"))[:nsrc]
+            sm.src_slip = _read_numbers(
+                os.path.join(srcdir, "slip.in"))[:nsrc]
+            # slipfunction.in: per source nt1, tinit, dt, then nt1 values
+            sf = _read_numbers(os.path.join(srcdir, "slipfunction.in"))
+            pos = 0
+            tinit = np.zeros(nsrc)
+            dtfn = np.zeros(nsrc)
+            for i in range(nsrc):
+                nt1 = int(sf[pos])
+                tinit[i] = sf[pos + 1]
+                dtfn[i] = sf[pos + 2]
+                sm.src_slipfn.append(sf[pos + 3 : pos + 3 + nt1].copy())
+                pos += 3 + nt1
+            sm.src_tinit = tinit + global_delay_t
+            sm.src_dtfn = dtfn
+        elif sm.type_of_source in ("plane", "planewithkinks"):
+            sm._parse_plane(src, srcdir)
+        else:
+            raise ValueError(f"unknown source type {sm.type_of_source!r}")
+        return sm
+
+    def _parse_plane(self, src, srcdir):
+        raise NotImplementedError(
+            "plane/planewithkinks sources land with the terashake "
+            "milestone")
+
+    # ------------------------------------------------------------------
+    def _adjusted_strike(self, strike, lon, lat, len_east, len_north):
+        """compute_point_source_strike_srfh (quakesource.c:1297-1352):
+        lonlat mode corrects strike by the local grid-north rotation."""
+        if self.lonlat_or_cartesian == 1:
+            return strike
+        px, py = compute_domain_coords_linearinterp(
+            lon, lat, self.corners_long, self.corners_lat,
+            len_east, len_north)
+        nx, ny = compute_domain_coords_linearinterp(
+            lon, np.asarray(lat) + 0.1, self.corners_long,
+            self.corners_lat, len_east, len_north)
+        ux = nx - px
+        uy = ny - py
+        norm = np.hypot(ux, uy)
+        ux, uy = ux / norm, uy / norm
+        with np.errstate(divide="ignore"):
+            fi = np.arctan(ux / uy)
+        fi = np.where(uy < 0, fi + PI, fi)
+        return 90.0 + strike - 180.0 * fi / PI
+
+    # ------------------------------------------------------------------
+    def compute_forces(self, mesh, params, props=None):
+        """Compute (node_ids [L], forces [T, L, 3]).
+
+        The moment scale is mu*area*slip per point source, with mu from
+        the containing element's material (quakesource.c:1180-1202).
+        """
+        T = params.total_steps
+        dt = params.delta_t
+        props = props if props is not None else mesh.props
+
+        if self.type_of_source == "point":
+            lon = np.array([self.hypo_lon])
+            lat = np.array([self.hypo_lat])
+            depth = np.array([self.hypo_depth])
+            strike = np.array([self.strike], np.float64)
+            dip = np.array([self.dip], np.float64)
+            rake = np.array([self.rake], np.float64)
+            area = np.array([0.0])
+            slip = np.array([1.0])
+            tinit = np.array([0.0])
+            nsrc = 1
+        elif self.type_of_source == "srfh":
+            lon, lat, depth = self.src_lon, self.src_lat, self.src_depth
+            strike, dip, rake = self.src_strike, self.src_dip, self.src_rake
+            area, slip, tinit = self.src_area, self.src_slip, self.src_tinit
+            nsrc = len(lon)
+        else:
+            raise NotImplementedError(self.type_of_source)
+
+        if self.lonlat_or_cartesian == 1 and self.type_of_source == "point":
+            dx, dy = np.asarray(lat, np.float64), np.asarray(lon, np.float64)
+        else:
+            dx, dy = compute_domain_coords_linearinterp(
+                lon, lat, self.corners_long, self.corners_lat,
+                params.region_length_east_m, params.region_length_north_m)
+        strike = self._adjusted_strike(strike, lon, lat,
+                                       params.region_length_east_m,
+                                       params.region_length_north_m)
+
+        found, eidx = locate_points(mesh, dx, dy, depth)
+        if not found.all():
+            missing = np.flatnonzero(~found)
+            raise RuntimeError(f"point sources outside mesh: {missing[:5]}")
+
+        ts = mesh.ticksize
+        e = (np.int64(1) << (PIXELLEVEL
+                             - mesh.elem_level[eidx].astype(np.int64)))
+        h = ts * e.astype(np.float64)
+        cx = ts * (mesh.elem_x[eidx] + e / 2.0)
+        cy = ts * (mesh.elem_y[eidx] + e / 2.0)
+        cz = ts * (mesh.elem_z[eidx] + e / 2.0)
+        lx = dx - cx
+        ly = dy - cy
+        lz = depth - cz
+
+        mu = (props["rho"][eidx] * props["Vs"][eidx] ** 2)
+
+        # accumulate forces per node
+        times = dt * np.arange(T)
+        node_force = {}
+        self.total_m0 = 0.0
+        for i in range(nsrc):
+            if self.type_of_source == "point":
+                m0 = self.moment_amplitude
+                if m0 == 0:
+                    m0 = 10 ** (1.5 * self.moment_magnitude + 9.1)
+                mu_area = m0
+                max_slip = 1.0
+                self.total_m0 += m0
+            else:
+                mu_area = mu[i] * area[i]
+                max_slip = slip[i]
+                self.total_m0 += abs(mu_area * max_slip)
+
+            decay = compute_source_function(
+                self.source_function_type, times,
+                T0=self.average_risetime, Ts=self.ricker_ts,
+                Tp=self.ricker_tp, delay=float(tinit[i]),
+                dt_discrete=(self.src_dtfn[i]
+                             if self.src_dtfn is not None else None),
+                discrete=(self.src_slipfn[i] if self.src_slipfn else None))
+            displacement = decay * max_slip
+
+            nodal = source_initnodalforce(
+                float(strike[i]), float(dip[i]), float(rake[i]),
+                float(lx[i]), float(ly[i]), float(lz[i]), float(h[i]))
+
+            lnids = mesh.elem_lnid[eidx[i]]
+            for j in range(8):
+                contrib = np.outer(displacement,
+                                   nodal[j] * mu_area)  # [T,3]
+                nid = int(lnids[j])
+                if nid in node_force:
+                    node_force[nid] += contrib
+                else:
+                    node_force[nid] = contrib
+
+        node_ids = np.array(sorted(node_force.keys()), np.int32)
+        forces = np.stack([node_force[int(n)] for n in node_ids],
+                          axis=1)  # [T, L, 3]
+
+        if self.is_filtered:
+            forces = np.moveaxis(butterworth_filter_signal(
+                np.moveaxis(forces, 0, -1), 1.0 / dt,
+                self.threshold_frequency, self.number_of_poles), -1, 0)
+        return node_ids, forces
+
+    # ------------------------------------------------------------------
+    def write_force_file(self, path, node_ids, forces):
+        """Reference force_process.<pe> layout (print_header_myForces,
+        quakesource.c:2453-2471): int32 count, int32 node ids, then
+        per-step [L,3] float64."""
+        with open(path, "wb") as f:
+            np.array([len(node_ids)], "<i4").tofile(f)
+            np.asarray(node_ids, "<i4").tofile(f)
+            np.asarray(forces, "<f8").tofile(f)
+
+
+def _read_numbers(path):
+    """Whitespace-separated doubles from an aux source file."""
+    with open(path) as f:
+        return np.array([float(t) for t in f.read().split()])
