@@ -1,16 +1,16 @@
-"""Benchmark: element-updates/sec/chip of the explicit solver step.
+"""Benchmark: element-updates/sec/chip of the explicit solver step
+(the block-structured brick path — the TPU-native fast path).
 
-Builds a large uniform mesh (the examples/simple domain refined to a
-production-sized element count), assembles the solver, and times the
-jitted scan on the default device (the real TPU under axon; CPU
-elsewhere).
+Builds a production-sized uniform mesh (the examples/simple domain
+refined to ~1M elements), assembles the brick solver, and times the
+jitted scan on the default device (the real TPU under axon).
 
 Baseline: the reference publishes no in-tree numbers (BASELINE.md); the
-north star is >10x a CPU-cluster-core-equivalent on one chip.  A
-well-tuned Hercules core sustains roughly 1e6 element-updates/s/core
-(~600 flop matrix-free element kernel + memory traffic on ~2.5 GHz
-cores), so vs_baseline is reported against 1e7 element-updates/s
-(= 10 cluster cores), matching BASELINE.json's target ratio.
+north star is >10x a CPU-cluster-core-equivalent on one chip.  A tuned
+Hercules core sustains roughly 1e6 element-updates/s/core (~600-flop
+matrix-free element kernel + memory traffic per element-step), so
+vs_baseline reports against 1e7 element-updates/s (= 10 cluster
+cores), matching BASELINE.json's target ratio.
 """
 
 import json
@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def build(target_elems=2_000_000, damping="rayleigh"):
+def build(target_elems=1_000_000, damping="rayleigh"):
     from hercules_tpu.config import load_params
     from hercules_tpu.cvm import CVM
     from hercules_tpu.meshgen import generate_mesh
@@ -48,10 +48,17 @@ def build(target_elems=2_000_000, damping="rayleigh"):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from hercules_tpu.solver.step import make_step, init_state
+    from functools import partial
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.brickstep import (assemble_brick_tables,
+                                               init_brick_state,
+                                               make_brick_step)
 
-    target = int(os.environ.get("BENCH_ELEMS", 2_000_000))
+    target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 200))
     damping = os.environ.get("BENCH_DAMPING", "rayleigh")
 
@@ -61,17 +68,25 @@ def main():
           f"(mesh {t_mesh:.1f}s, assemble {t_asm:.1f}s) on "
           f"{jax.devices()[0]}", file=sys.stderr)
 
+    plan = build_plan(mesh)
     nid = int(mesh.elem_lnid[E // 2, 0])
     src_ids = np.array([nid], np.int32)
-    step, _ = make_step(tables, src_ids, dtype=jnp.float32)
+    t_host, meta, TOT = assemble_brick_tables(plan, tables,
+                                              src_ids=src_ids)
+    step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
+                              jnp.float32)
     scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
-
-    state = init_state(tables, jnp.float32)
+    state = init_brick_state(meta, TOT, tables.damping, jnp.float32)
     xs = jnp.ones((steps, 1, 3), jnp.float32)
 
-    # compile + warmup
+    # compile + device warmup
+    t0 = time.time()
     state = scan(state, xs[:1])
     jax.block_until_ready(state[0])
+    print(f"# compile {time.time()-t0:.1f}s", file=sys.stderr)
+    state = scan(state, xs)
+    jax.block_until_ready(state[0])
+
     t0 = time.time()
     state = scan(state, xs)
     jax.block_until_ready(state[0])

@@ -115,18 +115,36 @@ class Simulation:
                    source=source, src_ids=src_ids, src_forces=src_forces,
                    stations=stations)
 
-    def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None):
+    def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
+            solver="auto"):
+        """solver: 'bricks' (block-structured TPU fast path),
+        'unstructured' (reference-layout oracle), or 'auto' (bricks when
+        the mesh decomposes cleanly, else unstructured)."""
+        import jax
         import jax.numpy as jnp
         if dtype is None:
-            import jax
             dtype = (jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
         p = self.params
         steps = total_steps if total_steps is not None else p.total_steps
         st = self.stations
+        st_nodes = None if st is None else st.nodes
+        st_phi = None if st is None else st.phi
+
+        if solver in ("auto", "bricks"):
+            try:
+                from .solver.bricks import build_plan
+                from .solver.brickstep import run_brick_solver
+                plan = build_plan(self.mesh)
+                return run_brick_solver(
+                    plan, self.tables, self.src_ids, self.src_forces,
+                    steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
+                    dtype=dtype, chunk=chunk, on_chunk=on_chunk)
+            except RuntimeError:
+                if solver == "bricks":
+                    raise
         state, samples = run_solver(
             self.tables, self.src_ids, self.src_forces, steps, p.delta_t,
-            st_nodes=None if st is None else st.nodes,
-            st_phi=None if st is None else st.phi,
+            st_nodes=st_nodes, st_phi=st_phi,
             dtype=dtype, chunk=chunk, on_chunk=on_chunk)
         return state, samples

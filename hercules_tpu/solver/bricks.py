@@ -1,0 +1,265 @@
+"""Block-structured ("brick") reorganization of the octree mesh.
+
+Why: on TPU, XLA gathers/scatters run ~50M rows/s while dense slices
+and elementwise ops run at HBM bandwidth (~100x faster).  The
+reference's unstructured element tables (octor.c mesh extraction) are
+therefore the wrong layout for the hot loop.  An octree mesh is
+piecewise *uniform*: grouping same-level leaves into rectangular,
+fully-occupied bricks turns the element kernel into shifted dense
+slices + one small-matrix MXU contraction per brick, with irregular
+gather/scatter only on the (small) brick-interface node set.
+
+This module builds the decomposition and the per-brick device tables:
+
+- recursive bisection of each level's cell set into fully-occupied
+  boxes (empty boxes dropped), so no masking is needed for occupancy
+- per brick: a flat node grid (row-major z, y, x) whose 8 stencil
+  offsets are constant flat strides; element coefficient grids padded
+  onto the node grid (zero on the last row/col/slab)
+- a copy table mapping brick-grid nodes to global mesh nodes, from
+  which the inter-brick reconciliation plan (shared copies, dangling
+  dependence groups) is derived.
+
+Physics semantics are identical to the unstructured solver
+(solver/step.py), which remains the cross-check oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..etree import morton
+from ..mesh.extract import MeshArrays, _key128
+from ..mesh.octree import PIXELLEVEL
+
+
+@dataclass
+class Brick:
+    level: int
+    origin: np.ndarray        # [3] cell coords (ix, iy, iz) on level grid
+    shape: np.ndarray         # [3] (nx, ny, nz) in elements
+    # filled by build_brick_tables:
+    off: int = 0              # offset into the concatenated node buffer
+    nb: int = 0               # node count (nz+1)(ny+1)(nx+1)
+    gnid: Optional[np.ndarray] = None     # [nb] global node ids
+    eidx: Optional[np.ndarray] = None     # [nb] global element idx or -1
+
+    @property
+    def node_shape(self):
+        nx, ny, nz = self.shape
+        return (int(nz) + 1, int(ny) + 1, int(nx) + 1)
+
+    @property
+    def strides(self):
+        nzp, nyp, nxp = self.node_shape
+        return (nyp * nxp, nxp, 1)
+
+    def corner_offsets(self):
+        """Flat node-grid offset of element corner j (which-order:
+        bit0=x, bit1=y, bit2=z)."""
+        syx, sx, _ = self.strides
+        return [((w >> 2) & 1) * syx + ((w >> 1) & 1) * sx + (w & 1)
+                for w in range(8)]
+
+
+def decompose(mesh: MeshArrays, max_bricks=512) -> List[Brick]:
+    """Split the leaf set into fully-occupied rectangular bricks."""
+    bricks: List[Brick] = []
+    levels = np.unique(mesh.elem_level)
+    for L in levels:
+        sel = mesh.elem_level == L
+        shift = PIXELLEVEL - int(L)
+        cx = mesh.elem_x[sel].astype(np.int64) >> shift
+        cy = mesh.elem_y[sel].astype(np.int64) >> shift
+        cz = mesh.elem_z[sel].astype(np.int64) >> shift
+        cells = np.stack([cx, cy, cz], axis=1)
+        _bisect(cells, int(L), bricks)
+    if len(bricks) > max_bricks:
+        raise RuntimeError(
+            f"brick decomposition produced {len(bricks)} bricks "
+            f"(cap {max_bricks}); mesh too fragmented for the "
+            f"structured path")
+    return bricks
+
+
+def _bisect(cells: np.ndarray, level: int, out: List[Brick]):
+    """Recursive bisection: emit fully-occupied boxes."""
+    stack = [cells]
+    while stack:
+        c = stack.pop()
+        if len(c) == 0:
+            continue
+        lo = c.min(axis=0)
+        hi = c.max(axis=0)
+        shape = hi - lo + 1
+        if len(c) == int(np.prod(shape)):
+            out.append(Brick(level=level, origin=lo.astype(np.int64),
+                             shape=shape.astype(np.int64)))
+            continue
+        ax = int(np.argmax(shape))
+        mid = lo[ax] + shape[ax] // 2
+        m = c[:, ax] < mid
+        stack.append(c[m])
+        stack.append(c[~m])
+
+
+@dataclass
+class BrickPlan:
+    """Everything the brick step needs, host-side."""
+
+    bricks: List[Brick]
+    total_nb: int
+    mesh: MeshArrays
+    # per-concat-node global ids (for masses etc.)
+    gnid_cat: np.ndarray = None           # [total_nb]
+    evalid_cat: np.ndarray = None         # [total_nb] bool (valid element)
+    eidx_cat: np.ndarray = None           # [total_nb] global element or 0
+    # reconciliation plan (see solver/brickstep.py)
+    ex_pos: np.ndarray = None             # [K] concat positions of copies
+    ex_seg: np.ndarray = None             # [K] group index (sorted)
+    grp_rep: np.ndarray = None            # [G] one concat pos per group
+    grp_node: np.ndarray = None           # [G] global node id per group
+    # dangling adjust at group level
+    dn_grp: np.ndarray = None             # [D] group index of dangling node
+    dn_anc_grp: np.ndarray = None         # [D, 4] group idx of anchors
+    dn_wgt: np.ndarray = None             # [D, 4]
+
+
+def build_plan(mesh: MeshArrays, max_bricks=512) -> BrickPlan:
+    bricks = decompose(mesh, max_bricks=max_bricks)
+
+    # ---- global node lookup (clamped-coordinate morton keys) --------
+    far = mesh.farendp
+    nhi, nlo = morton.interleave3(
+        np.minimum(mesh.node_x.astype(np.int64), far[0] - 1).astype(
+            np.uint64),
+        np.minimum(mesh.node_y.astype(np.int64), far[1] - 1).astype(
+            np.uint64),
+        np.minimum(mesh.node_z.astype(np.int64), far[2] - 1).astype(
+            np.uint64))
+    nkeys = _key128(nhi, nlo)
+
+    def node_lookup(x, y, z):
+        qhi, qlo = morton.interleave3(
+            np.minimum(x, far[0] - 1).astype(np.uint64),
+            np.minimum(y, far[1] - 1).astype(np.uint64),
+            np.minimum(z, far[2] - 1).astype(np.uint64))
+        pos = np.searchsorted(nkeys, _key128(qhi, qlo))
+        pos = np.clip(pos, 0, len(nkeys) - 1)
+        ok = (nhi[pos] == qhi) & (nlo[pos] == qlo)
+        return np.where(ok, pos, -1)
+
+    # element lookup by (corner key, level)
+    ehi, elo = morton.interleave3(
+        mesh.elem_x.astype(np.uint64), mesh.elem_y.astype(np.uint64),
+        mesh.elem_z.astype(np.uint64))
+    ekeys = _key128(ehi, elo)
+    eorder = np.argsort(ekeys)
+    ekeys_s = ekeys[eorder]
+
+    def elem_lookup(x, y, z):
+        qhi, qlo = morton.interleave3(
+            x.astype(np.uint64), y.astype(np.uint64), z.astype(np.uint64))
+        qk = _key128(qhi, qlo)
+        pos = np.clip(np.searchsorted(ekeys_s, qk), 0, len(ekeys_s) - 1)
+        cand = eorder[pos]
+        ok = ekeys[cand] == qk
+        return np.where(ok, cand, -1)
+
+    off = 0
+    gnid_parts = []
+    evalid_parts = []
+    eidx_parts = []
+    for b in bricks:
+        nzp, nyp, nxp = b.node_shape
+        b.nb = nzp * nyp * nxp
+        b.off = off
+        off += b.nb
+        shift = PIXELLEVEL - b.level
+        # node coords: grid (z, y, x) row-major
+        zz, yy, xx = np.meshgrid(
+            (b.origin[2] + np.arange(nzp)) << shift,
+            (b.origin[1] + np.arange(nyp)) << shift,
+            (b.origin[0] + np.arange(nxp)) << shift,
+            indexing="ij")
+        g = node_lookup(xx.ravel(), yy.ravel(), zz.ravel())
+        if (g < 0).any():
+            raise RuntimeError("brick node missing from global mesh")
+        b.gnid = g
+        # element validity: cells with local index < shape
+        ez, ey, ex_ = np.meshgrid(
+            np.arange(nzp), np.arange(nyp), np.arange(nxp), indexing="ij")
+        valid = ((ex_ < b.shape[0]) & (ey < b.shape[1])
+                 & (ez < b.shape[2])).ravel()
+        eid = np.zeros(b.nb, np.int64)
+        if valid.any():
+            lx = ((b.origin[0] + ex_.ravel()[valid]) << shift)
+            ly = ((b.origin[1] + ey.ravel()[valid]) << shift)
+            lz = ((b.origin[2] + ez.ravel()[valid]) << shift)
+            ge = elem_lookup(lx, ly, lz)
+            if (ge < 0).any():
+                raise RuntimeError("brick cell missing from element table")
+            eid[valid] = ge
+        b.eidx = eid
+        gnid_parts.append(g)
+        evalid_parts.append(valid)
+        eidx_parts.append(eid)
+
+    plan = BrickPlan(bricks=bricks, total_nb=off, mesh=mesh)
+    plan.gnid_cat = np.concatenate(gnid_parts)
+    plan.evalid_cat = np.concatenate(evalid_parts)
+    plan.eidx_cat = np.concatenate(eidx_parts)
+
+    _build_reconciliation(plan, mesh)
+    return plan
+
+
+def _build_reconciliation(plan: BrickPlan, mesh: MeshArrays):
+    """Shared-copy groups: global nodes with >1 brick copy, dangling
+    nodes, and dangling anchors.  The per-step irregular phase operates
+    only on these."""
+    N = mesh.nnum
+    copies = np.bincount(plan.gnid_cat, minlength=N)
+    assert (copies > 0).all(), "mesh node missing from all bricks"
+    in_group = copies > 1
+    in_group[mesh.dn_ids] = True
+    in_group[mesh.dn_anchors[mesh.dn_weights > 0]] = True
+    grp_node = np.flatnonzero(in_group)
+    G = len(grp_node)
+    node2grp = -np.ones(N, np.int64)
+    node2grp[grp_node] = np.arange(G)
+
+    member = in_group[plan.gnid_cat]
+    ex_pos = np.flatnonzero(member)
+    ex_seg = node2grp[plan.gnid_cat[ex_pos]]
+    order = np.argsort(ex_seg, kind="stable")
+    ex_pos = ex_pos[order].astype(np.int32)
+    ex_seg = ex_seg[order].astype(np.int32)
+
+    # representative copy per group = first occurrence
+    first = np.searchsorted(ex_seg, np.arange(G))
+    grp_rep = ex_pos[first]
+
+    plan.ex_pos = ex_pos
+    plan.ex_seg = ex_seg
+    plan.grp_rep = grp_rep.astype(np.int32)
+    plan.grp_node = grp_node.astype(np.int32)
+
+    D = len(mesh.dn_ids)
+    if D:
+        plan.dn_grp = node2grp[mesh.dn_ids].astype(np.int32)
+        anc = node2grp[mesh.dn_anchors]
+        # anchors with zero weight may be the padding slot; point them
+        # at group 0 with weight 0
+        anc = np.where(mesh.dn_weights > 0, anc, 0)
+        if (anc < 0).any():
+            raise RuntimeError("dangling anchor not in reconcile groups")
+        plan.dn_anc_grp = anc.astype(np.int32)
+        plan.dn_wgt = mesh.dn_weights
+    else:
+        plan.dn_grp = np.zeros(0, np.int32)
+        plan.dn_anc_grp = np.zeros((0, 4), np.int32)
+        plan.dn_wgt = np.zeros((0, 4))
