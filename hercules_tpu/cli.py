@@ -68,7 +68,12 @@ def main(argv=None):
         mon.print(f"step {done:8d}/{p.total_steps}  "
                   f"wall {el:8.1f}s  ETA {eta:8.1f}s\n")
 
-    state, samples = sim.run(on_chunk=on_chunk)
+    from .sim import SimOutputs
+    rundir = os.path.dirname(os.path.dirname(
+        os.path.abspath(physics_in))) or "."
+    outputs = SimOutputs(sim.mesh, p, rundir=rundir)
+    state, samples = sim.run(on_chunk=on_chunk, outputs=outputs,
+                             rundir=rundir)
     mon.print(f"solver_run done: {time.time()-t1:.1f} s\n")
 
     if sim.stations is not None:

@@ -1,0 +1,89 @@
+"""Checkpoint / restart (io_checkpoint.c:29-236).
+
+The reference alternates two files checkpoint.out{0,1}, writing a tiny
+header plus fixed-stride tm1/tm2 slabs per PE, and restarts only with
+an identical rank count; BKT convolution state is NOT saved (a known
+gap, SURVEY.md section 5).  This implementation keeps the alternating
+double-buffer protocol and the checkpoint.in restart convention but
+stores the *global* state (u_now, u_prev, and the BKT convolution
+arrays when present), so restarts are rank-elastic and bit-exact for
+all damping models.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+MAGIC = b"HTPUCKPT1"
+
+
+def checkpoint_write(path_dir, step, state, extra=None):
+    """Write checkpoint for `step` to the alternating output file.
+
+    state: (u_now, u_prev, conv) with u [N,3] or [3,N]; conv pytree of
+    arrays or ().
+    """
+    os.makedirs(path_dir, exist_ok=True)
+    which = _next_slot(path_dir)
+    path = os.path.join(path_dir, f"checkpoint.out{which}")
+    tmp = path + ".tmp"
+    u_now, u_prev, conv = state
+    arrays = {"u_now": np.asarray(u_now), "u_prev": np.asarray(u_prev)}
+    flat, _ = _flatten(conv)
+    for i, a in enumerate(flat):
+        arrays[f"conv{i}"] = np.asarray(a)
+    if extra:
+        arrays.update({k: np.asarray(v) for k, v in extra.items()})
+    with open(tmp, "wb") as f:
+        np.savez(f, step=np.int64(step), **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def _next_slot(path_dir):
+    """Alternate between slots 0 and 1, overwriting the older one."""
+    t = []
+    for w in (0, 1):
+        p = os.path.join(path_dir, f"checkpoint.out{w}")
+        t.append(os.path.getmtime(p) if os.path.exists(p) else -1.0)
+    return 0 if t[0] <= t[1] else 1
+
+
+def checkpoint_read(path):
+    """Read ``checkpoint.in`` (the operator renames the chosen .out, as
+    in the reference) or a direct file path.
+
+    Returns (start_step, u_now, u_prev, conv_arrays list, extras dict).
+    """
+    if os.path.isdir(path):
+        path = os.path.join(path, "checkpoint.in")
+    with np.load(path) as z:
+        step = int(z["step"])
+        u_now = z["u_now"]
+        u_prev = z["u_prev"]
+        conv = []
+        i = 0
+        while f"conv{i}" in z:
+            conv.append(z[f"conv{i}"])
+            i += 1
+        extras = {k: z[k] for k in z.files
+                  if not (k in ("step", "u_now", "u_prev")
+                          or k.startswith("conv"))}
+    return step, u_now, u_prev, conv, extras
+
+
+def _flatten(tree):
+    """Tiny pytree flatten for tuples/lists of arrays."""
+    flat = []
+
+    def rec(x):
+        if isinstance(x, (tuple, list)):
+            for y in x:
+                rec(y)
+        elif x is not None:
+            flat.append(x)
+
+    rec(tree)
+    return flat, None

@@ -80,6 +80,123 @@ def write_station_files(outdir, stations: StationSet, samples, dt,
             f.write("\n")
 
 
+class SimOutputs:
+    """Per-run output taps: 4-D volume files, plane files, checkpoints.
+
+    The solver runs in chunks whose size divides every active rate, so
+    each tap fires exactly on its rate boundary with the state at that
+    step (the reference taps at loop top with the displacement of the
+    previous update — equivalent at rate boundaries)."""
+
+    def __init__(self, mesh, params, rundir="."):
+        import math
+        self.mesh = mesh
+        self.params = params
+        self.out4d = []
+        self.planes = None
+        self.ckpt_dir = None
+        rates = []
+        p = params
+
+        def absdir(d):
+            return d if os.path.isabs(d) else os.path.join(rundir, d)
+
+        if p.output_displacement or p.output_velocity:
+            from .io.output4d import Output4D
+            if p.output_displacement:
+                path = absdir(p.output_displacement_file)
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                self.out4d.append(("displacement",
+                                   Output4D(path, mesh, p,
+                                            "displacement")))
+            if p.output_velocity:
+                path = absdir(p.output_velocity_file)
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                self.out4d.append(("velocity",
+                                   Output4D(path, mesh, p, "velocity")))
+            rates.append(p.output_rate)
+        if p.number_output_planes:
+            from .io.planes import PlaneSet
+            self.planes = PlaneSet(mesh, p, absdir(p.planes_dir or
+                                                   "planes"))
+            rates.append(p.planes_print_rate)
+        if p.use_checkpoint and p.checkpointing_rate:
+            self.ckpt_dir = absdir(p.checkpoint_path or "checkpoints")
+            rates.append(p.checkpointing_rate)
+        self.rates = rates
+        self.active = bool(rates)
+        self._gcd = math.gcd(*rates) if rates else 0
+
+    def chunk_for(self, desired=1000):
+        """Chunks must land exactly on every rate boundary, so the
+        chunk size is the gcd of the active rates."""
+        g = self._gcd
+        return desired if g <= 0 else g
+
+    def make_hook(self, mesh, plan, inner=None):
+        gnid_cat = plan.gnid_cat if plan is not None else None
+
+        def u_global(state):
+            u = np.asarray(state[0])
+            if gnid_cat is not None:          # brick layout [3, TOT]
+                out = np.zeros((mesh.nnum, 3), u.dtype)
+                out[gnid_cat] = u.T
+                return out
+            return u                          # unstructured [N, 3]
+
+        def u_prev_global(state):
+            u = np.asarray(state[1])
+            if gnid_cat is not None:
+                out = np.zeros((mesh.nnum, 3), u.dtype)
+                out[gnid_cat] = u.T
+                return out
+            return u
+
+        p = self.params
+
+        # step-0 records (the reference's loop-top output of the zero
+        # initial field)
+        zero = np.zeros((mesh.nnum, 3))
+        for kind, w in self.out4d:
+            w.maybe_write(0, zero)
+        if self.planes is not None:
+            self.planes.maybe_write(
+                0, lambda nodes, phi: np.zeros((len(nodes), 3)))
+
+        def hook(done, state):
+            ug = None
+            for kind, w in self.out4d:
+                if done % w.rate == 0 and done // w.rate < w.out_steps:
+                    ug = u_global(state) if ug is None else ug
+                    if kind == "displacement":
+                        w.maybe_write(done, ug)
+                    else:
+                        up = u_prev_global(state)
+                        w.maybe_write(done, (ug - up) / p.delta_t)
+            if (self.planes is not None and done < p.total_steps
+                    and done % p.planes_print_rate == 0):
+                ug = u_global(state) if ug is None else ug
+
+                def sampler(nodes, phi, _u=ug):
+                    return np.einsum("mk,mkc->mc", phi, _u[nodes])
+
+                self.planes.maybe_write(done, sampler)
+            if (self.ckpt_dir is not None
+                    and done % p.checkpointing_rate == 0):
+                from .io.checkpoint import checkpoint_write
+                checkpoint_write(self.ckpt_dir, done, state)
+            if inner is not None:
+                inner(done, state)
+
+        return hook
+
+    def close(self):
+        for _, w in self.out4d:
+            w.close()
+        if self.planes is not None:
+            self.planes.close()
+
+
 @dataclass
 class Simulation:
     params: Params
@@ -116,10 +233,16 @@ class Simulation:
                    stations=stations)
 
     def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
-            solver="auto"):
+            solver="auto", outputs=None, rundir="."):
         """solver: 'bricks' (block-structured TPU fast path),
         'unstructured' (reference-layout oracle), or 'auto' (bricks when
-        the mesh decomposes cleanly, else unstructured)."""
+        the mesh decomposes cleanly, else unstructured).
+
+        outputs: optional SimOutputs handling 4-D volume / plane /
+        checkpoint taps (solver_output_wavefield / solver_output_planes /
+        solver_write_checkpoint, psolve.c:4275-4284)."""
+        import math
+
         import jax
         import jax.numpy as jnp
         if dtype is None:
@@ -131,20 +254,35 @@ class Simulation:
         st_nodes = None if st is None else st.nodes
         st_phi = None if st is None else st.phi
 
+        if outputs is not None and outputs.active:
+            chunk = outputs.chunk_for(chunk or 1000)
+
+        plan = None
         if solver in ("auto", "bricks"):
             try:
                 from .solver.bricks import build_plan
-                from .solver.brickstep import run_brick_solver
                 plan = build_plan(self.mesh)
-                return run_brick_solver(
-                    plan, self.tables, self.src_ids, self.src_forces,
-                    steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
-                    dtype=dtype, chunk=chunk, on_chunk=on_chunk)
             except RuntimeError:
                 if solver == "bricks":
                     raise
-        state, samples = run_solver(
-            self.tables, self.src_ids, self.src_forces, steps, p.delta_t,
-            st_nodes=st_nodes, st_phi=st_phi,
-            dtype=dtype, chunk=chunk, on_chunk=on_chunk)
+
+        hook = None
+        if outputs is not None and outputs.active:
+            hook = outputs.make_hook(self.mesh, plan, on_chunk)
+        else:
+            hook = on_chunk
+
+        if plan is not None:
+            from .solver.brickstep import run_brick_solver
+            state, samples = run_brick_solver(
+                plan, self.tables, self.src_ids, self.src_forces,
+                steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
+                dtype=dtype, chunk=chunk, on_chunk=hook)
+        else:
+            state, samples = run_solver(
+                self.tables, self.src_ids, self.src_forces, steps,
+                p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
+                dtype=dtype, chunk=chunk, on_chunk=hook)
+        if outputs is not None:
+            outputs.close()
         return state, samples

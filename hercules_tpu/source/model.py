@@ -245,9 +245,59 @@ class SourceModel:
         return sm
 
     def _parse_plane(self, src, srcdir):
-        raise NotImplementedError(
-            "plane/planewithkinks sources land with the terashake "
-            "milestone")
+        """read_plane_source / read_planewithkinks
+        (quakesource.c:2130-2289)."""
+        pl = {}
+        nw = src.get_int("number_of_time_windows", required=True)
+        pl["time_windows"] = src.get_array("time_windows", nw)
+        pl["cell_size_down_dip_m"] = src.get_double(
+            "extended_cell_size_down_dip_m", required=True)
+        pl["isminimumedgeautomatic"] = src.get_int(
+            "extended_isminimumedgeautomatic", 0)
+        pl["depth_m"] = src.get_double("extended_depth_m", required=True)
+        pl["cells_along_strike"] = src.get_int(
+            "extended_cells_along_strike", required=True)
+        pl["cells_down_dip"] = src.get_int(
+            "extended_cells_down_dip", required=True)
+        pl["hypocenter_along_strike_m"] = src.get_double(
+            "extended_hypocenter_along_strike_m", required=True)
+        pl["hypocenter_down_dip_m"] = src.get_double(
+            "extended_hypocenter_down_dip_m", required=True)
+        pl["average_rupture_velocity"] = src.get_double(
+            "extended_average_rupture_velocity", required=True)
+        if self.type_of_source == "plane":
+            pl["cell_size_along_strike_m"] = src.get_double(
+                "extended_cell_size_along_strike_m", required=True)
+            pl["lat_deg"] = src.get_double("extended_lat_deg",
+                                           required=True)
+            pl["long_deg"] = src.get_double("extended_long_deg",
+                                            required=True)
+            pl["strike_deg"] = src.get_double("extended_strike_deg",
+                                              required=True)
+            pl["dip_deg"] = src.get_double("extended_dip_deg",
+                                           required=True)
+        else:
+            pl["dip_deg"] = src.get_double("extended_dip_deg", 90.0)
+            nk = src.get_int("extended_number_of_kinks", required=True)
+            kinks = src.get_table("extended_kinks", nk, 2)
+            pl["kink_lon"] = kinks[:, 0]
+            pl["kink_lat"] = kinks[:, 1]
+        if not pl["isminimumedgeautomatic"]:
+            pl["minimum_edge_m"] = src.get_double(
+                "extended_minimum_edge_m", required=True)
+        else:
+            pl["minimum_edge_m"] = 0.0
+
+        rows, cols = pl["cells_down_dip"], pl["cells_along_strike"]
+        slip_vals = _read_numbers(os.path.join(srcdir, "slip.in"))
+        rake_vals = _read_numbers(os.path.join(srcdir, "rake.in"))
+        need = int(len(pl["time_windows"])) * rows * cols
+        if len(slip_vals) < need or len(rake_vals) < need:
+            raise ValueError(
+                f"slip.in/rake.in too short: need {need} values")
+        pl["slip"] = slip_vals[:need].reshape(-1, rows, cols)
+        pl["rake"] = rake_vals[:need].reshape(-1, rows, cols)
+        self.plane = pl
 
     # ------------------------------------------------------------------
     def _adjusted_strike(self, strike, lon, lat, len_east, len_north):
@@ -280,6 +330,9 @@ class SourceModel:
         T = params.total_steps
         dt = params.delta_t
         props = props if props is not None else mesh.props
+
+        if self.type_of_source in ("plane", "planewithkinks"):
+            return self._forces_extended(mesh, params, props)
 
         if self.type_of_source == "point":
             lon = np.array([self.hypo_lon])
@@ -377,6 +430,81 @@ class SourceModel:
                 np.moveaxis(forces, 0, -1), 1.0 / dt,
                 self.threshold_frequency, self.number_of_poles), -1, 0)
         return node_ids, forces
+
+    # ------------------------------------------------------------------
+    def _forces_extended(self, mesh, params, props):
+        """Vectorized extended-fault force generation
+        (compute_myForces_planes, quakesource.c:2632-3031)."""
+        from .extended import extended_fault_points, batched_nodal_forces
+        from ..mesh.octree import PIXELLEVEL
+
+        T = params.total_steps
+        dt = params.delta_t
+        pts = extended_fault_points(self, params)
+        found, eidx = locate_points(mesh, pts["x"], pts["y"], pts["z"])
+        keep = np.flatnonzero(found)
+        if len(keep) == 0:
+            raise RuntimeError("extended fault entirely outside mesh")
+        eidx = eidx[keep]
+
+        ts = mesh.ticksize
+        e = (np.int64(1) << (PIXELLEVEL
+                             - mesh.elem_level[eidx].astype(np.int64)))
+        h = ts * e.astype(np.float64)
+        lx = pts["x"][keep] - ts * (mesh.elem_x[eidx] + e / 2.0)
+        ly = pts["y"][keep] - ts * (mesh.elem_y[eidx] + e / 2.0)
+        lz = pts["z"][keep] - ts * (mesh.elem_z[eidx] + e / 2.0)
+        mu = props["rho"][eidx] * props["Vs"][eidx] ** 2
+        mu_area = mu * pts["area"][keep]
+
+        pl = self.plane
+        nW = len(pts["time_windows"])
+        ci = pts["cell_i"][keep]
+        cj = pts["cell_j"][keep]
+        # rake of the LAST window drives the force direction
+        rake_last = pl["rake"][nW - 1][ci, cj]
+        nodal = batched_nodal_forces(pts["strike"][keep],
+                                     pts["dip"][keep], rake_last,
+                                     lx, ly, lz, h)     # [P, 8, 3]
+
+        n_use = min(pts["num_steps"], T)
+        t = dt * np.arange(n_use)
+        P = len(keep)
+        disp = np.zeros((P, n_use))
+        slip_total = np.zeros(P)
+        from .slip import compute_source_function
+        for w in range(nW):
+            slip = pl["slip"][w][ci, cj]
+            slip_total += slip
+            delay = pts["delay"][keep] + pts["time_windows"][w]
+            decay = compute_source_function(
+                self.source_function_type, t[None, :], T0=self.average_risetime,
+                Ts=self.ricker_ts, Tp=self.ricker_tp,
+                delay=delay[:, None])
+            disp += decay * slip[:, None]
+
+        self.total_m0 = float(np.abs(mu_area * slip_total).sum())
+
+        # accumulate per-node force series as a sparse [L, P] matrix
+        # (node weights) applied to the [P, T'] displacement table
+        from scipy.sparse import csr_matrix
+        lnids = mesh.elem_lnid[eidx]                    # [P, 8]
+        node_ids, inv = np.unique(lnids, return_inverse=True)
+        inv = inv.reshape(P, 8)
+        L = len(node_ids)
+        forces = np.zeros((T, L, 3))
+        w8 = nodal * mu_area[:, None, None]             # [P, 8, 3]
+        rows = inv.ravel()                              # [P*8]
+        cols = np.repeat(np.arange(P), 8).reshape(P, 8).ravel()
+        for c in range(3):
+            M = csr_matrix((w8[:, :, c].ravel(), (rows, cols)),
+                           shape=(L, P))
+            forces[:n_use, :, c] = (M @ disp).T
+        if self.is_filtered:
+            forces = np.moveaxis(butterworth_filter_signal(
+                np.moveaxis(forces, 0, -1), 1.0 / dt,
+                self.threshold_frequency, self.number_of_poles), -1, 0)
+        return node_ids.astype(np.int32), forces
 
     # ------------------------------------------------------------------
     def write_force_file(self, path, node_ids, forces):

@@ -1,0 +1,126 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+from hercules_tpu.meshgen import generate_mesh
+from hercules_tpu.sim import Simulation, SimOutputs
+from hercules_tpu.solver.assemble import assemble
+from hercules_tpu.solver.step import run_solver, init_state
+from hercules_tpu.io.output4d import read_4d
+from hercules_tpu.io.planes import read_plane
+from hercules_tpu.io.checkpoint import checkpoint_read, checkpoint_write
+
+SIMPLE = "/root/reference/examples/simple"
+
+
+@pytest.fixture(scope="module")
+def small_sim(tmp_path_factory):
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    p.end_time = 0.2
+    p.output_displacement = 1
+    p.output_velocity = 1
+    p.output_rate = 10
+    p.number_output_planes = 1
+    p.planes_print_rate = 20
+    p.planes = np.array([[500.0, 500.0, 0.0, 100.0, 5, 100.0, 3, 0.0,
+                          90.0]])
+    p.use_checkpoint = 1
+    p.checkpointing_rate = 100
+    p.finalize()
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    return p, cvm, mesh
+
+
+def test_outputs_end_to_end(tmp_path, small_sim):
+    p, cvm, mesh = small_sim
+    rundir = str(tmp_path)
+    p.output_displacement_file = os.path.join(rundir, "disp.h4d")
+    p.output_velocity_file = os.path.join(rundir, "vel.h4d")
+    p.planes_dir = os.path.join(rundir, "planes")
+    p.checkpoint_path = os.path.join(rundir, "ckpt")
+
+    # build Simulation by hand to reuse mesh
+    from hercules_tpu.source.model import SourceModel
+    from hercules_tpu.sim import setup_stations
+    tables = assemble(mesh, p)
+    src = SourceModel.parse(p)
+    src_ids, src_forces = src.compute_forces(mesh, p)
+    sim = Simulation(params=p, cvm=cvm, mesh=mesh, tables=tables,
+                     source=src, src_ids=src_ids, src_forces=src_forces,
+                     stations=setup_stations(mesh, p))
+
+    outputs = SimOutputs(mesh, p, rundir=rundir)
+    state, samples = sim.run(dtype=jnp.float64, outputs=outputs,
+                             rundir=rundir)
+
+    # ---- 4D displacement file ----
+    hdr, data = read_4d(p.output_displacement_file)
+    assert hdr["total_nodes"] == mesh.nnum
+    assert int(hdr["output_steps"]) == (p.total_steps + 9) // 10
+    assert data.shape == (int(hdr["output_steps"]), mesh.nnum, 3)
+    assert np.abs(data[0]).max() == 0      # step 0 zeros
+    assert np.abs(data[-1]).max() > 0
+    assert bytes(hdr["file_type_str"]).startswith(b"Hercules 4D output")
+
+    # velocity file consistency: v ~ (u_k - u_{k-1})/dt at tap steps is
+    # not directly recoverable; just check shape and nonzero
+    hdrv, datav = read_4d(p.output_velocity_file)
+    assert datav.shape == data.shape
+    assert np.abs(datav[-1]).max() > 0
+
+    # ---- plane file ----
+    pd = read_plane(os.path.join(p.planes_dir, "planedisplacements.0"),
+                    5, 3)
+    assert pd.shape[0] == (p.total_steps + 19) // 20
+    assert np.abs(pd[-1]).max() > 0
+    assert os.path.exists(os.path.join(p.planes_dir, "planecoords.0"))
+
+    # plane values at the last tap step equal direct interpolation of
+    # the 4D snapshot? (different rates; tap 180 is in both: step 180)
+    # 4D index 18, plane index 9
+    from hercules_tpu.io.planes import PlaneSet
+    ps = outputs.planes
+    u180 = data[18]
+    vals = np.einsum("mk,mkc->mc", ps.all_phi, u180[ps.all_nodes])
+    np.testing.assert_allclose(pd[9].reshape(-1, 3), vals, rtol=1e-12,
+                               atol=1e-18)
+
+    # ---- checkpoints ----
+    outs = sorted(os.listdir(p.checkpoint_path))
+    assert "checkpoint.out0" in outs and "checkpoint.out1" in outs
+
+
+def test_checkpoint_restart_bitexact(tmp_path, small_sim):
+    p, cvm, mesh = small_sim
+    tables = assemble(mesh, p)
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    T = 200
+    forces = np.zeros((T, 1, 3))
+    forces[:20, 0, :] = 1e8
+    src_ids = np.array([nid], np.int32)
+
+    # uninterrupted
+    state_full, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                               dtype=jnp.float64)
+
+    # run 120 steps, checkpoint, restart, run remaining 80
+    state_a, _ = run_solver(tables, src_ids, forces, 120, p.delta_t,
+                            dtype=jnp.float64)
+    ck = str(tmp_path / "ck")
+    checkpoint_write(ck, 120, state_a)
+    os.replace(os.path.join(ck, "checkpoint.out0"),
+               os.path.join(ck, "checkpoint.in"))
+    step, u_now, u_prev, conv, extras = checkpoint_read(ck)
+    assert step == 120
+    state_b = (jnp.asarray(u_now), jnp.asarray(u_prev), None)
+    state_b, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                            dtype=jnp.float64, state=state_b,
+                            start_step=120)
+    np.testing.assert_array_equal(np.asarray(state_b[0]),
+                                  np.asarray(state_full[0]))
