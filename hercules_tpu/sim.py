@@ -207,6 +207,7 @@ class Simulation:
     src_ids: np.ndarray
     src_forces: np.ndarray
     stations: Optional[StationSet]
+    nl_tables: object = None
 
     @classmethod
     def setup(cls, physics_in, numerical_in=None, cvmdb=None,
@@ -228,9 +229,15 @@ class Simulation:
         source = SourceModel.parse(params)
         src_ids, src_forces = source.compute_forces(mesh, params)
         stations = setup_stations(mesh, params)
-        return cls(params=params, cvm=cvm, mesh=mesh, tables=tables,
-                   source=source, src_ids=src_ids, src_forces=src_forces,
-                   stations=stations)
+        sim = cls(params=params, cvm=cvm, mesh=mesh, tables=tables,
+                  source=source, src_ids=src_ids, src_forces=src_forces,
+                  stations=stations)
+        if params.include_nonlinear:
+            from .config import ConfigFile
+            from .nonlinear import NonlinearConfig, build_nonlinear_tables
+            cfg = NonlinearConfig.parse(ConfigFile(params.numerical_path))
+            sim.nl_tables = build_nonlinear_tables(mesh, params, cfg)
+        return sim
 
     def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
             solver="auto", outputs=None, rundir="."):
@@ -257,8 +264,16 @@ class Simulation:
         if outputs is not None and outputs.active:
             chunk = outputs.chunk_for(chunk or 1000)
 
+        nl = None
+        if self.nl_tables is not None:
+            from .solver.step import attach_nonlinear
+            nl = attach_nonlinear(self.mesh, p, self.tables,
+                                  self.nl_tables, dtype=dtype)
+
         plan = None
-        if solver in ("auto", "bricks"):
+        if solver in ("auto", "bricks") and nl is None:
+            # the brick path does not carry nonlinear state yet;
+            # nonlinear runs use the unstructured solver
             try:
                 from .solver.bricks import build_plan
                 plan = build_plan(self.mesh)
@@ -282,7 +297,7 @@ class Simulation:
             state, samples = run_solver(
                 self.tables, self.src_ids, self.src_forces, steps,
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
-                dtype=dtype, chunk=chunk, on_chunk=hook)
+                dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl)
         if outputs is not None:
             outputs.close()
         return state, samples

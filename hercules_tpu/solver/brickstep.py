@@ -155,7 +155,8 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
 
     mcat = d["mcat"]
 
-    def step(carry, srcf):
+    def step(carry, x):
+        srcf, step_idx = x
         u, up, conv = carry
 
         if has_st:
@@ -279,7 +280,8 @@ def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     s = 0
     while s < total_steps:
         k = min(chunk, total_steps - s)
-        xs = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
+        xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
         state, samples = scan(state, xs)
         outs.append(np.asarray(samples))
         if on_chunk is not None:

@@ -130,12 +130,17 @@ def dangling_assign(d, v):
 
 
 def make_step(tables, src_ids, st_nodes=None, st_phi=None,
-              dtype=jnp.float64):
+              dtype=jnp.float64, nl=None):
     """Build the scan-able step function.
 
-    carry = (u_now, u_prev, conv)        [conv None unless BKT]
-    x     = per-step source force [L, 3] (already dt^2-scaled)
+    carry = (u_now, u_prev, conv[, nl_state])   [conv () unless BKT]
+    x     = (per-step source force [L, 3] (dt^2-scaled), step index)
     out   = per-step station displacements [S, 3] (empty if no stations)
+
+    nl: optional nonlinear bundle from attach_nonlinear() — nonlinear
+    elements' elastic force flows through the plastic stress integral
+    instead of the linear stiffness operator (stiffness.c:46-105
+    excludes them), with optional geostatic gravity loading.
     """
     d = _dev(tables, dtype)
     N = tables.N
@@ -145,8 +150,18 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
         st_nodes = jnp.asarray(st_nodes, jnp.int32)
         st_phi = jnp.asarray(st_phi, dtype)
 
-    def step(carry, srcf):
-        u_now, u_prev, conv = carry
+    if nl is not None:
+        # zero the linear stiffness coefficients of nonlinear elements
+        # (linear_elements_mapping); damping c3/c4 stay active for all
+        d["c1"] = d["c1"].at[nl["rows"]].set(0.0)
+        d["c2"] = d["c2"].at[nl["rows"]].set(0.0)
+
+    def step(carry, x):
+        srcf, step_idx = x
+        if nl is None:
+            u_now, u_prev, conv = carry
+        else:
+            u_now, u_prev, conv, nlstate = carry
 
         # station sample of the current displacement (output row s)
         if st_nodes is not None:
@@ -154,46 +169,166 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
         else:
             sample = jnp.zeros((0, 3), dtype)
 
+        # nonlinear state update first (solver_nonlinear_state,
+        # psolve.c:4287)
+        if nl is not None:
+            E_ = nl["lnid"].shape[0]
+            ue = u_now[nl["lnid"]].reshape(E_, 24)
+            from ..nonlinear import nl_state_update
+            nlstate = nl_state_update(nl["d"], ue, nlstate[:3], nl["dt"]) \
+                + nlstate[3:]
+
         # source force (compute_addforce_s, psolve.c:5912-5928)
         force = jnp.zeros((N, 3), dtype).at[src_ids].add(srcf)
 
         f_elem, conv = element_forces(d, damping, u_now, u_prev, conv)
         force = force + scatter_to_nodes(d, N, f_elem)
+
+        if nl is not None:
+            from ..nonlinear import nl_force
+            fnl = nl_force(nl["d"], nlstate[:3], nl["dt2"])  # [Enl, 24]
+            flat = fnl.reshape(-1, 3)[nl["scat_perm"]]
+            force = force + jax.ops.segment_sum(
+                flat, nl["scat_seg"], num_segments=N,
+                indices_are_sorted=True)
+            if nl["geostatic"]:
+                force, nlstate = _geostatic_forces(
+                    d, nl, force, u_now, step_idx, nlstate)
+
         force = dangling_distribute(d, N, force)
 
         # node update (solver_compute_displacement, psolve.c:4072-4114)
         u_next = (force + d["mass2_minusaM"] * u_now
                   - d["mass_minusaM"] * u_prev) * d["inv_mass"][:, None]
+
+        if nl is not None and nl["geostatic"]:
+            # geostatic_displacements_fix: bottom z pinned during loading
+            fix = (step_idx <= nl["final_step"])
+            u_next = u_next.at[nl["bot_nodes"], 2].set(
+                jnp.where(fix, 0.0, u_next[nl["bot_nodes"], 2]))
+
         u_next = dangling_assign(d, u_next)
 
-        return (u_next, u_now, conv), sample
+        if nl is None:
+            return (u_next, u_now, conv), sample
+        return (u_next, u_now, conv, nlstate), sample
 
     return step, d
 
 
-def init_state(tables, dtype=jnp.float64):
+def _geostatic_forces(d, nl, force, u_now, step_idx, nlstate):
+    """compute_addforce_gravity + bottom reactions
+    (nonlinear.c:1302-1504)."""
+    sig, pstr, ep, reactions = nlstate
+    rise = nl["rise"][jnp.minimum(step_idx, nl["rise"].shape[0] - 1)]
+    gw = nl["grav_W"] * rise               # [E*8] per corner, dt^2 folded
+    force = force.at[:, 2].add(jax.ops.segment_sum(
+        gw[nl["gscat_perm"]], nl["gscat_seg"],
+        num_segments=force.shape[0], indices_are_sorted=True))
+
+    # bottom reactions captured exactly at the geostatic final step
+    Eb = nl["bot_lnid"].shape[0]
+    if Eb:
+        ub = u_now[nl["bot_lnid"]].reshape(Eb, 24)
+        a = nl["bc1"][:, None] * ub
+        b = nl["bc2"][:, None] * ub
+        kf = (jnp.concatenate([a, b], 1) @ d["m48"]).reshape(Eb, 8, 3)
+        new_r = kf[:, 4:, 2] - nl["bot_W"][:, None]   # [Eb, 4]
+        reactions = jnp.where(step_idx == nl["final_step"], new_r,
+                              reactions)
+        add = jnp.where(step_idx > nl["final_step"], 1.0, 0.0)
+        force = force.at[:, 2].add(add * jax.ops.segment_sum(
+            reactions.reshape(-1)[nl["bscat_perm"]], nl["bscat_seg"],
+            num_segments=force.shape[0], indices_are_sorted=True))
+    return force, (sig, pstr, ep, reactions)
+
+
+def attach_nonlinear(mesh, params, tables, nl_tables, dtype=jnp.float64):
+    """Build the nonlinear bundle consumed by make_step."""
+    from ..nonlinear import nl_device_tables, smooth_rise_factor
+
+    t = nl_tables
+    N = tables.N
+    lnid = mesh.elem_lnid[t.eidx].astype(np.int32)
+    seg = lnid.ravel()
+    perm = np.argsort(seg, kind="stable").astype(np.int32)
+
+    nl = {
+        "d": nl_device_tables(t, dtype),
+        "rows": jnp.asarray(t.eidx, jnp.int32),
+        "lnid": jnp.asarray(lnid, jnp.int32),
+        "scat_perm": jnp.asarray(perm, jnp.int32),
+        "scat_seg": jnp.asarray(seg[perm], jnp.int32),
+        "dt": params.delta_t,
+        "dt2": params.delta_t ** 2,
+        "geostatic": t.cfg.geostatic_loading_t > 0,
+        "n": t.n,
+    }
+    if nl["geostatic"]:
+        dt2 = params.delta_t ** 2
+        final = t.cfg.geostatic_final_step(params.delta_t)
+        nl["final_step"] = final
+        # per-corner gravity weights (dt^2 folded), scattered to nodes
+        gw = np.repeat(t.grav_W * dt2, 8)
+        gseg = mesh.elem_lnid.ravel()
+        gperm = np.argsort(gseg, kind="stable").astype(np.int32)
+        nl["grav_W"] = jnp.asarray(gw, dtype)
+        nl["gscat_perm"] = jnp.asarray(gperm, jnp.int32)
+        nl["gscat_seg"] = jnp.asarray(gseg[gperm], jnp.int32)
+        # smooth rise factor lookup for the geostatic window
+        ngeo = int(t.cfg.geostatic_loading_t / params.delta_t)
+        table = smooth_rise_factor(np.arange(final + 2), ngeo)
+        nl["rise"] = jnp.asarray(table, dtype)
+        # bottom elements: reaction capture + replay
+        be = t.bot_eidx
+        bl = mesh.elem_lnid[be].astype(np.int32)
+        nl["bot_lnid"] = jnp.asarray(bl, jnp.int32)
+        nl["bc1"] = jnp.asarray(tables.c1[be], dtype)
+        nl["bc2"] = jnp.asarray(tables.c2[be], dtype)
+        nl["bot_W"] = jnp.asarray(
+            mesh.props["rho"][be] * mesh.edge_m[be] ** 3 * 9.8 * 0.125
+            * dt2, dtype)
+        bseg = bl[:, 4:].ravel()
+        bperm = np.argsort(bseg, kind="stable").astype(np.int32)
+        nl["bscat_perm"] = jnp.asarray(bperm, jnp.int32)
+        nl["bscat_seg"] = jnp.asarray(bseg[bperm], jnp.int32)
+        # bottom nodes for the displacement fix
+        nl["bot_nodes"] = jnp.asarray(np.unique(bl[:, 4:]), jnp.int32)
+    return nl
+
+
+def init_state(tables, dtype=jnp.float64, nl=None):
     N, E = tables.N, tables.E
     u = jnp.zeros((N, 3), dtype)
     conv = None
     if tables.damping == "bkt":
         z = jnp.zeros((E, 8, 3), dtype)
         conv = (z, z, z, z)
-    return (u, u, conv)
+    if nl is None:
+        return (u, u, conv)
+    Enl = nl["n"]
+    z6 = jnp.zeros((Enl, 8, 6), dtype)
+    z8 = jnp.zeros((Enl, 8), dtype)
+    nlstate = (z6, z6, z8)
+    if nl["geostatic"]:
+        Eb = nl["bot_lnid"].shape[0]
+        nlstate = nlstate + (jnp.zeros((Eb, 4), dtype),)
+    return (u, u, conv, nlstate)
 
 
 def run_solver(tables, src_ids, src_forces, total_steps, dt,
                st_nodes=None, st_phi=None, dtype=jnp.float64,
                chunk=None, state=None, start_step=0,
-               on_chunk=None):
+               on_chunk=None, nl=None):
     """Run the time loop in jitted chunks.
 
     src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
     Returns (final_state, station_samples [T, S, 3])."""
-    step, _ = make_step(tables, src_ids, st_nodes, st_phi, dtype)
+    step, _ = make_step(tables, src_ids, st_nodes, st_phi, dtype, nl=nl)
     scan = jax.jit(partial(jax.lax.scan, step))
 
     if state is None:
-        state = init_state(tables, dtype)
+        state = init_state(tables, dtype, nl=nl)
     if chunk is None:
         chunk = min(total_steps, 1000)
 
@@ -202,7 +337,8 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
     s = start_step
     while s < total_steps:
         k = min(chunk, total_steps - s)
-        xs = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
+        xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
         state, samples = scan(state, xs)
         outs.append(np.asarray(samples))
         if on_chunk is not None:
