@@ -61,10 +61,13 @@ class MeshOrigin:
         )
 
 
-def make_setrec(cvm: CVM, params, origin: MeshOrigin):
+def make_setrec(cvm: CVM, params, origin: MeshOrigin, buildings=None):
     """Vectorized setrec: min Vs over a 3x3x3 sample grid inside each
-    leaf, VsCut clamp, out-of-bound force-split (psolve.c:1307-1397)."""
+    leaf, VsCut clamp, out-of-bound force-split (psolve.c:1307-1397);
+    with buildings: property overrides + air + z-shifted CVM queries
+    (psolve.c:1328-1330,1355-1357)."""
     points = np.array([0.01, 1.0, 1.99])
+    zshift = buildings.surface_shift if buildings is not None else 0.0
 
     def setrec(tree, hi, lo, lv):
         from .etree import morton
@@ -85,7 +88,7 @@ def make_setrec(cvm: CVM, params, origin: MeshOrigin):
             for py in points:
                 y_m = origin.y + (y + py * half) * ts
                 for pz in points:
-                    z_m = origin.z + (z + pz * half) * ts
+                    z_m = origin.z + (z + pz * half) * ts - zshift
                     ok, vp, vs, rho = cvm.query(y_m, x_m, z_m)
                     upd = ok & (vs < vs_min)
                     vs_min = np.where(upd, vs, vs_min)
@@ -101,17 +104,32 @@ def make_setrec(cvm: CVM, params, origin: MeshOrigin):
         ratio = np.where(cut, vp_min / vs_min, 1.0)
         vp_min = np.where(cut, params.vscut * ratio, vp_min)
         vs_min = np.where(cut, params.vscut, vs_min)
-        return {"Vp": vp_min, "Vs": vs_min, "rho": rho_min,
-                "edgesize": edgesize}
+        rec = {"Vp": vp_min, "Vs": vs_min, "rho": rho_min,
+               "edgesize": edgesize}
+        if buildings is not None:
+            buildings.setrec_override(x * ts, y * ts, z * ts, edgesize,
+                                      rec, cvm, origin, ts)
+        return rec
 
     return setrec
 
 
-def make_toexpand(params):
-    """vsrule (quake_util.c:215-226): split while edge > Vs/factor."""
+def make_toexpand(params, buildings=None):
+    """vsrule (quake_util.c:215-226): split while edge > Vs/factor;
+    buildings tri-state takes precedence (psolve.c toexpand
+    :2184-2210)."""
 
     def toexpand(tree, hi, lo, lv, rec):
-        return rec["edgesize"] > rec["Vs"] / params.factor
+        vs_split = rec["edgesize"] > rec["Vs"] / params.factor
+        if buildings is None:
+            return vs_split
+        from .etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        ts = tree.ticksize
+        res = buildings.toexpand(x * ts, y * ts, z * ts,
+                                 rec["edgesize"], rec["Vs"],
+                                 params.factor)
+        return np.where(res >= 0, res == 1, vs_split)
 
     return toexpand
 
@@ -126,7 +144,8 @@ def search_quality_table(q: np.ndarray) -> np.ndarray:
     return np.where(q > 500.0, -1, idx)
 
 
-def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin):
+def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin,
+                       buildings=None):
     """mesh_correct_properties (psolve.c:7104-7331): re-query the CVM at
     27 points per element, average, apply softening + VsCut, compute BKT
     coefficients and Q-based velocity dispersion correction.
@@ -140,6 +159,11 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin):
     ez = mesh.elem_z.astype(np.float64)
     edge = mesh.edge_m
     E = mesh.lenum
+    zshift = buildings.surface_shift if buildings is not None else 0.0
+
+    # building/foundation elements keep their table properties
+    # (bldgs_correctproperties, psolve.c:7137-7141)
+    skip = np.zeros(E, dtype=bool)
 
     vp = np.zeros(E)
     vs = np.zeros(E)
@@ -149,8 +173,14 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin):
         for pe in pts:
             east_m = ts * ey + edge * pe + origin.y
             for pd in pts:
-                depth_m = ts * ez + edge * pd + origin.z
+                depth_m = ts * ez + edge * pd + origin.z - zshift
                 ok, qvp, qvs, qrho = cvm.query(east_m, north_m, depth_m)
+                if buildings is not None:
+                    # above-surface sample points belong to buildings
+                    ok = ok | (depth_m < 0)
+                    qvp = np.where(np.isnan(qvp), 0.0, qvp)
+                    qvs = np.where(np.isnan(qvs), 0.0, qvs)
+                    qrho = np.where(np.isnan(qrho), 0.0, qrho)
                 if not ok.all():
                     bad = np.flatnonzero(~ok)[:5]
                     raise RuntimeError(
@@ -163,8 +193,9 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin):
     vs /= 27.0
     rho /= 27.0
 
-    vpvs = vp / vs
-    rhovp = rho / vp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vpvs = vp / vs
+        rhovp = rho / vp
 
     # softening (psolve.c:7211-7228)
     if params.softening_factor > 0:
@@ -230,6 +261,18 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin):
         for name in ("shear", "kappa"):
             for coef in ("a0", "a1", "g0", "g1", "b"):
                 props[f"{coef}_{name}"] = zeros
+
+    if buildings is not None:
+        # building/foundation elements bypass softening/VsCut/BKT
+        # entirely (the reference 'continue's before them,
+        # psolve.c:7137-7141); re-impose table properties and zero
+        # their attenuation coefficients
+        skip = buildings.correct_properties(mesh, props)
+        if skip.any():
+            for name in ("shear", "kappa"):
+                for coef in ("a0", "a1", "g0", "g1", "b"):
+                    props[f"{coef}_{name}"] = np.where(
+                        skip, 0.0, props[f"{coef}_{name}"])
 
     mesh.props = props
     return props

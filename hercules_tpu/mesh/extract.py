@@ -49,6 +49,7 @@ class MeshArrays:
     edge_m: Optional[np.ndarray] = None   # [E] element edge size in meters
     props: dict = field(default_factory=dict)
     origin: object = None                 # MeshOrigin (set by meshgen)
+    buildings: object = None              # Buildings (set by meshgen)
 
     @property
     def lenum(self):

@@ -24,12 +24,13 @@ def generate_mesh(params: Params, cvm: CVM,
                           params.region_length_east_m,
                           params.region_depth_deep_m)
 
-    setrec = make_setrec(cvm, params, origin)
-    toexpand = make_toexpand(params)
+    setrec = make_setrec(cvm, params, origin, buildings=buildings)
+    toexpand = make_toexpand(params, buildings=buildings)
 
     # progressive meshing (psolve.c:2002-2090): refine towards the target
     # frequency in factor-of-2 steps to keep 2:1 ripple local
     steps = max(0, int(params.step_meshing))
+    rec = None
     for mstep_pow in range(steps, -1, -1):
         mstep = 1 << mstep_pow
         scale = 1.0 / mstep
@@ -37,19 +38,24 @@ def generate_mesh(params: Params, cvm: CVM,
         if mstep == 1:
             te = toexpand
         else:
-            def te(tree_, hi, lo, lv, rec, _s=scale):
-                return rec["edgesize"] > rec["Vs"] / (params.factor * _s)
+            def te(tree_, hi, lo, lv, rec_, _s=scale):
+                return rec_["edgesize"] > rec_["Vs"] / (params.factor * _s)
 
-        tree.refine(setrec, te)
+        rec = tree.refine(setrec, te)
         tree.balance()
         if verbose:
             print(f"  meshing step x{mstep}: {tree.n} leaves")
 
     if buildings is not None:
-        buildings.carve(tree)
-        tree.balance()
+        # octor_carvebuildings (octor.c:4817-4897): drop "air" leaves
+        # (negative Vp) above the pushed-down surface
+        rec = setrec(tree, tree.hi, tree.lo, tree.level)
+        tree.carve(buildings.carve_mask(rec))
+        if verbose:
+            print(f"  carved to {tree.n} leaves")
 
     mesh = extract_mesh(tree)
-    correct_properties(mesh, cvm, params, origin)
+    correct_properties(mesh, cvm, params, origin, buildings=buildings)
     mesh.origin = origin
+    mesh.buildings = buildings
     return mesh

@@ -42,7 +42,9 @@ def setup_stations(mesh, params: Params) -> Optional[StationSet]:
         return None
     lat = params.stations[:, 0]
     lon = params.stations[:, 1]
-    depth = params.stations[:, 2]
+    depth = params.stations[:, 2].copy()
+    if mesh.buildings is not None:
+        depth = depth + mesh.buildings.surface_shift
     x, y = compute_domain_coords_linearinterp(
         lon, lat, params.domain_surface_corners[:, 0],
         params.domain_surface_corners[:, 1],
@@ -220,13 +222,20 @@ class Simulation:
             if cvmdb and not os.path.isabs(cvmdb):
                 cvmdb = os.path.join(rundir, cvmdb)
         cvm = CVM(cvmdb)
-        mesh = generate_mesh(params, cvm, verbose=verbose)
+        buildings = None
+        if params.include_buildings:
+            from .buildings import Buildings
+            from .config import ConfigFile
+            buildings = Buildings.parse(ConfigFile(params.numerical_path))
+        mesh = generate_mesh(params, cvm, buildings=buildings,
+                             verbose=verbose)
         if verbose:
             print(f"mesh: {mesh.lenum} elements, {mesh.nnum} nodes, "
                   f"{len(mesh.dn_ids)} dangling; "
                   f"critical dt {critical_dt(mesh.props, mesh.edge_m):.6f}")
         tables = assemble(mesh, params)
-        source = SourceModel.parse(params)
+        shift = buildings.surface_shift if buildings is not None else 0.0
+        source = SourceModel.parse(params, surface_shift=shift)
         src_ids, src_forces = source.compute_forces(mesh, params)
         stations = setup_stations(mesh, params)
         sim = cls(params=params, cvm=cvm, mesh=mesh, tables=tables,

@@ -157,7 +157,11 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
         d["c2"] = d["c2"].at[nl["rows"]].set(0.0)
 
     def step(carry, x):
-        srcf, step_idx = x
+        if len(x) == 3:
+            srcf, step_idx, fb_disp = x
+        else:
+            srcf, step_idx = x
+            fb_disp = None
         if nl is None:
             u_now, u_prev, conv = carry
         else:
@@ -206,6 +210,11 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
             fix = (step_idx <= nl["final_step"])
             u_next = u_next.at[nl["bot_nodes"], 2].set(
                 jnp.where(fix, 0.0, u_next[nl["bot_nodes"], 2]))
+
+        if fb_disp is not None and "fb_ids" in d:
+            # fixed-base buildings: prescribed base displacements
+            # (bldgs_load_fixedbase_disps, buildings.c:1146)
+            u_next = u_next.at[d["fb_ids"]].set(fb_disp)
 
         u_next = dangling_assign(d, u_next)
 
@@ -319,12 +328,16 @@ def init_state(tables, dtype=jnp.float64, nl=None):
 def run_solver(tables, src_ids, src_forces, total_steps, dt,
                st_nodes=None, st_phi=None, dtype=jnp.float64,
                chunk=None, state=None, start_step=0,
-               on_chunk=None, nl=None):
+               on_chunk=None, nl=None, fb_ids=None, fb_series=None):
     """Run the time loop in jitted chunks.
 
     src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
+    fb_ids/fb_series: optional fixed-base node ids [B] and prescribed
+    displacements [T, B, 3].
     Returns (final_state, station_samples [T, S, 3])."""
-    step, _ = make_step(tables, src_ids, st_nodes, st_phi, dtype, nl=nl)
+    step, d = make_step(tables, src_ids, st_nodes, st_phi, dtype, nl=nl)
+    if fb_ids is not None:
+        d["fb_ids"] = jnp.asarray(fb_ids, jnp.int32)
     scan = jax.jit(partial(jax.lax.scan, step))
 
     if state is None:
@@ -339,6 +352,8 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
         k = min(chunk, total_steps - s)
         xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
               jnp.arange(s, s + k, dtype=jnp.int32))
+        if fb_series is not None:
+            xs = xs + (jnp.asarray(fb_series[s : s + k], dtype),)
         state, samples = scan(state, xs)
         outs.append(np.asarray(samples))
         if on_chunk is not None:
