@@ -210,6 +210,8 @@ class Simulation:
     src_forces: np.ndarray
     stations: Optional[StationSet]
     nl_tables: object = None
+    drm_plan: object = None
+    drm_dir: str = ""
 
     @classmethod
     def setup(cls, physics_in, numerical_in=None, cvmdb=None,
@@ -246,6 +248,22 @@ class Simulation:
             from .nonlinear import NonlinearConfig, build_nonlinear_tables
             cfg = NonlinearConfig.parse(ConfigFile(params.numerical_path))
             sim.nl_tables = build_nonlinear_tables(mesh, params, cfg)
+        if params.implement_drm:
+            from .config import ConfigFile
+            from .drm import DRMConfig, classify, write_coords
+            dcfg = DRMConfig.parse(ConfigFile(params.numerical_path))
+            shift = (buildings.surface_shift if buildings is not None
+                     else 0.0)
+            sim.drm_plan = classify(mesh, dcfg, surface_shift=shift)
+            ddir = dcfg.directory
+            if not os.path.isabs(ddir):
+                ddir = os.path.join(rundir, ddir)
+            sim.drm_dir = ddir
+            if dcfg.part == "part0":
+                write_coords(ddir, sim.drm_plan)
+                if verbose:
+                    print(f"DRM part0: {len(sim.drm_plan.node_ids)} "
+                          f"interface nodes written to {ddir}")
         return sim
 
     def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
@@ -279,8 +297,35 @@ class Simulation:
             nl = attach_nonlinear(self.mesh, p, self.tables,
                                   self.nl_tables, dtype=dtype)
 
+        drm = None
+        drm_rec = None
+        if self.drm_plan is not None:
+            dcfg = self.drm_plan.cfg
+            if dcfg.part == "part2":
+                from .drm import attach_drm
+                drm = attach_drm(self.drm_plan, self.tables, p,
+                                 self.drm_dir)
+            elif dcfg.part == "part1":
+                from .drm import DRMRecorder
+                drm_rec = DRMRecorder(self.drm_dir, self.drm_plan)
+                # step-0 record of the zero initial field
+                drm_rec.record(0, np.zeros((self.mesh.nnum, 3)))
+                prev_hook = on_chunk
+
+                def on_chunk(done, state, _prev=prev_hook):
+                    u = np.asarray(state[0])
+                    if u.shape[0] == 3:      # brick layout unsupported
+                        u = u.T
+                    drm_rec.record(done, u)
+                    if _prev is not None:
+                        _prev(done, state)
+                # record every print_rate steps: chunk must divide it
+                chunk = dcfg.print_rate if chunk is None else min(
+                    chunk, dcfg.print_rate)
+
         plan = None
-        if solver in ("auto", "bricks") and nl is None:
+        if (solver in ("auto", "bricks") and nl is None and drm is None
+                and drm_rec is None):
             # the brick path does not carry nonlinear state yet;
             # nonlinear runs use the unstructured solver
             try:
@@ -306,7 +351,10 @@ class Simulation:
             state, samples = run_solver(
                 self.tables, self.src_ids, self.src_forces, steps,
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
-                dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl)
+                dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl,
+                drm=drm)
+        if drm_rec is not None:
+            drm_rec.close()
         if outputs is not None:
             outputs.close()
         return state, samples

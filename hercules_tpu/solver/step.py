@@ -130,7 +130,7 @@ def dangling_assign(d, v):
 
 
 def make_step(tables, src_ids, st_nodes=None, st_phi=None,
-              dtype=jnp.float64, nl=None):
+              dtype=jnp.float64, nl=None, drm=None):
     """Build the scan-able step function.
 
     carry = (u_now, u_prev, conv[, nl_state])   [conv () unless BKT]
@@ -184,6 +184,17 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
 
         # source force (compute_addforce_s, psolve.c:5912-5928)
         force = jnp.zeros((N, 3), dtype).at[src_ids].add(srcf)
+
+        if drm is not None:
+            # DRM effective force: lerp between force records
+            # (solver_compute_effective_drm_force, drm.c:2316-2437)
+            k = jnp.minimum(step_idx // drm["aux"],
+                            drm["Fdev"].shape[0] - 2)
+            frac = ((step_idx % drm["aux"]).astype(dtype)
+                    / drm["aux"])
+            fd = ((1.0 - frac) * drm["Fdev"][k]
+                  + frac * drm["Fdev"][k + 1])
+            force = force.at[drm["ids"]].add(fd)
 
         f_elem, conv = element_forces(d, damping, u_now, u_prev, conv)
         force = force + scatter_to_nodes(d, N, f_elem)
@@ -328,14 +339,20 @@ def init_state(tables, dtype=jnp.float64, nl=None):
 def run_solver(tables, src_ids, src_forces, total_steps, dt,
                st_nodes=None, st_phi=None, dtype=jnp.float64,
                chunk=None, state=None, start_step=0,
-               on_chunk=None, nl=None, fb_ids=None, fb_series=None):
+               on_chunk=None, nl=None, fb_ids=None, fb_series=None,
+               drm=None):
     """Run the time loop in jitted chunks.
 
     src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
     fb_ids/fb_series: optional fixed-base node ids [B] and prescribed
     displacements [T, B, 3].
+    drm: optional PART2 bundle from hercules_tpu.drm.attach_drm.
     Returns (final_state, station_samples [T, S, 3])."""
-    step, d = make_step(tables, src_ids, st_nodes, st_phi, dtype, nl=nl)
+    if drm is not None:
+        drm = dict(drm)
+        drm["Fdev"] = jnp.asarray(drm.pop("F"), dtype)
+    step, d = make_step(tables, src_ids, st_nodes, st_phi, dtype, nl=nl,
+                        drm=drm)
     if fb_ids is not None:
         d["fb_ids"] = jnp.asarray(fb_ids, jnp.int32)
     scan = jax.jit(partial(jax.lax.scan, step))
