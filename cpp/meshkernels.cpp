@@ -1,0 +1,150 @@
+// Native meshing kernels: Morton interleave, 128-bit key sorting, and
+// floor searches — the host-side hot paths of octree meshing at scale
+// (the role etree/code.c's generated tables and octor.c's zsearch play
+// in the reference, rebuilt as vectorized multithreaded C++).
+//
+// Exposed with a plain C ABI for ctypes; built by hercules_tpu.native.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline uint64_t spread3(uint64_t v) {
+    // spread the low 21 bits of v to every 3rd bit
+    v &= 0x1fffff;
+    v = (v | (v << 32)) & 0x1f00000000ffffULL;
+    v = (v | (v << 16)) & 0x1f0000ff0000ffULL;
+    v = (v | (v << 8))  & 0x100f00f00f00f00fULL;
+    v = (v | (v << 4))  & 0x10c30c30c30c30c3ULL;
+    v = (v | (v << 2))  & 0x1249249249249249ULL;
+    return v;
+}
+
+inline uint64_t compact3(uint64_t v) {
+    v &= 0x1249249249249249ULL;
+    v = (v ^ (v >> 2))  & 0x10c30c30c30c30c3ULL;
+    v = (v ^ (v >> 4))  & 0x100f00f00f00f00fULL;
+    v = (v ^ (v >> 8))  & 0x1f0000ff0000ffULL;
+    v = (v ^ (v >> 16)) & 0x1f00000000ffffULL;
+    v = (v ^ (v >> 32)) & 0x1fffffULL;
+    return v;
+}
+
+inline void interleave_one(uint32_t x, uint32_t y, uint32_t z,
+                           uint64_t* hi, uint64_t* lo) {
+    // low 21 bits of each coordinate -> morton bits 0..62
+    uint64_t lo_part = spread3(x) | (spread3(y) << 1) | (spread3(z) << 2);
+    // remaining high bits (21..31) -> morton bits 63..95
+    uint64_t xh = x >> 21, yh = y >> 21, zh = z >> 21;
+    uint64_t hi_part = spread3(xh) | (spread3(yh) << 1)
+        | (spread3(zh) << 2);
+    // morton bit 63 belongs to lo; hi_part currently starts at bit 63
+    *lo = lo_part | (hi_part << 63);
+    *hi = hi_part >> 1;
+}
+
+template <class F>
+void parallel_for(int64_t n, F f) {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt == 0) nt = 4;
+    if (n < 1 << 15 || nt <= 1) { f(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        int64_t s = t * chunk;
+        int64_t e = std::min<int64_t>(n, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back([=] { f(s, e); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+void ht_interleave3(const uint32_t* x, const uint32_t* y,
+                    const uint32_t* z, uint64_t* hi, uint64_t* lo,
+                    int64_t n) {
+    parallel_for(n, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++)
+            interleave_one(x[i], y[i], z[i], &hi[i], &lo[i]);
+    });
+}
+
+void ht_deinterleave3(const uint64_t* hi, const uint64_t* lo,
+                      uint32_t* x, uint32_t* y, uint32_t* z, int64_t n) {
+    parallel_for(n, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++) {
+            uint64_t l = lo[i], h = hi[i];
+            uint64_t xlo = compact3(l);
+            uint64_t ylo = compact3(l >> 1);
+            uint64_t zlo = compact3(l >> 2);
+            // morton bits 63.. come from (hi << 1) | (lo >> 63)
+            uint64_t hh = (h << 1) | (l >> 63);
+            uint64_t xhi = compact3(hh);
+            uint64_t yhi = compact3(hh >> 1);
+            uint64_t zhi = compact3(hh >> 2);
+            x[i] = (uint32_t)(xlo | (xhi << 21));
+            y[i] = (uint32_t)(ylo | (yhi << 21));
+            z[i] = (uint32_t)(zlo | (zhi << 21));
+        }
+    });
+}
+
+// argsort of 128-bit keys (hi, lo), stable
+void ht_sort_perm_u128(const uint64_t* hi, const uint64_t* lo, int64_t n,
+                       int64_t* perm) {
+    for (int64_t i = 0; i < n; i++) perm[i] = i;
+    std::stable_sort(perm, perm + n, [&](int64_t a, int64_t b) {
+        if (hi[a] != hi[b]) return hi[a] < hi[b];
+        return lo[a] < lo[b];
+    });
+}
+
+// For each sorted-store query: index of last store key <= query, -1 if
+// none.  Store must be sorted ascending by (hi, lo).
+void ht_floor_search(const uint64_t* shi, const uint64_t* slo, int64_t ns,
+                     const uint64_t* qhi, const uint64_t* qlo, int64_t nq,
+                     int64_t* out) {
+    parallel_for(nq, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++) {
+            uint64_t qh = qhi[i], ql = qlo[i];
+            int64_t lo_i = 0, hi_i = ns;  // [lo_i, hi_i)
+            while (lo_i < hi_i) {
+                int64_t mid = (lo_i + hi_i) >> 1;
+                bool le = (shi[mid] < qh)
+                    || (shi[mid] == qh && slo[mid] <= ql);
+                if (le) lo_i = mid + 1; else hi_i = mid;
+            }
+            out[i] = lo_i - 1;
+        }
+    });
+}
+
+// exact-match lookup in a sorted store; -1 when absent
+void ht_exact_search(const uint64_t* shi, const uint64_t* slo, int64_t ns,
+                     const uint64_t* qhi, const uint64_t* qlo, int64_t nq,
+                     int64_t* out) {
+    parallel_for(nq, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++) {
+            uint64_t qh = qhi[i], ql = qlo[i];
+            int64_t lo_i = 0, hi_i = ns;
+            while (lo_i < hi_i) {
+                int64_t mid = (lo_i + hi_i) >> 1;
+                bool lt = (shi[mid] < qh)
+                    || (shi[mid] == qh && slo[mid] < ql);
+                if (lt) lo_i = mid + 1; else hi_i = mid;
+            }
+            out[i] = (lo_i < ns && shi[lo_i] == qh && slo[lo_i] == ql)
+                ? lo_i : -1;
+        }
+    });
+}
+
+}  // extern "C"

@@ -65,6 +65,12 @@ def interleave3(x, y, z):
 
     Returns (hi, lo) uint64 arrays.
     """
+    n = np.size(x)
+    if n >= 1 << 14:
+        from .. import native
+        r = native.interleave3(x, y, z)
+        if r is not None:
+            return r
     x = np.asarray(x, dtype=np.uint64)
     y = np.asarray(y, dtype=np.uint64)
     z = np.asarray(z, dtype=np.uint64)
@@ -88,6 +94,11 @@ def interleave3(x, y, z):
 
 def deinterleave3(hi, lo):
     """Inverse of :func:`interleave3`. Returns (x, y, z) uint32 arrays."""
+    if np.size(hi) >= 1 << 14:
+        from .. import native
+        r = native.deinterleave3(hi, lo)
+        if r is not None:
+            return r
     hi = np.asarray(hi, dtype=np.uint64)
     lo = np.asarray(lo, dtype=np.uint64)
     x = np.zeros(hi.shape, dtype=np.uint64)

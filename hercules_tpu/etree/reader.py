@@ -190,10 +190,15 @@ class EtreeReader:
 
 def floor_indices(store_hi, store_lo, q_hi, q_lo):
     """For each 128-bit query key, index of the last stored key <= it
-    (-1 if none).  Stored keys must be sorted.  Fully vectorized via a
-    merge sort of stored + query keys."""
+    (-1 if none).  Stored keys must be sorted.  Uses the native binary
+    search when available, else a vectorized merge sort."""
     q_hi = np.atleast_1d(q_hi)
     q_lo = np.atleast_1d(q_lo)
+    if len(q_hi) >= 1 << 12:
+        from .. import native
+        r = native.floor_search(store_hi, store_lo, q_hi, q_lo)
+        if r is not None:
+            return r
     ns, nq = len(store_hi), len(q_hi)
     all_hi = np.concatenate([store_hi, q_hi])
     all_lo = np.concatenate([store_lo, q_lo])

@@ -1,0 +1,153 @@
+"""ctypes loader for the native meshing kernels (cpp/meshkernels.cpp).
+
+Compiles on first use into a cached shared library; all callers fall
+back to the NumPy implementations when the toolchain is unavailable,
+so the package works without native support (just slower host
+meshing)."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "cpp", "meshkernels.cpp")
+
+
+def _build():
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("HT_NATIVE_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".cache", "hercules_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"meshkernels_{tag}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-march=native", "-pthread", _SRC, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
+    return so
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("HT_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(_build())
+    except Exception as e:  # toolchain missing etc.
+        print(f"hercules_tpu: native kernels unavailable ({e}); "
+              f"using NumPy fallbacks", file=sys.stderr)
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i64 = ctypes.c_int64
+    lib.ht_interleave3.argtypes = [u32p, u32p, u32p, u64p, u64p, i64]
+    lib.ht_deinterleave3.argtypes = [u64p, u64p, u32p, u32p, u32p, i64]
+    lib.ht_sort_perm_u128.argtypes = [u64p, u64p, i64, i64p]
+    lib.ht_floor_search.argtypes = [u64p, u64p, i64, u64p, u64p, i64,
+                                    i64p]
+    lib.ht_exact_search.argtypes = [u64p, u64p, i64, u64p, u64p, i64,
+                                    i64p]
+    _LIB = lib
+    return _LIB
+
+
+def _p(a, t):
+    return a.ctypes.data_as(t)
+
+
+def interleave3(x, y, z):
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.uint32)
+    y = np.ascontiguousarray(y, np.uint32)
+    z = np.ascontiguousarray(z, np.uint32)
+    n = len(x)
+    hi = np.empty(n, np.uint64)
+    lo = np.empty(n, np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.ht_interleave3(_p(x, u32p), _p(y, u32p), _p(z, u32p),
+                       _p(hi, u64p), _p(lo, u64p), n)
+    return hi, lo
+
+
+def deinterleave3(hi, lo):
+    lib = get_lib()
+    if lib is None:
+        return None
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    n = len(hi)
+    x = np.empty(n, np.uint32)
+    y = np.empty(n, np.uint32)
+    z = np.empty(n, np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.ht_deinterleave3(_p(hi, u64p), _p(lo, u64p), _p(x, u32p),
+                         _p(y, u32p), _p(z, u32p), n)
+    return x, y, z
+
+
+def floor_search(shi, slo, qhi, qlo):
+    lib = get_lib()
+    if lib is None:
+        return None
+    shi = np.ascontiguousarray(shi, np.uint64)
+    slo = np.ascontiguousarray(slo, np.uint64)
+    qhi = np.ascontiguousarray(np.atleast_1d(qhi), np.uint64)
+    qlo = np.ascontiguousarray(np.atleast_1d(qlo), np.uint64)
+    out = np.empty(len(qhi), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_floor_search(_p(shi, u64p), _p(slo, u64p), len(shi),
+                        _p(qhi, u64p), _p(qlo, u64p), len(qhi),
+                        _p(out, i64p))
+    return out
+
+
+def exact_search(shi, slo, qhi, qlo):
+    lib = get_lib()
+    if lib is None:
+        return None
+    shi = np.ascontiguousarray(shi, np.uint64)
+    slo = np.ascontiguousarray(slo, np.uint64)
+    qhi = np.ascontiguousarray(np.atleast_1d(qhi), np.uint64)
+    qlo = np.ascontiguousarray(np.atleast_1d(qlo), np.uint64)
+    out = np.empty(len(qhi), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_exact_search(_p(shi, u64p), _p(slo, u64p), len(shi),
+                        _p(qhi, u64p), _p(qlo, u64p), len(qhi),
+                        _p(out, i64p))
+    return out
+
+
+def sort_perm(hi, lo):
+    lib = get_lib()
+    if lib is None:
+        return None
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    out = np.empty(len(hi), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_sort_perm_u128(_p(hi, u64p), _p(lo, u64p), len(hi),
+                          _p(out, i64p))
+    return out
