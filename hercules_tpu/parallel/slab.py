@@ -1,0 +1,232 @@
+"""Multi-chip brick solver: slab domain decomposition.
+
+For meshes whose brick decomposition is a single uniform brick (the
+production large-mesh case), the device mesh splits the node grid into
+contiguous z-slabs.  Each device runs the dense brick kernel on its
+slab; the only communication is the element-force partial sums on the
+two shared node *planes*, which are contiguous slices — so the halo
+exchange is slice + ppermute + add, with zero gathers.  This is the
+ICI equivalent of the reference's schedule_senddata halo
+(psolve.c:4946-5079) at full hardware efficiency.
+
+Displacements need no share-back: after the force exchange both
+replicas of a shared plane hold identical totals and identical mass
+tables, so their updates agree bitwise (same argument as
+parallel/partition.py).
+
+Graded meshes fall back to the unstructured sharded path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solver.bricks import build_plan
+from ..solver.brickstep import BrickMeta, assemble_brick_tables
+
+
+@dataclass
+class SlabTables:
+    n_dev: int
+    nzp: int            # global node planes
+    nyp: int
+    nxp: int
+    ez_per: int         # element layers per device
+    tot_local: int      # local node count (incl. both shared planes)
+    meta: BrickMeta
+    dt: float
+    damping: str
+    m48: np.ndarray
+    # stacked per-device arrays [n_dev, ...]
+    c: dict = None
+    inv_mass: np.ndarray = None
+    mass_minusaM: np.ndarray = None
+    mass2_minusaM: np.ndarray = None
+    src_lidx: np.ndarray = None     # [n_dev, L]
+    src_mask: np.ndarray = None
+    gnid_local: list = None         # per device: global node ids
+
+
+def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
+    plan = build_plan(mesh)
+    if len(plan.bricks) != 1:
+        raise RuntimeError("slab decomposition requires a single "
+                           "uniform brick")
+    b = plan.bricks[0]
+    nzp, nyp, nxp = b.node_shape
+    nz = nzp - 1
+    if nz % n_dev:
+        raise RuntimeError(f"element layers {nz} not divisible by "
+                           f"{n_dev} devices")
+    ez = nz // n_dev
+    plane = nyp * nxp
+    tot_local = (ez + 1) * plane
+
+    # global brick tables (node-grid order)
+    t_host, metas, TOT = assemble_brick_tables(plan, tables,
+                                               src_ids=src_ids)
+    gm = metas[0]
+    local_meta = BrickMeta(off=0, nb=tot_local,
+                           S=tot_local - gm.offs[7], offs=gm.offs)
+
+    st = SlabTables(
+        n_dev=n_dev, nzp=nzp, nyp=nyp, nxp=nxp, ez_per=ez,
+        tot_local=tot_local, meta=local_meta, dt=tables.dt,
+        damping=tables.damping, m48=tables.m48)
+
+    cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
+    invm, m1, m2 = [], [], []
+    srcl, srcm = [], []
+    gnids = []
+    L = len(src_ids) if src_ids is not None else 0
+    for d in range(n_dev):
+        n0 = d * ez * plane            # first local node (plane z0)
+        n1 = n0 + tot_local
+        for k in cs:
+            v = t_host[k][n0:n1].copy()
+            # elements of the last local plane belong to the next slab
+            v[ez * plane :] = 0.0
+            cs[k].append(v)
+        invm.append(t_host["inv_mass"][n0:n1])
+        m1.append(t_host["mass_minusaM"][:, n0:n1])
+        m2.append(t_host["mass2_minusaM"][:, n0:n1])
+        gnids.append(plan.gnid_cat[n0:n1])
+        if L:
+            pos = t_host["src_pos"].astype(np.int64)
+            mine = (pos >= n0) & (pos < n1)
+            # owner = lowest device: exclude the top shared plane for
+            # devices > 0 (owned by the previous slab)
+            if d > 0:
+                mine &= pos >= n0 + plane
+            sl = np.where(mine, pos - n0, tot_local - 1)
+            srcl.append(sl.astype(np.int32))
+            srcm.append(mine)
+
+    st.c = {k: np.stack(v) for k, v in cs.items()}
+    st.inv_mass = np.stack(invm)
+    st.mass_minusaM = np.stack(m1)
+    st.mass2_minusaM = np.stack(m2)
+    st.gnid_local = gnids
+    if L:
+        st.src_lidx = np.stack(srcl)
+        st.src_mask = np.stack(srcm)
+    if tables.damping == "bkt":
+        raise NotImplementedError("slab BKT lands with the next round")
+    return st
+
+
+def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
+                   dtype=jnp.float32):
+    m = st.meta
+    plane = st.nyp * st.nxp
+    mcat = jnp.asarray(st.m48.T, dtype)
+    f = lambda x: jnp.asarray(x, dtype)
+    tdev = {
+        "c1": f(st.c["c1"]), "c2": f(st.c["c2"]),
+        "c3": f(st.c["c3"]), "c4": f(st.c["c4"]),
+        "inv_mass": f(st.inv_mass),
+        "mass_minusaM": f(st.mass_minusaM),
+        "mass2_minusaM": f(st.mass2_minusaM),
+    }
+    has_src = st.src_lidx is not None
+    if has_src:
+        tdev["src_lidx"] = jnp.asarray(st.src_lidx, jnp.int32)
+        tdev["src_mask"] = jnp.asarray(st.src_mask)
+    n_dev = st.n_dev
+
+    def local_step(t, carry, x):
+        srcf, _step = x
+        u, up = carry
+
+        ue = _field(u, m)
+        upe = _field(up, m)
+        du = ue - upe
+        a = t["c1"][None, : m.S] * ue + t["c3"][None, : m.S] * du
+        b = t["c2"][None, : m.S] * ue + t["c4"][None, : m.S] * du
+        fe = -(mcat @ jnp.concatenate([a, b], axis=0))
+
+        force = jnp.zeros((3, st.tot_local), dtype)
+        force = _scatter(force, fe, m)
+        if has_src:
+            sf = jnp.where(t["src_mask"][:, None], srcf, 0)
+            force = force.at[:, t["src_lidx"]].add(sf.T)
+
+        # halo exchange on the two shared node planes (pure slices)
+        idx = jax.lax.axis_index(axis)
+        down = jax.lax.ppermute(force[:, -plane:], axis,
+                                [(i, (i + 1) % n_dev)
+                                 for i in range(n_dev)])
+        up_ = jax.lax.ppermute(force[:, :plane], axis,
+                               [(i, (i - 1) % n_dev)
+                                for i in range(n_dev)])
+        top = force[:, :plane] + jnp.where(idx > 0, 1.0, 0.0) * down
+        bot = force[:, -plane:] + jnp.where(idx < n_dev - 1, 1.0,
+                                            0.0) * up_
+        force = jnp.concatenate([top, force[:, plane:-plane], bot],
+                                axis=1)
+
+        u_next = (force + t["mass2_minusaM"] * u
+                  - t["mass_minusaM"] * up) * t["inv_mass"][None]
+        return (u_next, u), None
+
+    def scan_all(t, state, xs):
+        t = jax.tree.map(lambda v: v[0], t)
+        state = jax.tree.map(lambda v: v[0], state)
+        state, _ = jax.lax.scan(partial(local_step, t), state, xs)
+        return jax.tree.map(lambda v: v[None], state)
+
+    tspec = jax.tree.map(lambda _: P(axis), tdev)
+    sspec = (P(axis), P(axis))
+    smap = jax.shard_map(scan_all, mesh=mesh_dev,
+                         in_specs=(tspec, sspec, P()), out_specs=sspec)
+    return jax.jit(smap), tdev
+
+
+def _field(u, m: BrickMeta):
+    rows = []
+    for j in range(8):
+        rows.append(jax.lax.dynamic_slice_in_dim(u, m.offs[j], m.S,
+                                                 axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _scatter(force, fe, m: BrickMeta):
+    for j in range(8):
+        o = m.offs[j]
+        seg = jax.lax.dynamic_slice_in_dim(force, o, m.S, axis=1)
+        force = jax.lax.dynamic_update_slice_in_dim(
+            force, seg + fe[3 * j : 3 * j + 3], o, axis=1)
+    return force
+
+
+def run_slab_solver(st: SlabTables, mesh_dev, src_forces, total_steps,
+                    dt, dtype=jnp.float32, chunk=None):
+    scan_fn, tdev = make_slab_step(st, mesh_dev, dtype=dtype)
+    u = jnp.zeros((st.n_dev, 3, st.tot_local), dtype)
+    state = (u, u)
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
+def slab_u_global(st: SlabTables, u_sharded, N):
+    """Global [N, 3] field from the stacked slab states."""
+    arr = np.asarray(u_sharded)          # [n_dev, 3, tot_local]
+    u = np.zeros((N, 3), arr.dtype)
+    for d in range(st.n_dev):
+        u[st.gnid_local[d]] = arr[d].T
+    return u

@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+from hercules_tpu.meshgen import generate_mesh
+from hercules_tpu.parallel.slab import (build_slab_tables,
+                                        run_slab_solver, slab_u_global)
+from hercules_tpu.solver.assemble import assemble
+from hercules_tpu.solver.step import run_solver
+
+SIMPLE = "/root/reference/examples/simple"
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_slab_matches_single(ndev):
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)   # 16x16x8 elements: 8 % ndev needs 8|
+    if 8 % ndev:
+        pytest.skip("layer count not divisible")
+    tables = assemble(mesh, p)
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 100
+    forces = np.zeros((T, 1, 3))
+    forces[:10, 0, :] = 1e8
+
+    state, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                          dtype=jnp.float64)
+    u_ref = np.asarray(state[0])
+
+    st = build_slab_tables(mesh, tables, ndev, src_ids=src_ids)
+    devs = np.array(jax.devices()[:ndev])
+    with Mesh(devs, ("d",)) as m:
+        sh = run_slab_solver(st, m, forces, T, p.delta_t,
+                             dtype=jnp.float64, chunk=50)
+    u = slab_u_global(st, sh[0], mesh.nnum)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
+
+
+def test_slab_rejects_graded_mesh():
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.material import correct_properties, MeshOrigin
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = (x < (1 << 29)) & (y < (1 << 29)) & (z < (1 << 28))
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    with pytest.raises(RuntimeError):
+        build_slab_tables(mesh, tables, 4)
