@@ -92,18 +92,18 @@ class EtreeWriter:
             struct.pack_into("<i", buf, off + 20, -1)
             buf[off + 24] = ord(typ)
 
-        # leaf pages
+        # leaf pages (entries packed vectorized: one [n, ks+vs] table,
+        # then per-page block copies)
+        entries = np.concatenate([keys, payload], axis=1)  # [n, ks+vs]
+        esz = ks + vs
         for i in range(nleaf):
             pnum = pagenums[(0, i)]
             off = pnum * ps
             s, e = i * leafcap, min((i + 1) * leafcap, n)
             rightsib = pagenums[(0, i + 1)] if i + 1 < nleaf else -1
             page_header(off, e - s, rightsib, "l")
-            ent = off + _PAGE_HDR
-            for j in range(s, e):
-                buf[ent : ent + ks] = keys[j].tobytes()
-                buf[ent + ks : ent + ks + vs] = payload[j].tobytes()
-                ent += ks + vs
+            blk = entries[s:e].tobytes()
+            buf[off + _PAGE_HDR : off + _PAGE_HDR + len(blk)] = blk
 
         # index pages
         def first_key_of(li, pos):

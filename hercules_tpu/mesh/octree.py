@@ -31,13 +31,21 @@ PIXELLEVEL = 30
 def domain_ticks(x_m: float, y_m: float, z_m: float):
     """octor_newtree's domain -> tick mapping (octor.c:4122-4146).
 
+    The reference uses floor(log2(max)) (LOG2_32b), which silently
+    leaves part of the domain outside the level-0 root octant whenever
+    the reduced max dimension is not a power of two (farendp > 2^30 and
+    octants never exceed 2^30 ticks).  All shipped configs reduce to a
+    power of two (e.g. terashake 600000:300000:84375 -> 64:32:9); for
+    the rest we use ceil(log2) so the root always covers the domain —
+    identical to the reference on every valid config.
+
     Returns (farendp[3] ticks, ticksize meters/tick).
     """
     u = [int(x_m), int(y_m), int(z_m)]
     gcd = math.gcd(math.gcd(u[0], u[1]), u[2])
     u = [v // gcd for v in u]
     mx = max(u)
-    pw = mx.bit_length() - 1  # LOG2_32b: floor(log2)
+    pw = (mx - 1).bit_length()  # ceil(log2)
     far = [v << (PIXELLEVEL - pw) for v in u]
     ticksize = x_m / far[0]
     return np.array(far, dtype=np.int64), ticksize
@@ -112,7 +120,8 @@ class Octree:
         self.sort()
 
     # ------------------------------------------------------------------
-    def refine(self, setrec, toexpand, max_level=PIXELLEVEL):
+    def refine(self, setrec, toexpand, max_level=PIXELLEVEL,
+               max_leaves=300_000_000):
         """octor_refinetree: recursively split every leaf for which
         ``toexpand`` is true.
 
@@ -123,7 +132,14 @@ class Octree:
         hi, lo, lv = self.hi, self.lo, self.level
         done_h, done_l, done_v = [], [], []
         rec_parts = []
+        total = 0
         while len(lv):
+            total += len(lv)
+            if total > max_leaves:
+                raise RuntimeError(
+                    f"refinement exploded past {max_leaves} leaves — "
+                    f"check that the CVM covers the mesh region (failed "
+                    f"queries force maximal refinement, psolve.c:1386)")
             rec = setrec(self, hi, lo, lv)
             split = toexpand(self, hi, lo, lv, rec) & (lv < max_level)
             keep = ~split

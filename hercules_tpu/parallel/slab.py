@@ -55,9 +55,9 @@ class SlabTables:
 
 def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     plan = build_plan(mesh)
-    if len(plan.bricks) != 1:
+    if len(plan.bricks) != 1 or len(plan.loose_eidx):
         raise RuntimeError("slab decomposition requires a single "
-                           "uniform brick")
+                           "uniform brick covering the whole mesh")
     b = plan.bricks[0]
     nzp, nyp, nxp = b.node_shape
     nz = nzp - 1

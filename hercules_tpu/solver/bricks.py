@@ -117,6 +117,10 @@ class BrickPlan:
     gnid_cat: np.ndarray = None           # [total_nb]
     evalid_cat: np.ndarray = None         # [total_nb] bool (valid element)
     eidx_cat: np.ndarray = None           # [total_nb] global element or 0
+    # "loose" elements: too-small bricks handled by gather/scatter
+    # (the graded-transition slivers of an adaptive octree)
+    loose_eidx: np.ndarray = None         # [El] global element indices
+    loose_rows: np.ndarray = None         # [El, 8] concat positions
     # reconciliation plan (see solver/brickstep.py)
     ex_pos: np.ndarray = None             # [K] concat positions of copies
     ex_seg: np.ndarray = None             # [K] group index (sorted)
@@ -128,8 +132,22 @@ class BrickPlan:
     dn_wgt: np.ndarray = None             # [D, 4]
 
 
-def build_plan(mesh: MeshArrays, max_bricks=512) -> BrickPlan:
-    bricks = decompose(mesh, max_bricks=max_bricks)
+def build_plan(mesh: MeshArrays, max_bricks=512,
+               min_brick_elems=2048) -> BrickPlan:
+    all_bricks = decompose(mesh, max_bricks=1_000_000)
+    bricks = [b for b in all_bricks
+              if int(np.prod(b.shape)) >= min_brick_elems]
+    small = [b for b in all_bricks
+             if int(np.prod(b.shape)) < min_brick_elems]
+    if not bricks:
+        # tiny meshes: keep the largest brick dense so the fast path
+        # still exercises the stencil kernel
+        all_bricks.sort(key=lambda b: -int(np.prod(b.shape)))
+        bricks = all_bricks[:8]
+        small = all_bricks[8:]
+    if len(bricks) > max_bricks:
+        raise RuntimeError(
+            f"{len(bricks)} dense bricks exceed the cap {max_bricks}")
 
     # ---- global node lookup (clamped-coordinate morton keys) --------
     far = mesh.farendp
@@ -208,10 +226,40 @@ def build_plan(mesh: MeshArrays, max_bricks=512) -> BrickPlan:
         evalid_parts.append(valid)
         eidx_parts.append(eid)
 
+    # ---- loose elements (cells of the dropped small bricks) ----------
+    loose_cells = []
+    for b in small:
+        shift = PIXELLEVEL - b.level
+        nx, ny, nz = (int(v) for v in b.shape)
+        ez, ey, ex_ = np.meshgrid(np.arange(nz), np.arange(ny),
+                                  np.arange(nx), indexing="ij")
+        loose_cells.append(np.stack([
+            (b.origin[0] + ex_.ravel()) << shift,
+            (b.origin[1] + ey.ravel()) << shift,
+            (b.origin[2] + ez.ravel()) << shift], axis=1))
+    if loose_cells:
+        lc = np.concatenate(loose_cells)
+        le = elem_lookup(lc[:, 0], lc[:, 1], lc[:, 2])
+        if (le < 0).any():
+            raise RuntimeError("loose cell missing from element table")
+        loose_eidx = le
+        lnids = mesh.elem_lnid[le]                   # [El, 8] global
+        uniq, inv = np.unique(lnids, return_inverse=True)
+        loose_rows = (off + inv.reshape(len(le), 8)).astype(np.int32)
+        gnid_parts.append(uniq.astype(np.int64))
+        evalid_parts.append(np.zeros(len(uniq), dtype=bool))
+        eidx_parts.append(np.zeros(len(uniq), np.int64))
+        off += len(uniq)
+    else:
+        loose_eidx = np.zeros(0, np.int64)
+        loose_rows = np.zeros((0, 8), np.int32)
+
     plan = BrickPlan(bricks=bricks, total_nb=off, mesh=mesh)
     plan.gnid_cat = np.concatenate(gnid_parts)
     plan.evalid_cat = np.concatenate(evalid_parts)
     plan.eidx_cat = np.concatenate(eidx_parts)
+    plan.loose_eidx = loose_eidx
+    plan.loose_rows = loose_rows
 
     _build_reconciliation(plan, mesh)
     return plan

@@ -98,6 +98,18 @@ def assemble_brick_tables(plan: BrickPlan, tables, src_ids=None,
         t["st_pos"] = pos.reshape(st_nodes.shape).astype(np.int32)
         t["st_phi"] = st_phi
 
+    # loose elements (graded-shell slivers): gather/scatter tables
+    le = plan.loose_eidx
+    t["l_rows"] = plan.loose_rows                    # [El, 8]
+    for k in ("c1", "c2", "c3", "c4"):
+        t[f"l_{k}"] = getattr(tables, k)[le]
+    lseg = plan.loose_rows.ravel()
+    lperm = np.argsort(lseg, kind="stable").astype(np.int32)
+    t["l_perm"] = lperm
+    t["l_seg"] = lseg[lperm].astype(np.int32)
+    if tables.damping == "bkt":
+        t["l_bkt"] = {k: v[le] for k, v in tables.bkt.items()}
+
     meta = []
     for b in plan.bricks:
         offs = tuple(b.corner_offsets())
@@ -113,10 +125,11 @@ def _to_device(t, dtype):
     for k, v in t.items():
         if k in ("n_groups",):
             d[k] = v
-        elif k == "bkt":
+        elif k in ("bkt", "l_bkt"):
             d[k] = {kk: f(vv) for kk, vv in v.items()}
         elif k in ("ex_pos", "ex_seg", "grp_rep", "dn_grp", "dn_anc_grp",
-                   "dnc_pos", "dnc_src", "src_pos", "st_pos"):
+                   "dnc_pos", "dnc_src", "src_pos", "st_pos", "l_rows",
+                   "l_perm", "l_seg"):
             d[k] = i(v)
         elif k == "dn_wgt" or not isinstance(v, np.ndarray):
             d[k] = f(v) if isinstance(v, np.ndarray) else v
@@ -226,6 +239,52 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
             force = jax.lax.dynamic_update_slice_in_dim(
                 force, seg + fb, m.off, axis=1)
 
+        # ---- loose elements: gather/scatter path --------------------
+        El = d["l_rows"].shape[0]
+        if El:
+            uT = u.T                                   # [TOT, 3]
+            upT = up.T
+            ue = uT[d["l_rows"]].reshape(El, 24)
+            upe = upT[d["l_rows"]].reshape(El, 24)
+            if damping != "bkt":
+                du = ue - upe
+                a = d["l_c1"][:, None] * ue + d["l_c3"][:, None] * du
+                b = d["l_c2"][:, None] * ue + d["l_c4"][:, None] * du
+                lf = -(jnp.concatenate([a, b], 1) @ mcat.T)
+            else:
+                lbk = d["l_bkt"]
+                ue3 = ue.reshape(El, 8, 3)
+                upe3 = upe.reshape(El, 8, 3)
+                ls0, ls1, lk0, lk1 = conv[-1]
+
+                def lupd(f0, f1, p):
+                    f0n = (lbk[f"{p}_c2"][:, None, None] * ue3
+                           + lbk[f"{p}_c1"][:, None, None] * upe3
+                           + lbk[f"{p}_e0"][:, None, None] * f0)
+                    f1n = (lbk[f"{p}_c4"][:, None, None] * ue3
+                           + lbk[f"{p}_c3"][:, None, None] * upe3
+                           + lbk[f"{p}_e1"][:, None, None] * f1)
+                    return f0n, f1n
+
+                ls0, ls1 = lupd(ls0, ls1, "shear")
+                lk0, lk1 = lupd(lk0, lk1, "kappa")
+                new_conv.append((ls0, ls1, lk0, lk1))
+                du3 = ue3 - upe3
+                dvs = (lbk["shear_coef"][:, None, None] * du3
+                       - (lbk["a0_shear"][:, None, None] * ls0
+                          + lbk["a1_shear"][:, None, None] * ls1) + ue3)
+                dvk = (lbk["kappa_coef"][:, None, None] * du3
+                       - (lbk["a0_kappa"][:, None, None] * lk0
+                          + lbk["a1_kappa"][:, None, None] * lk1) + ue3)
+                lf = (lbk["mu_f"][:, None]
+                      * (dvs.reshape(El, 24) @ d["kmu_cat"].T)
+                      + lbk["kappa_f"][:, None]
+                      * (dvk.reshape(El, 24) @ d["kkappa_cat"].T))
+            flat = lf.reshape(-1, 3)[d["l_perm"]]
+            add = jax.ops.segment_sum(flat, d["l_seg"], num_segments=TOT,
+                                      indices_are_sorted=True)
+            force = force + add.T
+
         # ---- irregular reconciliation over shared/hanging nodes ----
         if G:
             vals = force[:, d["ex_pos"]].T                 # [K, 3]
@@ -253,13 +312,18 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
     return step, d
 
 
-def init_brick_state(meta, TOT, damping, dtype=jnp.float32):
+def init_brick_state(meta, TOT, damping, dtype=jnp.float32,
+                     n_loose=0):
     u = jnp.zeros((3, TOT), dtype)
     conv = ()
     if damping == "bkt":
         conv = tuple(
             tuple(jnp.zeros((24, m.S), dtype) for _ in range(4))
             for m in meta)
+        if n_loose:
+            conv = conv + (
+                tuple(jnp.zeros((n_loose, 8, 3), dtype)
+                      for _ in range(4)),)
     return (u, u, conv)
 
 
@@ -272,7 +336,8 @@ def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     step, d = make_brick_step(t_host, meta, TOT, tables.damping, dtype)
     scan = jax.jit(partial(jax.lax.scan, step))
     if state is None:
-        state = init_brick_state(meta, TOT, tables.damping, dtype)
+        state = init_brick_state(meta, TOT, tables.damping, dtype,
+                                 n_loose=len(plan.loose_eidx))
     if chunk is None:
         chunk = min(total_steps, 1000)
     outs = []
