@@ -76,19 +76,23 @@ def main():
     step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
                               jnp.float32)
     scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
-    state = init_brick_state(meta, TOT, tables.damping, jnp.float32)
-    xs = jnp.ones((steps, 1, 3), jnp.float32)
+    state = init_brick_state(meta, TOT, tables.damping, jnp.float32,
+                             n_loose=len(plan.loose_eidx))
+
+    def xs_for(k):
+        return (jnp.ones((k, 1, 3), jnp.float32),
+                jnp.arange(k, dtype=jnp.int32))
 
     # compile + device warmup
     t0 = time.time()
-    state = scan(state, xs[:1])
+    state = scan(state, xs_for(1))
     jax.block_until_ready(state[0])
     print(f"# compile {time.time()-t0:.1f}s", file=sys.stderr)
-    state = scan(state, xs)
+    state = scan(state, xs_for(steps))
     jax.block_until_ready(state[0])
 
     t0 = time.time()
-    state = scan(state, xs)
+    state = scan(state, xs_for(steps))
     jax.block_until_ready(state[0])
     dt = time.time() - t0
 

@@ -83,7 +83,10 @@ def main(argv=None):
         if not os.path.isabs(outdir):
             outdir = os.path.join(rundir, outdir)
         write_station_files(outdir, sim.stations, samples, p.delta_t,
-                            print_rate=p.stations_print_rate)
+                            print_rate=p.stations_print_rate,
+                            velocities=bool(p.print_station_velocities),
+                            accelerations=bool(
+                                p.print_station_accelerations))
         mon.print(f"station files written: {outdir}\n")
     return 0
 

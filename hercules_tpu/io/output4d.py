@@ -77,6 +77,9 @@ class Output4D:
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
         self.written = 0
+        self.io_seconds = 0.0
+        self.io_bytes = 0
+        self.max_latency = 0.0
 
     def _writer(self):
         while True:
@@ -84,8 +87,13 @@ class Output4D:
             if item is None:
                 break
             step_idx, data = item
+            t0 = time.perf_counter()
             self.fp.seek(136 + step_idx * self.stride)
             data.astype("<f8").tofile(self.fp)
+            dt = time.perf_counter() - t0
+            self.io_seconds += dt
+            self.io_bytes += self.stride
+            self.max_latency = max(self.max_latency, dt)
 
     def maybe_write(self, step, u_global):
         """Write if step is an output step (step % rate == 0 and within
@@ -100,6 +108,22 @@ class Output4D:
         self._q.put(None)
         self._thread.join()
         self.fp.close()
+
+    def write_stats(self, path):
+        """4-D output I/O statistics (output_collect_stats /
+        print report, output.c:279-404, 1107-1175)."""
+        with open(path, "w") as f:
+            f.write("# 4D output I/O statistics\n")
+            f.write(f"file                 = {self.path}\n")
+            f.write(f"output steps written = {self.written}\n")
+            f.write(f"bytes written        = {self.io_bytes}\n")
+            f.write(f"io wall seconds      = {self.io_seconds:.3f}\n")
+            f.write(f"max write latency s  = {self.max_latency:.4f}\n")
+            if self.io_seconds > 0:
+                f.write(f"throughput MB/s      = "
+                        f"{self.io_bytes / self.io_seconds / 1e6:.1f}\n")
+            exp = 136 + self.out_steps * self.stride
+            f.write(f"expected file size   = {exp}\n")
 
 
 def read_4d(path):

@@ -65,20 +65,41 @@ def setup_stations(mesh, params: Params) -> Optional[StationSet]:
 
 
 def write_station_files(outdir, stations: StationSet, samples, dt,
-                        print_rate=1, velocities=False):
-    """Reference station text format (psolve.c:6636-6744): header line
-    then time + displacement per step."""
+                        print_rate=1, velocities=False,
+                        accelerations=False):
+    """Reference station text format (psolve.c:6636-6795): header line
+    then time + displacement per step, with optional velocity and
+    acceleration columns.
+
+    The reference computes v = (tm1 - tm2)/dt and a = (tm1 - 2 tm2 +
+    tm3)/dt^2 in-loop; since row s holds u(s), the same finite
+    differences apply to the recorded series."""
     os.makedirs(outdir, exist_ok=True)
     T = samples.shape[0]
+    if accelerations:
+        velocities = True
     for k, sid in enumerate(stations.ids):
         path = os.path.join(outdir, f"station.{int(sid)}")
         with open(path, "w") as f:
             f.write("#  Time(s)         X|(m)         Y-(m)         Z.(m)")
+            if velocities:
+                f.write("       X|(m/s)       Y-(m/s)       Z.(m/s)")
+            if accelerations:
+                f.write("      X|(m/s2)      Y-(m/s2)      Z.(m/s2)")
+            u = samples[:, k, :]
             for s in range(0, T, print_rate):
                 t = dt * s
                 f.write("\n%10.6f % 8e % 8e % 8e"
-                        % (t, samples[s, k, 0], samples[s, k, 1],
-                           samples[s, k, 2]))
+                        % (t, u[s, 0], u[s, 1], u[s, 2]))
+                if velocities:
+                    up = u[s - 1] if s else np.zeros(3)
+                    v = (u[s] - up) / dt
+                    f.write(" % 8e % 8e % 8e" % (v[0], v[1], v[2]))
+                if accelerations:
+                    up = u[s - 1] if s else np.zeros(3)
+                    upp = u[s - 2] if s > 1 else np.zeros(3)
+                    a = (u[s] - 2 * up + upp) / (dt * dt)
+                    f.write(" % 8e % 8e % 8e" % (a[0], a[1], a[2]))
             f.write("\n")
 
 
@@ -94,6 +115,7 @@ class SimOutputs:
         import math
         self.mesh = mesh
         self.params = params
+        self._rundir = rundir
         self.out4d = []
         self.planes = None
         self.ckpt_dir = None
@@ -195,6 +217,11 @@ class SimOutputs:
     def close(self):
         for _, w in self.out4d:
             w.close()
+        if self.out4d and self.params.output_stats_file:
+            path = self.params.output_stats_file
+            if not os.path.isabs(path):
+                path = os.path.join(self._rundir, path)
+            self.out4d[0][1].write_stats(path)
         if self.planes is not None:
             self.planes.close()
 
