@@ -61,6 +61,7 @@ def main():
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 200))
     damping = os.environ.get("BENCH_DAMPING", "rayleigh")
+    path = os.environ.get("BENCH_PATH", "auto")
 
     p, mesh, tables, t_mesh, t_asm = build(target, damping)
     E = mesh.lenum
@@ -71,25 +72,38 @@ def main():
     plan = build_plan(mesh)
     nid = int(mesh.elem_lnid[E // 2, 0])
     src_ids = np.array([nid], np.int32)
-    t_host, meta, TOT = assemble_brick_tables(plan, tables,
-                                              src_ids=src_ids)
-    step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
-                              jnp.float32)
+
+    from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
+                                                  init_pallas_state,
+                                                  make_pallas_step,
+                                                  plan_applies)
+    if path == "auto":
+        path = "pallas" if plan_applies(plan, tables.damping) else "brick"
+    print(f"# solver path: {path}", file=sys.stderr)
+
+    if path == "pallas":
+        pt = PallasBrickTables(plan, tables, src_ids=src_ids)
+        step = make_pallas_step(pt)
+        state = init_pallas_state(pt)
+    else:
+        t_host, meta, TOT = assemble_brick_tables(plan, tables,
+                                                  src_ids=src_ids)
+        step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
+                                  jnp.float32)
+        state = init_brick_state(meta, TOT, tables.damping, jnp.float32,
+                                 n_loose=len(plan.loose_eidx))
     scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
-    state = init_brick_state(meta, TOT, tables.damping, jnp.float32,
-                             n_loose=len(plan.loose_eidx))
 
     def xs_for(k):
         return (jnp.ones((k, 1, 3), jnp.float32),
                 jnp.arange(k, dtype=jnp.int32))
 
-    # compile + device warmup
+    # compile + device warmup (same scan length as the timed run so
+    # there is exactly one compilation)
     t0 = time.time()
-    state = scan(state, xs_for(1))
-    jax.block_until_ready(state[0])
-    print(f"# compile {time.time()-t0:.1f}s", file=sys.stderr)
     state = scan(state, xs_for(steps))
     jax.block_until_ready(state[0])
+    print(f"# compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     state = scan(state, xs_for(steps))

@@ -86,7 +86,10 @@ def main(argv=None):
                             print_rate=p.stations_print_rate,
                             velocities=bool(p.print_station_velocities),
                             accelerations=bool(
-                                p.print_station_accelerations))
+                                p.print_station_accelerations),
+                            start_step=getattr(sim, "start_step", 0),
+                            nl_extras=getattr(sim, "nl_station_extras",
+                                              None) or None)
         mon.print(f"station files written: {outdir}\n")
     return 0
 

@@ -347,3 +347,99 @@ def smooth_rise_factor(steps, total_geostatic_steps):
                             np.where(s <= n2, C1 * (n22 - s * n1 + B1),
                                      C2 * (n22 - s * n3 + B2))))
     return out
+
+
+# ---------------------------------------------------------------------------
+# nonlinear station extras (nonlinear.c:1947-2228)
+
+NL_STATION_HEADER = (
+    "       e-xx(-)      s-xx(Pa)        e-yy(-)      s-yy(Pa)"
+    "        e-zz(-)      s-zz(Pa)         e-kk(-)      s-kk(Pa)"
+    "        e-xy(-)      s-xy(Pa)        e-yz(-)      s-yz(Pa)"
+    "        e-xz(-)      s-xz(Pa)      dLambda     Fs(Pa)     kh(Pa)")
+
+
+def nonlinear_station_series(u8_series, h, con, dt, model, rate_dep):
+    """Per-step nonlinear station columns (print_nonlinear_stations,
+    nonlinear.c:2078-2228): strain/stress tensors at the first Gauss
+    point (the reference hardcodes lx=ly=lz=-1/sqrt(3), :2147-2149),
+    bulk strain/stress, plastic multiplier, yield-surface value, and
+    the hardened strength k + hard*ep.
+
+    u8_series: [T, 8, 3] corner displacements of the station's element;
+    con: dict with mu, lam, alpha, k, hard, strainrate, sensitivity.
+    Returns [T, 17] float64."""
+    T = u8_series.shape[0]
+    S0 = strain_operator()[0]                    # [6, 24] Gauss point 0
+    eps = u8_series.reshape(T, 24) @ S0.T / h    # [T, 6] Voigt
+
+    mu, lam = con["mu"], con["lam"]
+    alpha, k = con["alpha"], con["k"]
+    hard = con["hard"]
+
+    def stress(e6):
+        skk = e6[0] + e6[1] + e6[2]
+        s = 2.0 * mu * e6
+        s[:3] += lam * skk
+        return s
+
+    def invariants(s6):
+        I1 = s6[0] + s6[1] + s6[2]
+        dev = s6.copy()
+        dev[:3] -= I1 / 3.0
+        J2 = 0.5 * (dev[0] ** 2 + dev[1] ** 2 + dev[2] ** 2) \
+            + dev[3] ** 2 + dev[4] ** 2 + dev[5] ** 2
+        return I1, dev, J2
+
+    out = np.zeros((T, 17))
+    pstr = np.zeros(6)
+    ep = 0.0
+    phi_pt = np.sqrt(0.5 + 3.0 * alpha * alpha)
+    kap = lam + 2.0 * mu / 3.0
+    for s in range(T):
+        e = eps[s]
+        dlam = 0.0
+        if model == "linear":
+            sig = stress(e)
+            I1, dev, J2 = invariants(sig)
+            fs = alpha * I1 + np.sqrt(J2)
+        else:
+            sig = stress(e - pstr)
+            I1, dev, J2 = invariants(sig)
+            sqJ2 = np.sqrt(J2)
+            fs = alpha * I1 + sqJ2
+            if rate_dep:
+                factor = fs / k
+                dlam = (con["strainrate"]
+                        * max(factor, 0.0) ** (1.0 / con["sensitivity"]))
+            else:
+                FsT = fs - k - hard * ep
+                denom = mu + 9.0 * kap * alpha * alpha + hard * phi_pt
+                dlam = FsT / denom if FsT > 0 else 0.0
+            dfds = dev / (2.0 * sqJ2 if sqJ2 > 0 else 1.0)
+            dfds[:3] += alpha
+            pstr = pstr + (dt * dlam if rate_dep else dlam) * dfds
+            ep = ep + dlam * phi_pt
+            if not rate_dep and dlam > 0:
+                sig = stress(e - pstr)
+                I1, dev, J2 = invariants(sig)
+                fs = alpha * I1 + np.sqrt(J2)
+        bE = e[0] + e[1] + e[2]
+        bS = sig[0] + sig[1] + sig[2]
+        out[s] = [e[0], sig[0], e[1], sig[1], e[2], sig[2], bE, bS,
+                  e[3], sig[3], e[4], sig[4], e[5], sig[5],
+                  dlam, fs, k + hard * ep]
+    return out
+
+
+def station_constants(t: NLTables, eidx):
+    """Constants dict for a station's element (global index eidx), or
+    None if the element is linear."""
+    w = np.flatnonzero(t.eidx == eidx)
+    if not len(w):
+        return None
+    i = int(w[0])
+    return {"mu": t.mu[i], "lam": t.lam[i], "alpha": t.alpha[i],
+            "k": t.k[i], "hard": t.hard[i],
+            "strainrate": t.strainrate[i],
+            "sensitivity": t.sensitivity[i], "h": t.h[i]}

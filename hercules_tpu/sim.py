@@ -32,6 +32,26 @@ class StationSet:
     nodes: np.ndarray        # [S, 8] node ids to interpolate
     phi: np.ndarray          # [S, 8] trilinear weights
     coords: np.ndarray       # [S, 3] domain coords
+    eidx: np.ndarray = None  # [S] containing element indices
+
+
+def _rebuild_brick_conv(plan, flat, dtype):
+    """Re-nest flattened BKT convolution arrays from a checkpoint into
+    the brick-step carry structure (4 per brick, then 4 for the loose
+    elements when present)."""
+    import jax.numpy as jnp
+    out = []
+    i = 0
+    for _ in plan.bricks:
+        out.append(tuple(jnp.asarray(flat[i + k], dtype)
+                         for k in range(4)))
+        i += 4
+    if len(plan.loose_eidx):
+        out.append(tuple(jnp.asarray(flat[i + k], dtype)
+                         for k in range(4)))
+        i += 4
+    assert i == len(flat), "checkpoint BKT state does not match plan"
+    return tuple(out)
 
 
 def setup_stations(mesh, params: Params) -> Optional[StationSet]:
@@ -61,45 +81,65 @@ def setup_stations(mesh, params: Params) -> Optional[StationSet]:
     return StationSet(ids=keep.astype(np.int32),
                       nodes=mesh.elem_lnid[eidx],
                       phi=phi,
-                      coords=np.stack([x[keep], y[keep], depth[keep]], 1))
+                      coords=np.stack([x[keep], y[keep], depth[keep]], 1),
+                      eidx=eidx)
 
 
 def write_station_files(outdir, stations: StationSet, samples, dt,
                         print_rate=1, velocities=False,
-                        accelerations=False):
+                        accelerations=False, start_step=0,
+                        nl_extras=None):
     """Reference station text format (psolve.c:6636-6795): header line
     then time + displacement per step, with optional velocity and
     acceleration columns.
 
     The reference computes v = (tm1 - tm2)/dt and a = (tm1 - 2 tm2 +
     tm3)/dt^2 in-loop; since row s holds u(s), the same finite
-    differences apply to the recorded series."""
+    differences apply to the recorded series.
+
+    start_step > 0 (checkpoint restart): samples[0] is the field at
+    `start_step`; rows are appended to the existing files on the
+    absolute print_rate grid.
+
+    nl_extras: {station id: [T, 17]} nonlinear strain/stress columns
+    (print_nonlinear_stations, nonlinear.c:2078-2228)."""
     os.makedirs(outdir, exist_ok=True)
     T = samples.shape[0]
     if accelerations:
         velocities = True
+    a0 = ((start_step + print_rate - 1) // print_rate) * print_rate
     for k, sid in enumerate(stations.ids):
         path = os.path.join(outdir, f"station.{int(sid)}")
-        with open(path, "w") as f:
-            f.write("#  Time(s)         X|(m)         Y-(m)         Z.(m)")
-            if velocities:
-                f.write("       X|(m/s)       Y-(m/s)       Z.(m/s)")
-            if accelerations:
-                f.write("      X|(m/s2)      Y-(m/s2)      Z.(m/s2)")
+        extra = None if nl_extras is None else nl_extras.get(int(sid))
+        with open(path, "a" if start_step else "w") as f:
+            if not start_step:
+                f.write("#  Time(s)         X|(m)         Y-(m)"
+                        "         Z.(m)")
+                if velocities:
+                    f.write("       X|(m/s)       Y-(m/s)       Z.(m/s)")
+                if accelerations:
+                    f.write("      X|(m/s2)      Y-(m/s2)      Z.(m/s2)")
+                if extra is not None:
+                    from .nonlinear import NL_STATION_HEADER
+                    f.write(NL_STATION_HEADER)
             u = samples[:, k, :]
-            for s in range(0, T, print_rate):
-                t = dt * s
+
+            def at(s):
+                return u[s] if s >= 0 else np.zeros(3)
+
+            for ab in range(a0, start_step + T, print_rate):
+                s = ab - start_step
+                t = dt * ab
                 f.write("\n%10.6f % 8e % 8e % 8e"
                         % (t, u[s, 0], u[s, 1], u[s, 2]))
                 if velocities:
-                    up = u[s - 1] if s else np.zeros(3)
-                    v = (u[s] - up) / dt
+                    v = (u[s] - at(s - 1)) / dt
                     f.write(" % 8e % 8e % 8e" % (v[0], v[1], v[2]))
                 if accelerations:
-                    up = u[s - 1] if s else np.zeros(3)
-                    upp = u[s - 2] if s > 1 else np.zeros(3)
-                    a = (u[s] - 2 * up + upp) / (dt * dt)
+                    a = (u[s] - 2 * at(s - 1) + at(s - 2)) / (dt * dt)
                     f.write(" % 8e % 8e % 8e" % (a[0], a[1], a[2]))
+                if extra is not None:
+                    f.write("".join(" % 8e" % v for v in extra[s]))
             f.write("\n")
 
 
@@ -157,14 +197,14 @@ class SimOutputs:
         g = self._gcd
         return desired if g <= 0 else g
 
-    def make_hook(self, mesh, plan, inner=None):
+    def make_hook(self, mesh, plan, inner=None, start_step=0):
         gnid_cat = plan.gnid_cat if plan is not None else None
 
         def u_global(state):
             u = np.asarray(state[0])
             if gnid_cat is not None:          # brick layout [3, TOT]
                 out = np.zeros((mesh.nnum, 3), u.dtype)
-                out[gnid_cat] = u.T
+                out[gnid_cat] = u[:, :len(gnid_cat)].T
                 return out
             return u                          # unstructured [N, 3]
 
@@ -172,20 +212,21 @@ class SimOutputs:
             u = np.asarray(state[1])
             if gnid_cat is not None:
                 out = np.zeros((mesh.nnum, 3), u.dtype)
-                out[gnid_cat] = u.T
+                out[gnid_cat] = u[:, :len(gnid_cat)].T
                 return out
             return u
 
         p = self.params
 
         # step-0 records (the reference's loop-top output of the zero
-        # initial field)
-        zero = np.zeros((mesh.nnum, 3))
-        for kind, w in self.out4d:
-            w.maybe_write(0, zero)
-        if self.planes is not None:
-            self.planes.maybe_write(
-                0, lambda nodes, phi: np.zeros((len(nodes), 3)))
+        # initial field); skipped on checkpoint restart
+        if start_step == 0:
+            zero = np.zeros((mesh.nnum, 3))
+            for kind, w in self.out4d:
+                w.maybe_write(0, zero)
+            if self.planes is not None:
+                self.planes.maybe_write(
+                    0, lambda nodes, phi: np.zeros((len(nodes), 3)))
 
         def hook(done, state):
             ug = None
@@ -295,9 +336,11 @@ class Simulation:
 
     def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
             solver="auto", outputs=None, rundir="."):
-        """solver: 'bricks' (block-structured TPU fast path),
-        'unstructured' (reference-layout oracle), or 'auto' (bricks when
-        the mesh decomposes cleanly, else unstructured).
+        """solver: 'pallas' (fused single-brick TPU kernel), 'bricks'
+        (block-structured XLA path), 'unstructured' (reference-layout
+        oracle), or 'auto' (pallas on TPU for uniform rayleigh/none
+        meshes, else bricks when the mesh decomposes cleanly, else
+        unstructured).
 
         outputs: optional SimOutputs handling 4-D volume / plane /
         checkpoint taps (solver_output_wavefield / solver_output_planes /
@@ -323,6 +366,22 @@ class Simulation:
             from .solver.step import attach_nonlinear
             nl = attach_nonlinear(self.mesh, p, self.tables,
                                   self.nl_tables, dtype=dtype)
+
+        # stations inside nonlinear elements get extra one-hot corner
+        # sampling rows so the plastic state can be replayed on the
+        # host after the run (nonlinear_stations_init,
+        # nonlinear.c:1947-2045)
+        n_st = 0 if st is None else len(st.ids)
+        nl_st_rows = []
+        if nl is not None and st is not None:
+            nlset = set(self.nl_tables.eidx.tolist())
+            nl_st_rows = [j for j in range(n_st)
+                          if int(st.eidx[j]) in nlset]
+            if nl_st_rows:
+                extra_nodes = np.repeat(st.nodes[nl_st_rows], 8, axis=0)
+                extra_phi = np.tile(np.eye(8), (len(nl_st_rows), 1))
+                st_nodes = np.concatenate([st.nodes, extra_nodes])
+                st_phi = np.concatenate([st.phi, extra_phi])
 
         drm = None
         drm_rec = None
@@ -351,8 +410,8 @@ class Simulation:
                     chunk, dcfg.print_rate)
 
         plan = None
-        if (solver in ("auto", "bricks") and nl is None and drm is None
-                and drm_rec is None):
+        if (solver in ("auto", "bricks", "pallas") and nl is None
+                and drm is None and drm_rec is None):
             # the brick path does not carry nonlinear state yet;
             # nonlinear runs use the unstructured solver
             try:
@@ -362,26 +421,112 @@ class Simulation:
                 if solver == "bricks":
                     raise
 
+        # ---- checkpoint restart (use_checkpoint = 1, psolve.c:4248) --
+        start_step = 0
+        init_state = None
+        ck_conv = None
+        if p.use_checkpoint == 1:
+            ckdir = p.checkpoint_path or "checkpoints"
+            if not os.path.isabs(ckdir):
+                ckdir = os.path.join(rundir, ckdir)
+            ckin = os.path.join(ckdir, "checkpoint.in")
+            if os.path.exists(ckin):
+                if nl is not None:
+                    raise NotImplementedError(
+                        "checkpoint restart with nonlinear state")
+                from .io.checkpoint import checkpoint_read
+                start_step, u_now, u_prev, ck_conv, _ = \
+                    checkpoint_read(ckin)
+                init_state = (u_now, u_prev)
+        self.start_step = start_step
+
         hook = None
         if outputs is not None and outputs.active:
-            hook = outputs.make_hook(self.mesh, plan, on_chunk)
+            hook = outputs.make_hook(self.mesh, plan, on_chunk,
+                                     start_step=start_step)
         else:
             hook = on_chunk
 
+        def fit_cm(x, tot):
+            """Fit a restored component-major field [3, X] to width
+            tot (brick vs pallas paths pad differently)."""
+            x = np.asarray(x)
+            assert x.ndim == 2 and x.shape[0] == 3, \
+                "checkpoint layout does not match the brick solver"
+            if x.shape[1] < tot:
+                x = np.pad(x, ((0, 0), (0, tot - x.shape[1])))
+            return jnp.asarray(x[:, :tot], dtype)
+
         if plan is not None:
-            from .solver.brickstep import run_brick_solver
-            state, samples = run_brick_solver(
-                plan, self.tables, self.src_ids, self.src_forces,
-                steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
-                dtype=dtype, chunk=chunk, on_chunk=hook)
+            from .solver.pallas_brick import plan_applies, run_pallas_solver
+            use_pallas = (solver == "pallas"
+                          or (solver == "auto"
+                              and jax.default_backend() == "tpu"
+                              and dtype == jnp.float32
+                              and plan_applies(plan, self.tables.damping)))
+            if use_pallas:
+                state = None
+                if init_state is not None:
+                    state = tuple(jnp.asarray(np.asarray(x), dtype)
+                                  for x in init_state)
+                state, samples = run_pallas_solver(
+                    plan, self.tables, self.src_ids, self.src_forces,
+                    steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
+                    dtype=dtype, chunk=chunk, on_chunk=hook,
+                    interpret=jax.default_backend() != "tpu",
+                    state=state, start_step=start_step)
+            else:
+                from .solver.brickstep import run_brick_solver
+                state = None
+                if init_state is not None:
+                    TOT = plan.total_nb
+                    conv = ()
+                    if self.tables.damping == "bkt":
+                        conv = _rebuild_brick_conv(plan, ck_conv, dtype)
+                    state = (fit_cm(init_state[0], TOT),
+                             fit_cm(init_state[1], TOT), conv)
+                state, samples = run_brick_solver(
+                    plan, self.tables, self.src_ids, self.src_forces,
+                    steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
+                    dtype=dtype, chunk=chunk, on_chunk=hook,
+                    state=state, start_step=start_step)
         else:
+            state = None
+            if init_state is not None:
+                u_now = np.asarray(init_state[0])
+                assert u_now.ndim == 2 and u_now.shape[1] == 3, \
+                    "checkpoint layout does not match the unstructured " \
+                    "solver"
+                conv = tuple(jnp.asarray(c, dtype) for c in ck_conv)
+                state = (jnp.asarray(u_now, dtype),
+                         jnp.asarray(np.asarray(init_state[1]), dtype),
+                         conv)
             state, samples = run_solver(
                 self.tables, self.src_ids, self.src_forces, steps,
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
                 dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl,
-                drm=drm)
+                drm=drm, state=state, start_step=start_step)
         if drm_rec is not None:
             drm_rec.close()
         if outputs is not None:
             outputs.close()
+
+        # replay the per-station plastic recursion from the sampled
+        # corner displacements (print_nonlinear_stations)
+        self.nl_station_extras = {}
+        if nl_st_rows:
+            from .nonlinear import (nonlinear_station_series,
+                                    station_constants)
+            for i, j in enumerate(nl_st_rows):
+                u8 = np.asarray(
+                    samples[:, n_st + 8 * i:n_st + 8 * (i + 1), :])
+                con = station_constants(self.nl_tables,
+                                        int(st.eidx[j]))
+                self.nl_station_extras[int(st.ids[j])] = \
+                    nonlinear_station_series(
+                        u8, con["h"], con, p.delta_t,
+                        self.nl_tables.cfg.material_model,
+                        self.nl_tables.cfg.plasticity_type.startswith(
+                            "rate_dep"))
+            samples = samples[:, :n_st]
         return state, samples

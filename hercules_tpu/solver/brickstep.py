@@ -329,7 +329,8 @@ def init_brick_state(meta, TOT, damping, dtype=jnp.float32,
 
 def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                      st_nodes=None, st_phi=None, dtype=jnp.float32,
-                     chunk=None, state=None, on_chunk=None):
+                     chunk=None, state=None, on_chunk=None,
+                     start_step=0):
     """Chunked brick time loop; same contract as solver.step.run_solver."""
     t_host, meta, TOT = assemble_brick_tables(
         plan, tables, src_ids=src_ids, st_nodes=st_nodes, st_phi=st_phi)
@@ -342,7 +343,7 @@ def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
         chunk = min(total_steps, 1000)
     outs = []
     dt2 = dt * dt
-    s = 0
+    s = start_step
     while s < total_steps:
         k = min(chunk, total_steps - s)
         xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),

@@ -1,0 +1,268 @@
+"""Fused Pallas TPU kernel for the single-brick (uniform mesh) solver
+step: one pass over HBM per step instead of the XLA brick path's many
+materialized [24, S] intermediates.
+
+The whole central-difference update
+
+  ue[24]   8 shifted reads of the node field
+  f[24]    spectral stencil: 8-point Hadamard butterflies + ~60 sparse
+           multiply-adds (physics/kmats.py:spectral_factors) -- the
+           same Walsh factorization the reference's "effective"
+           stiffness method exploits (stiffness.c:245-424), here used
+           to keep the element kernel on the VPU instead of a
+           lane-padded [24,48] MXU matmul
+  force    24 shifted adds onto the node grid
+  u_next   (force + mass2_minusaM*u - mass_minusaM*up) * inv_mass
+
+runs per 1-D tile of B elements in VMEM.  Element tile t produces the
+complete forces for nodes [tB, tB+B): contributions from elements of
+earlier tiles arrive through an O(plane) "tail" scratch carried across
+the (sequential) TPU grid.  Per step the kernel streams u, up (twice,
+for the one-tile halo), c1..c4, the mass arrays and writes u_next --
+~100 MB at 1M elements, vs the several-hundred-MB XLA dataflow.
+
+Source injection and station sampling stay in XLA outside the kernel
+(the update is linear in the force, so adding srcf * inv_mass at the
+few source nodes after the kernel is exact).
+
+Scope: a single uniform brick (no hanging nodes, no reconciliation
+groups), rayleigh/none damping.  Graded meshes use the XLA brick or
+unstructured paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.kmats import hadamard8_stages, spectral_factors
+
+
+def _butterfly(slabs):
+    """In-kernel unnormalized 8-point Hadamard over the corner index of
+    8 [3, B] slabs (matches kmats.hadamard8_matrix)."""
+    for stage in hadamard8_stages():
+        new = [None] * 8
+        for j, pj in stage:
+            new[j] = slabs[j] + slabs[pj] if j < pj else slabs[pj] - slabs[j]
+        slabs = new
+    return slabs
+
+
+def plan_applies(plan, damping) -> bool:
+    """True if the fused kernel covers this brick plan."""
+    return (len(plan.bricks) == 1
+            and len(plan.loose_eidx) == 0
+            and len(plan.grp_node) == 0
+            and damping in ("rayleigh", "none"))
+
+
+def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=2048):
+    C = min(chunk, B)
+    assert B % C == 0
+
+    def kernel(ua, ub, upa, upb, cm, mm, invm, out, tail, nf):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            tail[...] = jnp.zeros_like(tail)
+
+        nf[...] = jnp.zeros_like(nf)
+        ue = jnp.concatenate([ua[...], ub[...]], axis=1)    # [3, 2B]
+        upe = jnp.concatenate([upa[...], upb[...]], axis=1)
+        cmv = cm[...]
+
+        # compute in C-wide sub-chunks to bound live VMEM (the full-B
+        # dataflow holds ~50 [3, B] slabs and blows the 16 MB budget)
+        for c0 in range(0, B, C):
+            uj = [ue[:, c0 + o:c0 + o + C] for o in offs]
+            dj = [upe[:, c0 + o:c0 + o + C] for o in offs]
+            su = _butterfly(uj)
+            sd = _butterfly([a - b for a, b in zip(uj, dj)])
+
+            c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
+            p = [su[m] * c1 + sd[m] * c3 for m in range(8)]
+            q = [su[m] * c2 + sd[m] * c4 for m in range(8)]
+
+            # sparse spectral operator: y = -(F1 p + F2 q) (minus
+            # folded into the coefficients at trace time)
+            rows = {}
+            for ent, x in ((f1e, p), (f2e, q)):
+                for mo, co, mi, ci, k in ent:
+                    r = x[mi][ci] * (-k)
+                    rows[mo, co] = rows.get((mo, co), 0.0) + r
+            z = jnp.zeros((C,), dtype)
+            y = [jnp.stack([rows.get((m, cc), z) for cc in range(3)])
+                 for m in range(8)]
+            f = _butterfly(y)   # H symmetric -> inverse = forward
+            # (the 1/8 Hadamard normalization is in the coefficients)
+
+            # overlap-add of the 8 corner contributions (in-place
+            # static-slice stores: Mosaic has no scatter lowering)
+            for j in range(8):
+                a = c0 + offs[j]
+                nf[:, a:a + C] = nf[:, a:a + C] + f[j]
+
+        force = jnp.concatenate(
+            [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
+        tail[...] = nf[:, B:]
+
+        mmv = mm[...]
+        out[...] = ((force + mmv[:3] * ue[:, :B] - mmv[3:] * upe[:, :B])
+                    * invm[...])
+
+    return kernel
+
+
+class PallasBrickTables:
+    """Padded device tables + geometry for the fused kernel."""
+
+    def __init__(self, plan, tables, src_ids=None, st_nodes=None,
+                 st_phi=None, dtype=jnp.float32, tile=16384):
+        assert plan_applies(plan, tables.damping)
+        b = plan.bricks[0]
+        offs = tuple(b.corner_offsets())
+        o7 = offs[7]
+        nb, S = b.nb, b.nb - o7
+        B = tile
+        while B < o7 + 1:
+            B *= 2
+        T = int(np.ceil(nb / B)) + 1
+        LEN = T * B
+        self.B, self.o7, self.T, self.LEN = B, o7, T, LEN
+        self.offs = offs
+        self.nb, self.S = nb, S
+        self.dtype = dtype
+
+        g = plan.gnid_cat
+        f = lambda x: jnp.asarray(x, dtype)
+
+        def pad1(x, fill=0.0):
+            out = np.full(LEN, fill, np.float64)
+            out[:len(x)] = x
+            return out
+
+        cm = np.stack([pad1(np.where(plan.evalid_cat,
+                                     getattr(tables, k)[plan.eidx_cat],
+                                     0.0))
+                       for k in ("c1", "c2", "c3", "c4")])
+        mm = np.concatenate([
+            np.stack([pad1(tables.mass2_minusaM[g][:, c])
+                      for c in range(3)]),
+            np.stack([pad1(tables.mass_minusaM[g][:, c])
+                      for c in range(3)])])
+        self.cm = f(cm)
+        self.mm = f(mm)
+        self.invm = f(pad1(tables.inv_mass[g]))[None, :]
+
+        self.f1e, self.f2e = spectral_factors()
+
+        self.src_pos = None
+        if src_ids is not None and len(src_ids):
+            uniq, first = np.unique(g, return_index=True)
+            pos = first[np.searchsorted(uniq, src_ids)]
+            assert (g[pos] == src_ids).all()
+            self.src_pos = jnp.asarray(pos, jnp.int32)
+        self.st_pos = self.st_phi = None
+        if st_nodes is not None:
+            uniq, first = np.unique(g, return_index=True)
+            pos = first[np.searchsorted(uniq, np.asarray(st_nodes).ravel())]
+            self.st_pos = jnp.asarray(
+                pos.reshape(np.shape(st_nodes)), jnp.int32)
+            self.st_phi = f(st_phi)
+
+
+def make_pallas_step(pt: PallasBrickTables, interpret=False):
+    """scan-able step with the same carry/x contract as the XLA brick
+    step (minus the BKT conv slot): carry = (u, up), x = (srcf [L,3]
+    dt^2-scaled, step_idx)."""
+    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
+    dtype = pt.dtype
+    kernel = _make_kernel(pt.offs, B, o7, T, pt.f1e, pt.f2e, dtype)
+
+    blk = lambda t: (0, t)
+    blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
+    call = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((4, B), blk),
+            pl.BlockSpec((6, B), blk),
+            pl.BlockSpec((1, B), blk),
+        ],
+        out_specs=pl.BlockSpec((3, B), blk),
+        out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7), dtype)],
+        interpret=interpret,
+    )
+
+    def step(carry, x):
+        srcf, step_idx = x
+        u, up = carry
+        if pt.st_pos is not None:
+            sample = jnp.einsum("sn,csn->sc", pt.st_phi, u[:, pt.st_pos])
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+        un = call(u, u, up, up, pt.cm, pt.mm, pt.invm)
+        if pt.src_pos is not None:
+            un = un.at[:, pt.src_pos].add(
+                srcf.T * pt.invm[0][pt.src_pos][None, :])
+        return (un, u), sample
+
+    return step
+
+
+def init_pallas_state(pt: PallasBrickTables):
+    u = jnp.zeros((3, pt.LEN), pt.dtype)
+    return (u, u)
+
+
+def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
+                      dt, st_nodes=None, st_phi=None,
+                      dtype=jnp.float32, chunk=None, state=None,
+                      on_chunk=None, interpret=False, start_step=0):
+    """Chunked time loop; same contract as run_brick_solver."""
+    pt = PallasBrickTables(plan, tables, src_ids=src_ids,
+                           st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
+    step = make_pallas_step(pt, interpret=interpret)
+    scan = jax.jit(partial(jax.lax.scan, step))
+    if state is None:
+        state = init_pallas_state(pt)
+    elif state[0].shape[1] != pt.LEN:   # resume from an unpadded field
+        pad = pt.LEN - state[0].shape[1]
+        state = tuple(jnp.pad(jnp.asarray(x, dtype), ((0, 0), (0, pad)))
+                      for x in state[:2])
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    outs = []
+    dt2 = dt * dt
+    s = start_step
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
+        state, samples = scan(state, xs)
+        outs.append(np.asarray(samples))
+        if on_chunk is not None:
+            on_chunk(s + k, state)
+        s += k
+    samples = np.concatenate(outs) if outs else np.zeros((0, 0, 3))
+    return state, samples
+
+
+def pallas_u_global(plan, u_pad, N):
+    """Global [N, 3] displacement from the padded kernel field."""
+    b = plan.bricks[0]
+    arr = np.asarray(u_pad)[:, :b.nb].T
+    u = np.zeros((N, 3), arr.dtype)
+    u[plan.gnid_cat] = arr
+    return u

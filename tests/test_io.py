@@ -124,3 +124,55 @@ def test_checkpoint_restart_bitexact(tmp_path, small_sim):
                             start_step=120)
     np.testing.assert_array_equal(np.asarray(state_b[0]),
                                   np.asarray(state_full[0]))
+
+
+def test_sim_run_checkpoint_restart(tmp_path, small_sim):
+    """use_checkpoint = 1 end-to-end: run A writes checkpoints; run B
+    finds checkpoint.in, resumes mid-run, and lands on the identical
+    final state (psolve.c:4248-4258)."""
+    p, cvm, mesh = small_sim
+    rundir = str(tmp_path)
+    p.output_displacement = 0
+    p.output_velocity = 0
+    p.number_output_planes = 0
+    p.planes = None
+    p.use_checkpoint = 1
+    p.checkpointing_rate = 100
+    p.checkpoint_path = os.path.join(rundir, "ckpt")
+
+    from hercules_tpu.source.model import SourceModel
+    from hercules_tpu.sim import setup_stations
+    tables = assemble(mesh, p)
+    src = SourceModel.parse(p)
+    src_ids, src_forces = src.compute_forces(mesh, p)
+
+    def make():
+        return Simulation(params=p, cvm=cvm, mesh=mesh, tables=tables,
+                          source=src, src_ids=src_ids,
+                          src_forces=src_forces,
+                          stations=setup_stations(mesh, p))
+
+    outputs = SimOutputs(mesh, p, rundir=rundir)
+    state_a, samples_a = make().run(dtype=jnp.float64, outputs=outputs,
+                                    rundir=rundir)
+
+    # pick the step-100 checkpoint as checkpoint.in
+    ck = p.checkpoint_path
+    chosen = None
+    for w in (0, 1):
+        path = os.path.join(ck, f"checkpoint.out{w}")
+        with np.load(path) as z:
+            if int(z["step"]) == 100:
+                chosen = path
+    assert chosen is not None
+    os.replace(chosen, os.path.join(ck, "checkpoint.in"))
+
+    sim_b = make()
+    outputs_b = SimOutputs(mesh, p, rundir=rundir)
+    state_b, samples_b = sim_b.run(dtype=jnp.float64, outputs=outputs_b,
+                                   rundir=rundir)
+    assert sim_b.start_step == 100
+    assert samples_b.shape[0] == p.total_steps - 100
+    np.testing.assert_array_equal(np.asarray(state_b[0]),
+                                  np.asarray(state_a[0]))
+    np.testing.assert_array_equal(samples_b, samples_a[100:])

@@ -150,3 +150,56 @@ def test_geostatic_loading(setup):
     # final) they are free, but displacement magnitude stays small
     bot = np.asarray(nl["bot_nodes"])
     assert np.abs(u[bot, 2]).max() < np.abs(u[:, 2]).max() + 1e-30
+
+
+def test_nonlinear_station_extras(setup, tmp_path):
+    """Stations inside nonlinear elements get the 17 extra columns
+    (print_nonlinear_stations, nonlinear.c:2078-2228): strain/stress
+    tensors, plastic multiplier, yield value, hardened strength."""
+    import os
+    from hercules_tpu.sim import (Simulation, setup_stations,
+                                  write_station_files)
+
+    p, mesh, tables, src_ids, forces, T = setup
+    cfg = _nl_config("vonmises", "rate_independant", k=50.0)
+    nlt = build_nonlinear_tables(mesh, p, cfg)
+    st = setup_stations(mesh, p)
+    assert st is not None and st.eidx is not None
+
+    sim = Simulation(params=p, cvm=None, mesh=mesh, tables=tables,
+                     source=None, src_ids=src_ids,
+                     src_forces=forces * 50.0, stations=st,
+                     nl_tables=nlt)
+    state, samples = sim.run(dtype=jnp.float64, total_steps=T)
+
+    # every station is in a nonlinear element (vs_cut = 1e9)
+    assert set(sim.nl_station_extras) == set(int(i) for i in st.ids)
+    assert samples.shape == (T, len(st.ids), 3)
+
+    mu, lam = nlt.mu[0], nlt.lam[0]
+    yielded = False
+    for sid, ex in sim.nl_station_extras.items():
+        assert ex.shape == (T, 17)
+        bE, bS = ex[:, 6], ex[:, 7]
+        dlam, fs, kh = ex[:, 14], ex[:, 15], ex[:, 16]
+        # bulk: s_kk = (3 lam + 2 mu) e_kk regardless of plasticity
+        # direction (vonMises flow is deviatoric)
+        np.testing.assert_allclose(bS, (3 * lam + 2 * mu) * bE,
+                                   rtol=1e-8, atol=1e-3)
+        assert (dlam >= 0).all()
+        # after return mapping Fs never exceeds the hardened strength
+        # by more than numerical noise
+        assert (fs <= kh + 1e-6 * kh.max()).all()
+        yielded = yielded or (dlam > 0).any()
+    assert yielded
+
+    # station files grow the extra columns + header
+    outdir = str(tmp_path / "st")
+    write_station_files(outdir, st, samples, p.delta_t,
+                        nl_extras=sim.nl_station_extras)
+    sid = int(st.ids[0])
+    with open(os.path.join(outdir, f"station.{sid}")) as f:
+        hdr = f.readline()
+        assert "dLambda" in hdr and "s-xx(Pa)" in hdr
+        row = f.readline().split()
+    assert len(row) == 4 + 17

@@ -1,0 +1,61 @@
+"""Fused Pallas brick kernel vs the XLA brick solver: identical
+trajectories on a uniform single-brick mesh (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+from hercules_tpu.meshgen import generate_mesh
+from hercules_tpu.solver.assemble import assemble
+from hercules_tpu.solver.bricks import build_plan
+from hercules_tpu.solver.brickstep import (brick_u_global,
+                                           run_brick_solver)
+from hercules_tpu.solver.pallas_brick import (pallas_u_global,
+                                              plan_applies,
+                                              run_pallas_solver)
+
+S = "/root/reference/examples/simple"
+
+
+@pytest.fixture(scope="module")
+def problem():
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.finalize()
+    mesh = generate_mesh(p, CVM(f"{S}/simple_case.e"))
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    return p, mesh, tables, plan
+
+
+def test_pallas_matches_brick_solver(problem):
+    p, mesh, tables, plan = problem
+    assert plan_applies(plan, tables.damping)
+
+    T = 40
+    rng = np.random.default_rng(3)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3))
+    st_nodes = mesh.elem_lnid[[5, 900]]
+    st_phi = np.full((2, 8), 0.125)
+
+    state_b, samp_b = run_brick_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64)
+    state_p, samp_p = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
+        interpret=True)
+
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_p = pallas_u_global(plan, state_p[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_p, u_b, rtol=0, atol=2e-13 * scale)
+    np.testing.assert_allclose(samp_p, samp_b, rtol=0,
+                               atol=2e-13 * max(np.abs(samp_b).max(), 1))
+    # padding region stays exactly zero
+    nb = plan.bricks[0].nb
+    assert not np.asarray(state_p[0])[:, nb:].any()
