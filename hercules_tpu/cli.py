@@ -46,7 +46,12 @@ def main(argv=None):
     sim = Simulation.setup(physics_in, numerical_in, cvmdb=cvmdb,
                            verbose=True)
     p = sim.params
-    mon = Monitor(p.monitor_file)
+    mpath = p.monitor_file
+    rundir0 = os.path.dirname(os.path.dirname(
+        os.path.abspath(physics_in))) or "."
+    if mpath and not os.path.isabs(mpath):
+        mpath = os.path.join(rundir0, mpath)
+    mon = Monitor(mpath)
     mon.print(f"mesh_generate + solver_init: {time.time()-t0:.1f} s\n")
     mon.print(f"Total elements: {sim.mesh.lenum}\n"
               f"Total nodes: {sim.mesh.nnum}\n"
@@ -55,6 +60,8 @@ def main(argv=None):
     if p.output_mesh and (mesh_out or p.mesh_etree_output_file):
         from .io.meshout import write_mesh_etree
         path = mesh_out or p.mesh_etree_output_file
+        if not os.path.isabs(path):
+            path = os.path.join(rundir0, path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         write_mesh_etree(path, sim.mesh)
         mon.print(f"mesh database written: {path}\n")
@@ -69,8 +76,7 @@ def main(argv=None):
                   f"wall {el:8.1f}s  ETA {eta:8.1f}s\n")
 
     from .sim import SimOutputs
-    rundir = os.path.dirname(os.path.dirname(
-        os.path.abspath(physics_in))) or "."
+    rundir = rundir0
     outputs = SimOutputs(sim.mesh, p, rundir=rundir)
     state, samples = sim.run(on_chunk=on_chunk, outputs=outputs,
                              rundir=rundir)
@@ -78,8 +84,6 @@ def main(argv=None):
 
     if sim.stations is not None:
         outdir = p.stations_dir or "stations"
-        rundir = os.path.dirname(os.path.dirname(
-            os.path.abspath(physics_in))) or "."
         if not os.path.isabs(outdir):
             outdir = os.path.join(rundir, outdir)
         write_station_files(outdir, sim.stations, samples, p.delta_t,

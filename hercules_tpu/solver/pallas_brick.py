@@ -62,7 +62,10 @@ def plan_applies(plan, damping) -> bool:
             and damping in ("rayleigh", "none"))
 
 
-def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=2048):
+def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
+    import os
+    if chunk is None:
+        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
     C = min(chunk, B)
     assert B % C == 0
 
@@ -124,7 +127,10 @@ class PallasBrickTables:
     """Padded device tables + geometry for the fused kernel."""
 
     def __init__(self, plan, tables, src_ids=None, st_nodes=None,
-                 st_phi=None, dtype=jnp.float32, tile=16384):
+                 st_phi=None, dtype=jnp.float32, tile=None):
+        import os
+        if tile is None:
+            tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
         assert plan_applies(plan, tables.damping)
         b = plan.bricks[0]
         offs = tuple(b.corner_offsets())
