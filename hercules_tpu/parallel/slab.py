@@ -51,6 +51,9 @@ class SlabTables:
     src_lidx: np.ndarray = None     # [n_dev, L]
     src_mask: np.ndarray = None
     gnid_local: list = None         # per device: global node ids
+    bkt: dict = None                # [n_dev, tot_local] BKT coefficients
+    kmu: np.ndarray = None          # [24, 24] BKT operators
+    kkappa: np.ndarray = None
 
 
 def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
@@ -81,6 +84,8 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
         damping=tables.damping, m48=tables.m48)
 
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
+    bks = ({k: [] for k in t_host["bkt"]}
+           if tables.damping == "bkt" else None)
     invm, m1, m2 = [], [], []
     srcl, srcm = [], []
     gnids = []
@@ -93,6 +98,11 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
             # elements of the last local plane belong to the next slab
             v[ez * plane :] = 0.0
             cs[k].append(v)
+        if bks is not None:
+            for k in bks:
+                v = t_host["bkt"][k][n0:n1].copy()
+                v[ez * plane :] = 0.0
+                bks[k].append(v)
         invm.append(t_host["inv_mass"][n0:n1])
         m1.append(t_host["mass_minusaM"][:, n0:n1])
         m2.append(t_host["mass2_minusaM"][:, n0:n1])
@@ -116,8 +126,10 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     if L:
         st.src_lidx = np.stack(srcl)
         st.src_mask = np.stack(srcm)
-    if tables.damping == "bkt":
-        raise NotImplementedError("slab BKT lands with the next round")
+    if bks is not None:
+        st.bkt = {k: np.stack(v) for k, v in bks.items()}
+        st.kmu = t_host["kmu_cat"]
+        st.kkappa = t_host["kkappa_cat"]
     return st
 
 
@@ -138,18 +150,56 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
     if has_src:
         tdev["src_lidx"] = jnp.asarray(st.src_lidx, jnp.int32)
         tdev["src_mask"] = jnp.asarray(st.src_mask)
+    bkt = st.damping == "bkt"
+    if bkt:
+        tdev["bkt"] = {k: f(v) for k, v in st.bkt.items()}
+        kmu = jnp.asarray(st.kmu, dtype)
+        kkappa = jnp.asarray(st.kkappa, dtype)
     n_dev = st.n_dev
 
     def local_step(t, carry, x):
         srcf, _step = x
-        u, up = carry
+        if bkt:
+            u, up, conv = carry
+        else:
+            u, up = carry
+            conv = None
 
         ue = _field(u, m)
         upe = _field(up, m)
         du = ue - upe
-        a = t["c1"][None, : m.S] * ue + t["c3"][None, : m.S] * du
-        b = t["c2"][None, : m.S] * ue + t["c4"][None, : m.S] * du
-        fe = -(mcat @ jnp.concatenate([a, b], axis=0))
+        if not bkt:
+            a = t["c1"][None, : m.S] * ue + t["c3"][None, : m.S] * du
+            b = t["c2"][None, : m.S] * ue + t["c4"][None, : m.S] * du
+            fe = -(mcat @ jnp.concatenate([a, b], axis=0))
+        else:
+            # BKT convolutional viscoelasticity (damping.c:110-416):
+            # local memory-variable recursion + matrix-free operators;
+            # ghost-plane elements have zeroed coefficients so only
+            # the owning slab contributes their force
+            bk = t["bkt"]
+
+            def bsl(name):
+                return bk[name][None, : m.S]
+
+            s0, s1, k0, k1 = conv
+
+            def upd(f0, f1, p):
+                f0n = (bsl(f"{p}_c2") * ue + bsl(f"{p}_c1") * upe
+                       + bsl(f"{p}_e0") * f0)
+                f1n = (bsl(f"{p}_c4") * ue + bsl(f"{p}_c3") * upe
+                       + bsl(f"{p}_e1") * f1)
+                return f0n, f1n
+
+            s0, s1 = upd(s0, s1, "shear")
+            k0, k1 = upd(k0, k1, "kappa")
+            conv = (s0, s1, k0, k1)
+            dvs = (bsl("shear_coef") * du
+                   - (bsl("a0_shear") * s0 + bsl("a1_shear") * s1) + ue)
+            dvk = (bsl("kappa_coef") * du
+                   - (bsl("a0_kappa") * k0 + bsl("a1_kappa") * k1) + ue)
+            fe = (bsl("mu_f") * (kmu @ dvs)
+                  + bsl("kappa_f") * (kkappa @ dvk))
 
         force = jnp.zeros((3, st.tot_local), dtype)
         force = _scatter(force, fe, m)
@@ -173,6 +223,8 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
 
         u_next = (force + t["mass2_minusaM"] * u
                   - t["mass_minusaM"] * up) * t["inv_mass"][None]
+        if bkt:
+            return (u_next, u, conv), None
         return (u_next, u), None
 
     def scan_all(t, state, xs):
@@ -182,7 +234,8 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return jax.tree.map(lambda v: v[None], state)
 
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    sspec = (P(axis), P(axis))
+    sspec = ((P(axis), P(axis), (P(axis),) * 4) if bkt
+             else (P(axis), P(axis)))
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()), out_specs=sspec)
     return jax.jit(smap), tdev
@@ -209,7 +262,12 @@ def run_slab_solver(st: SlabTables, mesh_dev, src_forces, total_steps,
                     dt, dtype=jnp.float32, chunk=None):
     scan_fn, tdev = make_slab_step(st, mesh_dev, dtype=dtype)
     u = jnp.zeros((st.n_dev, 3, st.tot_local), dtype)
-    state = (u, u)
+    if st.damping == "bkt":
+        conv = tuple(jnp.zeros((st.n_dev, 24, st.meta.S), dtype)
+                     for _ in range(4))
+        state = (u, u, conv)
+    else:
+        state = (u, u)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

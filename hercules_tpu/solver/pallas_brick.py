@@ -59,7 +59,7 @@ def plan_applies(plan, damping) -> bool:
     return (len(plan.bricks) == 1
             and len(plan.loose_eidx) == 0
             and len(plan.grp_node) == 0
-            and damping in ("rayleigh", "none"))
+            and damping in ("rayleigh", "mass", "none"))
 
 
 def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
