@@ -41,8 +41,10 @@ def main(argv=None):
 
     from .sim import Simulation, write_station_files
     from .io.monitor import Monitor
+    from .utils.timers import GLOBAL_TIMERS, print_timing_stat
 
     t0 = time.time()
+    GLOBAL_TIMERS.start("Total Wall Clock")
     sim = Simulation.setup(physics_in, numerical_in, cvmdb=cvmdb,
                            verbose=True)
     p = sim.params
@@ -56,6 +58,14 @@ def main(argv=None):
     mon.print(f"Total elements: {sim.mesh.lenum}\n"
               f"Total nodes: {sim.mesh.nnum}\n"
               f"Total dangling nodes: {len(sim.mesh.dn_ids)}\n")
+
+    if p.damping_statistics:
+        from .utils.stats import critical_t_stats, damping_histograms
+        import io as _io
+        buf = _io.StringIO()
+        critical_t_stats(sim.mesh, p, out=buf)
+        damping_histograms(sim.mesh, p, out=buf)
+        mon.print(buf.getvalue())
 
     if p.output_mesh and (mesh_out or p.mesh_etree_output_file):
         from .io.meshout import write_mesh_etree
@@ -78,8 +88,10 @@ def main(argv=None):
     from .sim import SimOutputs
     rundir = rundir0
     outputs = SimOutputs(sim.mesh, p, rundir=rundir)
+    GLOBAL_TIMERS.start("Solver")
     state, samples = sim.run(on_chunk=on_chunk, outputs=outputs,
                              rundir=rundir)
+    GLOBAL_TIMERS.stop("Solver")
     mon.print(f"solver_run done: {time.time()-t1:.1f} s\n")
 
     if sim.stations is not None:
@@ -95,6 +107,15 @@ def main(argv=None):
                             nl_extras=getattr(sim, "nl_station_extras",
                                               None) or None)
         mon.print(f"station files written: {outdir}\n")
+
+    GLOBAL_TIMERS.stop("Total Wall Clock")
+    from .physics.consts import critical_dt
+    import io as _io
+    buf = _io.StringIO()
+    print_timing_stat(p, sim.mesh, out=buf,
+                      critical_t=critical_dt(sim.mesh.props,
+                                             sim.mesh.edge_m))
+    mon.print(buf.getvalue())
     return 0
 
 

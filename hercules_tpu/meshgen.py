@@ -19,10 +19,12 @@ from .mesh.extract import MeshArrays
 
 def generate_mesh(params: Params, cvm: CVM,
                   buildings=None, verbose=False) -> MeshArrays:
+    from .utils.timers import GLOBAL_TIMERS as TM
     origin = MeshOrigin.from_params(params, cvm.ctl)
-    tree = Octree.newtree(params.region_length_north_m,
-                          params.region_length_east_m,
-                          params.region_depth_deep_m)
+    with TM.measure("Octor Newtree"):
+        tree = Octree.newtree(params.region_length_north_m,
+                              params.region_length_east_m,
+                              params.region_depth_deep_m)
 
     setrec = make_setrec(cvm, params, origin, buildings=buildings)
     toexpand = make_toexpand(params, buildings=buildings)
@@ -41,21 +43,26 @@ def generate_mesh(params: Params, cvm: CVM,
             def te(tree_, hi, lo, lv, rec_, _s=scale):
                 return rec_["edgesize"] > rec_["Vs"] / (params.factor * _s)
 
-        rec = tree.refine(setrec, te)
-        tree.balance()
+        with TM.measure("Octor Refinetree"):
+            rec = tree.refine(setrec, te)
+        with TM.measure("Octor Balancetree"):
+            tree.balance()
         if verbose:
             print(f"  meshing step x{mstep}: {tree.n} leaves")
 
     if buildings is not None:
         # octor_carvebuildings (octor.c:4817-4897): drop "air" leaves
         # (negative Vp) above the pushed-down surface
-        rec = setrec(tree, tree.hi, tree.lo, tree.level)
-        tree.carve(buildings.carve_mask(rec))
+        with TM.measure("Carve Buildings"):
+            rec = setrec(tree, tree.hi, tree.lo, tree.level)
+            tree.carve(buildings.carve_mask(rec))
         if verbose:
             print(f"  carved to {tree.n} leaves")
 
-    mesh = extract_mesh(tree)
-    correct_properties(mesh, cvm, params, origin, buildings=buildings)
+    with TM.measure("Octor Extractmesh"):
+        mesh = extract_mesh(tree)
+    with TM.measure("Mesh correct properties"):
+        correct_properties(mesh, cvm, params, origin, buildings=buildings)
     mesh.origin = origin
     mesh.buildings = buildings
     return mesh

@@ -57,3 +57,60 @@ class Timers:
 
 
 GLOBAL_TIMERS = Timers()
+
+
+MESHING_TIMERS = ("Octor Newtree", "Octor Refinetree",
+                  "Octor Balancetree", "Carve Buildings",
+                  "Octor Partitiontree", "Octor Extractmesh",
+                  "Mesh correct properties", "Mesh Stats Print")
+
+
+def print_timing_stat(params, mesh, timers=None, out=None,
+                      critical_t=None):
+    """Hierarchical end-of-run timing report (print_timing_stat,
+    psolve.c:6041-6274): raw timers, summary block, meshing/solver
+    breakdown."""
+    import sys
+    out = out or sys.stdout
+    t = timers or GLOBAL_TIMERS
+
+    out.write("\n________________________Raw Timers____________________\n")
+    t.report(out=out)
+
+    E = mesh.lenum
+    steps = params.total_steps
+    solver = t.value("Solver")
+    out.write("\n_____________Summary_____________\n")
+    out.write("Max Frequency             : %.2f\n" % params.freq)
+    out.write("Vs                        : %.2f\n" % params.vscut)
+    out.write("Total elements            : %d\n" % E)
+    out.write("Simulation duration       : %.2f seconds\n"
+              % (params.end_time - params.start_time))
+    out.write("Total steps               : %d\n" % steps)
+    out.write("DeltaT used               : %.6f seconds\n"
+              % params.delta_t)
+    if critical_t is not None:
+        out.write("Critical deltaT           : %.6f seconds\n"
+                  % critical_t)
+    out.write("\n")
+    out.write("Total Wall Clock          : %.2f seconds\n"
+              % t.value("Total Wall Clock"))
+    if steps:
+        out.write("Time/step                 : %.6f seconds\n"
+                  % (solver / steps))
+        if E:
+            out.write("Time/step/elem            : %.6f millisec\n"
+                      % (solver * 1000.0 / steps / E))
+
+    out.write("\n____________Breakdown____________\n")
+    mesh_tot = sum(t.value(k) for k in MESHING_TIMERS)
+    out.write("TOTAL MESHING                       : %.2f seconds\n"
+              % mesh_tot)
+    for k in MESHING_TIMERS:
+        if t.value(k):
+            out.write("    %-32s: %.2f seconds\n" % (k, t.value(k)))
+    out.write("TOTAL SOLVER                        : %.2f seconds\n"
+              % solver)
+    for k in sorted(t.acc):
+        if k.startswith("Solver "):
+            out.write("    %-32s: %.2f seconds\n" % (k[7:], t.value(k)))
