@@ -299,10 +299,17 @@ class Simulation:
             buildings = Buildings.parse(ConfigFile(params.numerical_path))
         mesh = generate_mesh(params, cvm, buildings=buildings,
                              verbose=verbose)
+        tcrit = critical_dt(mesh.props, mesh.edge_m)
         if verbose:
             print(f"mesh: {mesh.lenum} elements, {mesh.nnum} nodes, "
                   f"{len(mesh.dn_ids)} dangling; "
-                  f"critical dt {critical_dt(mesh.props, mesh.edge_m):.6f}")
+                  f"critical dt {tcrit:.6f}")
+        if params.delta_t > tcrit:
+            # solver_set_critical_T stability check (psolve.c:3023-3030)
+            import sys
+            print(f"WARNING: delta_t {params.delta_t:g} exceeds the "
+                  f"critical time step {tcrit:g}; the explicit "
+                  f"integration will be unstable", file=sys.stderr)
         tables = assemble(mesh, params)
         shift = buildings.surface_shift if buildings is not None else 0.0
         source = SourceModel.parse(params, surface_shift=shift)
