@@ -59,6 +59,13 @@ def main(argv=None):
               f"Total nodes: {sim.mesh.nnum}\n"
               f"Total dangling nodes: {len(sim.mesh.dn_ids)}\n")
 
+    import io as _io
+    with GLOBAL_TIMERS.measure("Mesh Stats Print"):
+        from .utils.stats import mesh_stats
+        buf = _io.StringIO()
+        mesh_stats(sim.mesh, out=buf)
+        mon.print(buf.getvalue())
+
     if p.damping_statistics:
         from .utils.stats import critical_t_stats, damping_histograms
         import io as _io

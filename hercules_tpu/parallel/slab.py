@@ -288,3 +288,131 @@ def slab_u_global(st: SlabTables, u_sharded, N):
     for d in range(st.n_dev):
         u[st.gnid_local[d]] = arr[d].T
     return u
+
+
+# ---------------------------------------------------------------------------
+# slab decomposition x fused Pallas kernel: the production multi-chip
+# configuration.  Each shard runs the single-brick fused kernel
+# (solver/pallas_brick.py) on its z-slab; the shared-plane force halo
+# is recovered algebraically from the shard's own fused update
+# (F = u_next / inv_mass - mass2_minusaM*u + mass_minusaM*up at the
+# plane nodes, exact because the update is linear), exchanged with one
+# ppermute per direction, and applied as u_next += F_neighbor *
+# inv_mass -- so the kernel needs no changes and no force output.
+
+def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
+                          dtype=jnp.float32, interpret=False):
+    from ..physics.kmats import spectral_factors
+    from ..solver.pallas_brick import build_call, pallas_geometry
+
+    if st.damping == "bkt":
+        raise NotImplementedError("fused-kernel slab path covers "
+                                  "rayleigh/mass/none damping")
+    offs = st.meta.offs
+    o7 = offs[7]
+    nb = st.tot_local
+    B, T, LEN = pallas_geometry(offs, nb)
+    plane = st.nyp * st.nxp
+    f1e, f2e = spectral_factors()
+    call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                      interpret=interpret)
+
+    def pad_nodes(x):
+        """[n_dev, ..., nb] -> [n_dev, ..., LEN]"""
+        w = [(0, 0)] * (x.ndim - 1) + [(0, LEN - x.shape[-1])]
+        return np.pad(x, w)
+
+    f = lambda x: jnp.asarray(x, dtype)
+    cm = np.stack([st.c[k] for k in ("c1", "c2", "c3", "c4")], axis=1)
+    mm = np.concatenate([st.mass2_minusaM, st.mass_minusaM], axis=1)
+    tdev = {
+        "cm": f(pad_nodes(cm)),                  # [n_dev, 4, LEN]
+        "mm": f(pad_nodes(mm)),                  # [n_dev, 6, LEN]
+        "invm": f(pad_nodes(st.inv_mass))[:, None, :],
+    }
+    dd = np.zeros((48, 1))
+    for base, ent in ((0, f1e), (24, f2e)):
+        for mo, co, mi, ci, k in ent:
+            if (mo, co) == (mi, ci):
+                dd[base + 3 * mo + co, 0] = -k
+    dd = f(dd)
+    has_src = st.src_lidx is not None
+    if has_src:
+        tdev["src_lidx"] = jnp.asarray(st.src_lidx, jnp.int32)
+        tdev["src_mask"] = jnp.asarray(st.src_mask)
+    n_dev = st.n_dev
+
+    def local_step(t, carry, x):
+        srcf, _step = x
+        u, up = carry
+        un = call(u, u, up, up, t["cm"], t["mm"], t["invm"], dd)
+        if has_src:
+            sf = jnp.where(t["src_mask"][:, None], srcf, 0)
+            un = un.at[:, t["src_lidx"]].add(
+                sf.T * t["invm"][0][t["src_lidx"]][None, :])
+
+        # plane forces from the shard's own update (linearity)
+        iv = t["invm"][0]
+        m2, m1 = t["mm"][:3], t["mm"][3:]
+
+        def plane_force(sl):
+            return (un[:, sl] / iv[sl][None, :] - m2[:, sl] * u[:, sl]
+                    + m1[:, sl] * up[:, sl])
+
+        f_top = plane_force(slice(0, plane))
+        f_bot = plane_force(slice(nb - plane, nb))
+        idx = jax.lax.axis_index(axis)
+        down = jax.lax.ppermute(f_bot, axis, [(i, (i + 1) % n_dev)
+                                              for i in range(n_dev)])
+        up_ = jax.lax.ppermute(f_top, axis, [(i, (i - 1) % n_dev)
+                                             for i in range(n_dev)])
+        wtop = jnp.where(idx > 0, 1.0, 0.0)
+        wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
+        un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
+        un = un.at[:, nb - plane:nb].add(
+            wbot * up_ * iv[nb - plane:nb][None, :])
+        return (un, u), None
+
+    def scan_all(t, state, xs):
+        t = jax.tree.map(lambda v: v[0], t)
+        state = jax.tree.map(lambda v: v[0], state)
+        state, _ = jax.lax.scan(partial(local_step, t), state, xs)
+        return jax.tree.map(lambda v: v[None], state)
+
+    tspec = jax.tree.map(lambda _: P(axis), tdev)
+    sspec = (P(axis), P(axis))
+    # check_vma off: pallas_call's out_shape carries no vma annotation
+    smap = jax.shard_map(scan_all, mesh=mesh_dev,
+                         in_specs=(tspec, sspec, P()), out_specs=sspec,
+                         check_vma=False)
+    return jax.jit(smap), tdev, LEN
+
+
+def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,
+                           total_steps, dt, dtype=jnp.float32,
+                           chunk=None, interpret=False):
+    scan_fn, tdev, LEN = make_slab_pallas_step(st, mesh_dev,
+                                               dtype=dtype,
+                                               interpret=interpret)
+    u = jnp.zeros((st.n_dev, 3, LEN), dtype)
+    state = (u, u)
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
+def slab_pallas_u_global(st: SlabTables, u_sharded, N):
+    """Global [N, 3] field from the stacked padded slab states."""
+    arr = np.asarray(u_sharded)[:, :, :st.tot_local]
+    u = np.zeros((N, 3), arr.dtype)
+    for d in range(st.n_dev):
+        u[st.gnid_local[d]] = arr[d].T
+    return u

@@ -62,14 +62,42 @@ def plan_applies(plan, damping) -> bool:
             and damping in ("rayleigh", "mass", "none"))
 
 
+def _bf24_stage(U, k):
+    """One butterfly stage j -> j^bit_k on a [24, C] corner-major
+    array, as a concat of contiguous block sums/differences (no
+    gathers, no captured sign constants)."""
+    w = 3 << k                         # rows per half-block
+    parts = []
+    for a in range(0, 24, 2 * w):
+        lo, hi = U[a:a + w], U[a + w:a + 2 * w]
+        parts.append(lo + hi)          # j < j^bit: old[j] + old[pj]
+        parts.append(lo - hi)          # j > j^bit: old[pj] - old[j]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
     import os
     if chunk is None:
         chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
+    packed = os.environ.get("HT_PALLAS_PACKED", "1") != "0"
     C = min(chunk, B)
     assert B % C == 0
 
-    def kernel(ua, ub, upa, upb, cm, mm, invm, out, tail, nf):
+    # packed-mode constant tables: diagonal coefficient vectors and
+    # row-level off-diagonal entries (row = 3*m + c), minus folded in
+    off1, off2 = [], []
+    for ent, off in ((f1e, off1), (f2e, off2)):
+        for mo, co, mi, ci, k in ent:
+            ro, ri = 3 * mo + co, 3 * mi + ci
+            if ro != ri:
+                off.append((ro, ri, -k))
+
+    def bf24(U):
+        for k in range(3):
+            U = _bf24_stage(U, k)
+        return U
+
+    def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -84,27 +112,10 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
         # compute in C-wide sub-chunks to bound live VMEM (the full-B
         # dataflow holds ~50 [3, B] slabs and blows the 16 MB budget)
         for c0 in range(0, B, C):
-            uj = [ue[:, c0 + o:c0 + o + C] for o in offs]
-            dj = [upe[:, c0 + o:c0 + o + C] for o in offs]
-            su = _butterfly(uj)
-            sd = _butterfly([a - b for a, b in zip(uj, dj)])
-
-            c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
-            p = [su[m] * c1 + sd[m] * c3 for m in range(8)]
-            q = [su[m] * c2 + sd[m] * c4 for m in range(8)]
-
-            # sparse spectral operator: y = -(F1 p + F2 q) (minus
-            # folded into the coefficients at trace time)
-            rows = {}
-            for ent, x in ((f1e, p), (f2e, q)):
-                for mo, co, mi, ci, k in ent:
-                    r = x[mi][ci] * (-k)
-                    rows[mo, co] = rows.get((mo, co), 0.0) + r
-            z = jnp.zeros((C,), dtype)
-            y = [jnp.stack([rows.get((m, cc), z) for cc in range(3)])
-                 for m in range(8)]
-            f = _butterfly(y)   # H symmetric -> inverse = forward
-            # (the 1/8 Hadamard normalization is in the coefficients)
+            if packed:
+                f = _chunk_packed(ue, upe, cmv, dd[...], c0)
+            else:
+                f = _chunk_slabs(ue, upe, cmv, c0)
 
             # overlap-add of the 8 corner contributions (in-place
             # static-slice stores: Mosaic has no scatter lowering)
@@ -120,6 +131,57 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
         out[...] = ((force + mmv[:3] * ue[:, :B] - mmv[3:] * upe[:, :B])
                     * invm[...])
 
+    def _chunk_packed(ue, upe, cmv, ddv, c0):
+        """Corner-major [24, C] dataflow: full-sublane VPU utilization
+        (a [3, C] slab wastes 5/8 of every vector register)."""
+        U = jnp.concatenate(
+            [ue[:, c0 + o:c0 + o + C] for o in offs], axis=0)
+        Up = jnp.concatenate(
+            [upe[:, c0 + o:c0 + o + C] for o in offs], axis=0)
+        su = bf24(U)
+        sd = bf24(U - Up)
+
+        c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
+        p = su * c1 + sd * c3
+        q = su * c2 + sd * c4
+
+        y = p * ddv[:24, :1] + q * ddv[24:, :1]
+        # off-diagonal corrections as a row-concat (no scatter: Mosaic
+        # cannot lower scatter-add)
+        rows = [None] * 24
+        for src, off in ((p, off1), (q, off2)):
+            for ro, ri, k in off:
+                r = k * src[ri:ri + 1]
+                rows[ro] = r if rows[ro] is None else rows[ro] + r
+        zero = jnp.zeros((1, C), dtype)
+        corr = jnp.concatenate([r if r is not None else zero
+                                for r in rows], axis=0)
+        F = bf24(y + corr)   # H symmetric -> inverse = forward
+        return [F[3 * j:3 * j + 3] for j in range(8)]
+
+    def _chunk_slabs(ue, upe, cmv, c0):
+        uj = [ue[:, c0 + o:c0 + o + C] for o in offs]
+        dj = [upe[:, c0 + o:c0 + o + C] for o in offs]
+        su = _butterfly(uj)
+        sd = _butterfly([a - b for a, b in zip(uj, dj)])
+
+        c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
+        p = [su[m] * c1 + sd[m] * c3 for m in range(8)]
+        q = [su[m] * c2 + sd[m] * c4 for m in range(8)]
+
+        # sparse spectral operator: y = -(F1 p + F2 q) (minus folded
+        # into the coefficients at trace time)
+        rows = {}
+        for ent, x in ((f1e, p), (f2e, q)):
+            for mo, co, mi, ci, k in ent:
+                r = x[mi][ci] * (-k)
+                rows[mo, co] = rows.get((mo, co), 0.0) + r
+        z = jnp.zeros((C,), dtype)
+        y = [jnp.stack([rows.get((m, cc), z) for cc in range(3)])
+             for m in range(8)]
+        return _butterfly(y)   # H symmetric -> inverse = forward
+        # (the 1/8 Hadamard normalization is in the coefficients)
+
     return kernel
 
 
@@ -128,19 +190,12 @@ class PallasBrickTables:
 
     def __init__(self, plan, tables, src_ids=None, st_nodes=None,
                  st_phi=None, dtype=jnp.float32, tile=None):
-        import os
-        if tile is None:
-            tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
         assert plan_applies(plan, tables.damping)
         b = plan.bricks[0]
         offs = tuple(b.corner_offsets())
         o7 = offs[7]
         nb, S = b.nb, b.nb - o7
-        B = tile
-        while B < o7 + 1:
-            B *= 2
-        T = int(np.ceil(nb / B)) + 1
-        LEN = T * B
+        B, T, LEN = pallas_geometry(offs, nb, tile)
         self.B, self.o7, self.T, self.LEN = B, o7, T, LEN
         self.offs = offs
         self.nb, self.S = nb, S
@@ -168,6 +223,12 @@ class PallasBrickTables:
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
 
         self.f1e, self.f2e = spectral_factors()
+        dd = np.zeros((48, 1))
+        for base, ent in ((0, self.f1e), (24, self.f2e)):
+            for mo, co, mi, ci, k in ent:
+                if (mo, co) == (mi, ci):
+                    dd[base + 3 * mo + co, 0] = -k
+        self.dd = f(dd)
 
         self.src_pos = None
         if src_ids is not None and len(src_ids):
@@ -184,17 +245,13 @@ class PallasBrickTables:
             self.st_phi = f(st_phi)
 
 
-def make_pallas_step(pt: PallasBrickTables, interpret=False):
-    """scan-able step with the same carry/x contract as the XLA brick
-    step (minus the BKT conv slot): carry = (u, up), x = (srcf [L,3]
-    dt^2-scaled, step_idx)."""
-    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
-    dtype = pt.dtype
-    kernel = _make_kernel(pt.offs, B, o7, T, pt.f1e, pt.f2e, dtype)
-
+def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
+    """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
+    -> u_next [3, LEN]."""
+    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype)
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
@@ -203,6 +260,7 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
             pl.BlockSpec((4, B), blk),
             pl.BlockSpec((6, B), blk),
             pl.BlockSpec((1, B), blk),
+            pl.BlockSpec((48, 1), lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((3, B), blk),
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
@@ -211,6 +269,29 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
         interpret=interpret,
     )
 
+
+def pallas_geometry(offs, nb, tile=None):
+    """(B, T, LEN) padded tiling for a brick with nb nodes."""
+    import os
+    if tile is None:
+        tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
+    o7 = offs[7]
+    B = tile
+    while B < o7 + 1:
+        B *= 2
+    T = int(np.ceil(nb / B)) + 1
+    return B, T, T * B
+
+
+def make_pallas_step(pt: PallasBrickTables, interpret=False):
+    """scan-able step with the same carry/x contract as the XLA brick
+    step (minus the BKT conv slot): carry = (u, up), x = (srcf [L,3]
+    dt^2-scaled, step_idx)."""
+    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
+    dtype = pt.dtype
+    call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
+                      interpret=interpret)
+
     def step(carry, x):
         srcf, step_idx = x
         u, up = carry
@@ -218,7 +299,7 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
             sample = jnp.einsum("sn,csn->sc", pt.st_phi, u[:, pt.st_pos])
         else:
             sample = jnp.zeros((0, 3), dtype)
-        un = call(u, u, up, up, pt.cm, pt.mm, pt.invm)
+        un = call(u, u, up, up, pt.cm, pt.mm, pt.invm, pt.dd)
         if pt.src_pos is not None:
             un = un.at[:, pt.src_pos].add(
                 srcf.T * pt.invm[0][pt.src_pos][None, :])

@@ -95,3 +95,33 @@ def test_slab_bkt_matches_single():
                              dtype=jnp.float64, chunk=50)
     u = slab_u_global(st, sh[0], mesh.nnum)
     np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
+
+
+def test_slab_pallas_matches_single():
+    """Fused Pallas kernel under slab sharding: the shared-plane force
+    halo recovered from each shard's own linear update + one ppermute
+    per direction matches the single-device solver."""
+    from hercules_tpu.parallel.slab import (run_slab_pallas_solver,
+                                            slab_pallas_u_global)
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 100
+    forces = np.zeros((T, 1, 3))
+    forces[:10, 0, :] = 1e8
+
+    state, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                          dtype=jnp.float64)
+    u_ref = np.asarray(state[0])
+
+    st = build_slab_tables(mesh, tables, 4, src_ids=src_ids)
+    devs = np.array(jax.devices()[:4])
+    with Mesh(devs, ("d",)) as m:
+        sh = run_slab_pallas_solver(st, m, forces, T, p.delta_t,
+                                    dtype=jnp.float64, chunk=50,
+                                    interpret=True)
+    u = slab_pallas_u_global(st, sh[0], mesh.nnum)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
