@@ -79,31 +79,57 @@ def main():
                                                   plan_applies)
     if path == "auto":
         path = "pallas" if plan_applies(plan, tables.damping) else "brick"
-    print(f"# solver path: {path}", file=sys.stderr)
 
-    if path == "pallas":
-        pt = PallasBrickTables(plan, tables, src_ids=src_ids)
-        step = make_pallas_step(pt)
-        state = init_pallas_state(pt)
-    else:
-        t_host, meta, TOT = assemble_brick_tables(plan, tables,
-                                                  src_ids=src_ids)
-        step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
-                                  jnp.float32)
-        state = init_brick_state(meta, TOT, tables.damping, jnp.float32,
-                                 n_loose=len(plan.loose_eidx))
-    scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
+    def make(which):
+        """(scan, state) for one solver path."""
+        if which == "pallas-unpacked":
+            os.environ["HT_PALLAS_PACKED"] = "0"
+        elif which == "pallas":
+            os.environ["HT_PALLAS_PACKED"] = "1"
+        if which.startswith("pallas"):
+            pt = PallasBrickTables(plan, tables, src_ids=src_ids)
+            step = make_pallas_step(pt)
+            state = init_pallas_state(pt)
+        else:
+            t_host, meta, TOT = assemble_brick_tables(plan, tables,
+                                                      src_ids=src_ids)
+            step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
+                                      jnp.float32)
+            state = init_brick_state(meta, TOT, tables.damping,
+                                     jnp.float32,
+                                     n_loose=len(plan.loose_eidx))
+        scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
+        return scan, state
 
     def xs_for(k):
         return (jnp.ones((k, 1, 3), jnp.float32),
                 jnp.arange(k, dtype=jnp.int32))
 
-    # compile + device warmup (same scan length as the timed run so
-    # there is exactly one compilation)
-    t0 = time.time()
-    state = scan(state, xs_for(steps))
-    jax.block_until_ready(state[0])
-    print(f"# compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    # fallback chain: a toolchain regression (e.g. a Mosaic lowering
+    # gap) must degrade the number, never zero it
+    chains = {"pallas": ["pallas", "pallas-unpacked", "brick"],
+              "pallas-unpacked": ["pallas-unpacked", "brick"],
+              "brick": ["brick"]}
+    state = None
+    for which in chains.get(path, [path]):
+        print(f"# solver path: {which}", file=sys.stderr)
+        try:
+            scan, state = make(which)
+            # compile + device warmup (same scan length as the timed
+            # run so there is exactly one compilation)
+            t0 = time.time()
+            state = scan(state, xs_for(steps))
+            jax.block_until_ready(state[0])
+            print(f"# compile+warmup {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            break
+        except Exception as e:
+            msg = str(e).split("\n")[0][:300]
+            print(f"# path {which} failed ({type(e).__name__}: {msg}); "
+                  f"falling back", file=sys.stderr)
+            state = None
+    if state is None:
+        raise RuntimeError("all solver paths failed to compile")
 
     t0 = time.time()
     state = scan(state, xs_for(steps))

@@ -75,13 +75,19 @@ def _bf24_stage(U, k):
     return jnp.concatenate(parts, axis=0)
 
 
-def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
+def _kernel_mode(B, chunk=None):
+    """(C, packed) sub-chunk width and dataflow mode."""
     import os
     if chunk is None:
         chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
     packed = os.environ.get("HT_PALLAS_PACKED", "1") != "0"
     C = min(chunk, B)
     assert B % C == 0
+    return C, packed
+
+
+def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
+    C, packed = _kernel_mode(B, chunk)
 
     # packed-mode constant tables: diagonal coefficient vectors and
     # row-level off-diagonal entries (row = 3*m + c), minus folded in
@@ -97,7 +103,8 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
             U = _bf24_stage(U, k)
         return U
 
-    def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf):
+    def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
+               scr_u, scr_d):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -113,7 +120,8 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
         # dataflow holds ~50 [3, B] slabs and blows the 16 MB budget)
         for c0 in range(0, B, C):
             if packed:
-                f = _chunk_packed(ue, upe, cmv, dd[...], c0)
+                f = _chunk_packed(ue, upe, cmv, dd[...], c0,
+                                  scr_u, scr_d)
             else:
                 f = _chunk_slabs(ue, upe, cmv, c0)
 
@@ -127,19 +135,29 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
             [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
         tail[...] = nf[:, B:]
 
-        mmv = mm[...]
-        out[...] = ((force + mmv[:3] * ue[:, :B] - mmv[3:] * upe[:, :B])
-                    * invm[...])
+        # mass2_minusaM - mass_minusaM == mass_simple exactly (the
+        # dashpot and dangling-distribution terms cancel; consts.py
+        # node_masses), so the update needs only mass_minusaM:
+        #   u+ = (F + m2*u - m*up)/ms = u + (F + m*(u - up))/ms
+        ut = ue[:, :B]
+        out[...] = ut + (force + mm[...] * (ut - upe[:, :B])) * invm[...]
 
-    def _chunk_packed(ue, upe, cmv, ddv, c0):
+    def _chunk_packed(ue, upe, cmv, ddv, c0, scr_u, scr_d):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
-        (a [3, C] slab wastes 5/8 of every vector register)."""
-        U = jnp.concatenate(
-            [ue[:, c0 + o:c0 + o + C] for o in offs], axis=0)
-        Up = jnp.concatenate(
-            [upe[:, c0 + o:c0 + o + C] for o in offs], axis=0)
-        su = bf24(U)
-        sd = bf24(U - Up)
+        (a [3, C] slab wastes 5/8 of every vector register).
+
+        The corner windows sit at misaligned lane offsets; gathering
+        them with jnp.concatenate trips Mosaic ("offset mismatch on
+        non-concat dimension"), so stage them through a VMEM scratch
+        with static-slice stores and reload -- the reload has a clean
+        layout that the downstream butterfly concats accept."""
+        for j, o in enumerate(offs):
+            wu = ue[:, c0 + o:c0 + o + C]
+            wp = upe[:, c0 + o:c0 + o + C]
+            scr_u[3 * j:3 * j + 3] = wu
+            scr_d[3 * j:3 * j + 3] = wu - wp
+        su = bf24(scr_u[...])
+        sd = bf24(scr_d[...])
 
         c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
         p = su * c1 + sd * c3
@@ -213,11 +231,8 @@ class PallasBrickTables:
                                      getattr(tables, k)[plan.eidx_cat],
                                      0.0))
                        for k in ("c1", "c2", "c3", "c4")])
-        mm = np.concatenate([
-            np.stack([pad1(tables.mass2_minusaM[g][:, c])
-                      for c in range(3)]),
-            np.stack([pad1(tables.mass_minusaM[g][:, c])
-                      for c in range(3)])])
+        mm = np.stack([pad1(tables.mass_minusaM[g][:, c])
+                       for c in range(3)])
         self.cm = f(cm)
         self.mm = f(mm)
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
@@ -249,6 +264,8 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
     -> u_next [3, LEN]."""
     kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype)
+    C, packed = _kernel_mode(B)
+    scr24 = (3, 1) if not packed else (24, C)  # unpacked: token-sized
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
     return pl.pallas_call(
@@ -258,14 +275,16 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
             pl.BlockSpec((4, B), blk),
-            pl.BlockSpec((6, B), blk),
+            pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((3, B), blk),
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
-                        pltpu.VMEM((3, B + o7), dtype)],
+                        pltpu.VMEM((3, B + o7), dtype),
+                        pltpu.VMEM(scr24, dtype),
+                        pltpu.VMEM(scr24, dtype)],
         interpret=interpret,
     )
 
