@@ -139,6 +139,7 @@ class Params:
     threshold_damping: float = 0.05
     threshold_vpvs: float = 3.0
     damping_statistics: int = 0
+    auto_delta_t: int = 0                  # -DAUTO_DELTA_T equivalent
     use_infinite_qk: int = 0
     stiffness_method: str = "effective"
     print_matrix_k: int = 0
@@ -259,6 +260,9 @@ def load_params(physics_in: str, numerical_in: Optional[str] = None) -> Params:
     p.threshold_damping = n.get_double("the_threshold_damping", 0.05)
     p.threshold_vpvs = n.get_double("the_threshold_Vp_over_Vs", 3.0)
     p.damping_statistics = n.get_int("do_damping_statistics", 0)
+    # the reference gates this behind -DAUTO_DELTA_T at compile time
+    # (psolve.c:3033-3040); here it is a config key
+    p.auto_delta_t = n.get_int("auto_delta_t", 0)
     p.use_infinite_qk = _yesno(n.get_string("use_infinite_qk"))
     p.stiffness_method = n.get_string("stiffness_calculation_method",
                                       "effective")

@@ -295,8 +295,8 @@ def slab_u_global(st: SlabTables, u_sharded, N):
 # configuration.  Each shard runs the single-brick fused kernel
 # (solver/pallas_brick.py) on its z-slab; the shared-plane force halo
 # is recovered algebraically from the shard's own fused update
-# (F = u_next / inv_mass - mass2_minusaM*u + mass_minusaM*up at the
-# plane nodes, exact because the update is linear), exchanged with one
+# (F = (u_next - u)/inv_mass - mass_minusaM*(u - up) at the plane
+# nodes, exact because the update is linear), exchanged with one
 # ppermute per direction, and applied as u_next += F_neighbor *
 # inv_mass -- so the kernel needs no changes and no force output.
 
@@ -324,10 +324,9 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
 
     f = lambda x: jnp.asarray(x, dtype)
     cm = np.stack([st.c[k] for k in ("c1", "c2", "c3", "c4")], axis=1)
-    mm = np.concatenate([st.mass2_minusaM, st.mass_minusaM], axis=1)
     tdev = {
         "cm": f(pad_nodes(cm)),                  # [n_dev, 4, LEN]
-        "mm": f(pad_nodes(mm)),                  # [n_dev, 6, LEN]
+        "mm": f(pad_nodes(st.mass_minusaM)),     # [n_dev, 3, LEN]
         "invm": f(pad_nodes(st.inv_mass))[:, None, :],
     }
     dd = np.zeros((48, 1))
@@ -351,13 +350,14 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
             un = un.at[:, t["src_lidx"]].add(
                 sf.T * t["invm"][0][t["src_lidx"]][None, :])
 
-        # plane forces from the shard's own update (linearity)
+        # plane forces from the shard's own update (linearity):
+        # un = u + (F + m*(u - up)) * iv  =>  F = (un - u)/iv - m*(u-up)
         iv = t["invm"][0]
-        m2, m1 = t["mm"][:3], t["mm"][3:]
+        m1 = t["mm"]
 
         def plane_force(sl):
-            return (un[:, sl] / iv[sl][None, :] - m2[:, sl] * u[:, sl]
-                    + m1[:, sl] * up[:, sl])
+            return ((un[:, sl] - u[:, sl]) / iv[sl][None, :]
+                    - m1[:, sl] * (u[:, sl] - up[:, sl]))
 
         f_top = plane_force(slice(0, plane))
         f_bot = plane_force(slice(nb - plane, nb))

@@ -197,5 +197,30 @@ def node_masses(mesh, props, coeffs, params, boundary=True,
 
 
 def critical_dt(props, edge_m):
-    """min h/Vp over elements (solver_set_critical_T)."""
+    """min h/Vp over elements (solver_set_critical_T's theCriticalT,
+    psolve.c:3002; also the AUTO_DELTA_T override value, :3033-3040)."""
     return float(np.min(edge_m / props["Vp"]))
+
+
+def critical_dt_factors(props, edge_m, params):
+    """Reference-exact stability factors (solver_set_critical_T,
+    psolve.c:2864-2872): per element
+
+      ratio = h/Vp,  zeta = min(10/Vs, threshold),
+      omega = 3.4641.../ratio, xi = a/(2w) + b*w/2,
+      dt_X = 0.57735 (1 - xi) ratio,  dt_Z = 0.57735 (1 - zeta) ratio
+
+    Returns (min h/Vp, min dt_X, min dt_Z).  The actual CFL bound for
+    the damped explicit scheme is min(dt_X, dt_Z), tighter than the
+    bare h/Vp the reference reports as theCriticalT."""
+    vp, vs = props["Vp"], props["Vs"]
+    ratio = edge_m / vp
+    zeta = np.minimum(10.0 / vs, params.threshold_damping)
+    a_base, b_base = compute_setab(params.freq, params.type_of_damping)
+    omega = 3.46410161514 / ratio
+    a = zeta * a_base
+    b = zeta * b_base
+    xi = a / (2 * omega) + b * omega / 2
+    dt_x = 0.57735026919 * (1 - xi) * ratio
+    dt_z = 0.57735026919 * (1 - zeta) * ratio
+    return float(ratio.min()), float(dt_x.min()), float(dt_z.min())

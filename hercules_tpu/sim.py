@@ -5,6 +5,7 @@ stations, time loop, outputs."""
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import Optional
 
@@ -299,17 +300,34 @@ class Simulation:
             buildings = Buildings.parse(ConfigFile(params.numerical_path))
         mesh = generate_mesh(params, cvm, buildings=buildings,
                              verbose=verbose)
+        from .physics.consts import critical_dt_factors
         tcrit = critical_dt(mesh.props, mesh.edge_m)
+        _, dt_x, dt_z = critical_dt_factors(mesh.props, mesh.edge_m,
+                                            params)
+        tstab = min(dt_x, dt_z)
         if verbose:
             print(f"mesh: {mesh.lenum} elements, {mesh.nnum} nodes, "
                   f"{len(mesh.dn_ids)} dangling; "
-                  f"critical dt {tcrit:.6f}")
-        if params.delta_t > tcrit:
-            # solver_set_critical_T stability check (psolve.c:3023-3030)
-            import sys
+                  f"critical dt {tcrit:.6f} (damped stability bound "
+                  f"{tstab:.6f})")
+        if getattr(params, "auto_delta_t", 0):
+            # AUTO_DELTA_T (psolve.c:3033-3040): override delta_t with
+            # theCriticalT and recompute the step count
+            params.delta_t = tcrit
+            params.total_steps = int(
+                (params.end_time - params.start_time) / params.delta_t)
+            if verbose:
+                print(f"AUTO_DELTA_T: delta_t = {tcrit:.6g}, "
+                      f"{params.total_steps} steps")
+        elif params.delta_t > tstab:
+            # solver_set_critical_T stability check with the
+            # reference-exact 0.577(1-xi)h/Vp factors
+            # (psolve.c:2864-2872)
             print(f"WARNING: delta_t {params.delta_t:g} exceeds the "
-                  f"critical time step {tcrit:g}; the explicit "
-                  f"integration will be unstable", file=sys.stderr)
+                  f"damped stability bound {tstab:g} "
+                  f"(min dt_X {dt_x:g}, min dt_Z {dt_z:g}); the "
+                  f"explicit integration will be unstable",
+                  file=sys.stderr)
         tables = assemble(mesh, params)
         shift = buildings.surface_shift if buildings is not None else 0.0
         source = SourceModel.parse(params, surface_shift=shift)
@@ -472,17 +490,48 @@ class Simulation:
                               and dtype == jnp.float32
                               and plan_applies(plan, self.tables.damping)))
             if use_pallas:
+                interpret = jax.default_backend() != "tpu"
+                if interpret and solver == "pallas":
+                    print("WARNING: pallas solver on a non-TPU backend "
+                          "runs in the slow interpreter; use "
+                          "solver='bricks' for CPU runs", file=sys.stderr)
                 state = None
                 if init_state is not None:
                     state = tuple(jnp.asarray(np.asarray(x), dtype)
                                   for x in init_state)
-                state, samples = run_pallas_solver(
-                    plan, self.tables, self.src_ids, self.src_forces,
-                    steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
-                    dtype=dtype, chunk=chunk, on_chunk=hook,
-                    interpret=jax.default_backend() != "tpu",
-                    state=state, start_step=start_step)
-            else:
+
+                def _pallas():
+                    return run_pallas_solver(
+                        plan, self.tables, self.src_ids,
+                        self.src_forces, steps, p.delta_t,
+                        st_nodes=st_nodes, st_phi=st_phi, dtype=dtype,
+                        chunk=chunk, on_chunk=hook, interpret=interpret,
+                        state=state, start_step=start_step)
+
+                # compile-failure fallback chain (packed -> unpacked ->
+                # brick): a Mosaic lowering gap must degrade the path,
+                # never kill the run (auto mode only; an explicit
+                # solver="pallas" request propagates the error)
+                try:
+                    state, samples = _pallas()
+                except Exception as e:
+                    if solver == "pallas" or interpret:
+                        raise
+                    print(f"WARNING: fused pallas path failed to "
+                          f"compile ({type(e).__name__}); falling back",
+                          file=sys.stderr)
+                    prev = os.environ.get("HT_PALLAS_PACKED")
+                    os.environ["HT_PALLAS_PACKED"] = "0"
+                    try:
+                        state, samples = _pallas()
+                    except Exception:
+                        use_pallas = False
+                    finally:
+                        if prev is None:
+                            os.environ.pop("HT_PALLAS_PACKED", None)
+                        else:
+                            os.environ["HT_PALLAS_PACKED"] = prev
+            if not use_pallas:
                 from .solver.brickstep import run_brick_solver
                 state = None
                 if init_state is not None:
