@@ -59,7 +59,7 @@ def main():
                                                make_brick_step)
 
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
-    steps = int(os.environ.get("BENCH_STEPS", 200))
+    steps = int(os.environ.get("BENCH_STEPS", 800))
     damping = os.environ.get("BENCH_DAMPING", "rayleigh")
     path = os.environ.get("BENCH_PATH", "auto")
 
@@ -131,9 +131,13 @@ def main():
     if state is None:
         raise RuntimeError("all solver paths failed to compile")
 
+    # the remote-TPU runtime can ack block_until_ready before the work
+    # drains; a scalar fetch forces true completion
+    float(jnp.sum(state[0][0, :8]))
     t0 = time.time()
     state = scan(state, xs_for(steps))
     jax.block_until_ready(state[0])
+    float(jnp.sum(state[0][0, :8]))
     dt = time.time() - t0
 
     eups = E * steps / dt

@@ -13,10 +13,61 @@ all damping models.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 
 import numpy as np
 
 MAGIC = b"HTPUCKPT1"
+
+# ---- async writer (one ordered worker, like the 4-D/plane threads;
+# the reference overlaps output with compute via its IO pool) --------
+_q: queue.Queue = None
+_worker: threading.Thread = None
+
+
+def _ensure_worker():
+    global _q, _worker
+    if _worker is None or not _worker.is_alive():
+        _q = queue.Queue(maxsize=2)
+
+        def loop():
+            while True:
+                item = _q.get()
+                if item is None:
+                    _q.task_done()
+                    return
+                fn, args = item
+                try:
+                    fn(*args)
+                finally:
+                    _q.task_done()
+
+        _worker = threading.Thread(target=loop, daemon=True)
+        _worker.start()
+
+
+def checkpoint_write_async(path_dir, step, state, extra=None):
+    """Queue a checkpoint write on the background writer thread.  The
+    device arrays are snapshotted to host first (cheap relative to the
+    npz serialization + disk write this overlaps)."""
+    u_now, u_prev, conv = state
+    snap = (np.asarray(u_now), np.asarray(u_prev),
+            _tree_asarray(conv))
+    _ensure_worker()
+    _q.put((checkpoint_write, (path_dir, step, snap, extra)))
+
+
+def checkpoint_flush():
+    """Block until all queued checkpoint writes hit disk."""
+    if _q is not None:
+        _q.join()
+
+
+def _tree_asarray(t):
+    if isinstance(t, (tuple, list)):
+        return tuple(_tree_asarray(x) for x in t)
+    return np.asarray(t)
 
 
 def checkpoint_write(path_dir, step, state, extra=None):

@@ -323,7 +323,10 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return np.pad(x, w)
 
     f = lambda x: jnp.asarray(x, dtype)
-    cm = np.stack([st.c[k] for k in ("c1", "c2", "c3", "c4")], axis=1)
+    # kernel contract: (c1, c2, beta) with c3 = beta*c1, c4 = beta*c2
+    c1, c3 = st.c["c1"], st.c["c3"]
+    beta = np.divide(c3, c1, out=np.zeros_like(c1), where=c1 != 0)
+    cm = np.stack([c1, st.c["c2"], beta], axis=1)
     tdev = {
         "cm": f(pad_nodes(cm)),                  # [n_dev, 4, LEN]
         "mm": f(pad_nodes(st.mass_minusaM)),     # [n_dev, 3, LEN]

@@ -185,16 +185,46 @@ class SimOutputs:
             self.planes = PlaneSet(mesh, p, absdir(p.planes_dir or
                                                    "planes"))
             rates.append(p.planes_print_rate)
+        self.ck_rate = 0
         if p.use_checkpoint and p.checkpointing_rate:
             self.ckpt_dir = absdir(p.checkpoint_path or "checkpoints")
+            self.ck_rate = p.checkpointing_rate
             rates.append(p.checkpointing_rate)
         self.rates = rates
         self.active = bool(rates)
         self._gcd = math.gcd(*rates) if rates else 0
+        # snapshot taps (4-D volume + planes, which need only u/up)
+        # ride the scan as rate-strided emissions so the dispatch size
+        # stays large; checkpoints (which need the full carry) fire at
+        # chunk boundaries.  Falls back to gcd-sized chunks when the
+        # checkpoint rate is incommensurate with the snapshot stride.
+        snap_rates = [r for r in rates if r != self.ck_rate] \
+            if self.ck_rate else list(rates)
+        self.snap_every = math.gcd(*snap_rates) if snap_rates else 0
+        if (self.snap_every and self.ck_rate
+                and self.ck_rate % self.snap_every != 0):
+            self.snap_every = 0
 
     def chunk_for(self, desired=1000):
-        """Chunks must land exactly on every rate boundary, so the
-        chunk size is the gcd of the active rates."""
+        """Dispatch size: large, but landing on every checkpoint
+        boundary; snapshot taps are emitted from inside the scan."""
+        if not self.active:
+            return desired
+        if self.snap_every:
+            # bound the on-device snapshot stack (~256 MB)
+            snap_bytes = 2 * 3 * self.mesh.nnum * 8
+            kmax = max(1, int(268_435_456 // snap_bytes))
+            c = max(self.snap_every,
+                    min(desired, self.snap_every * kmax)
+                    // self.snap_every * self.snap_every)
+            if self.ck_rate:
+                m = self.ck_rate // self.snap_every
+                best = 1
+                for d in range(1, m + 1):
+                    if m % d == 0 and self.snap_every * d <= c:
+                        best = d
+                c = self.snap_every * best
+            return c
         g = self._gcd
         return desired if g <= 0 else g
 
@@ -229,7 +259,8 @@ class SimOutputs:
                 self.planes.maybe_write(
                     0, lambda nodes, phi: np.zeros((len(nodes), 3)))
 
-        def hook(done, state):
+        def snap_taps(done, state):
+            """4-D volume + plane taps from a (u, up) pair."""
             ug = None
             for kind, w in self.out4d:
                 if done % w.rate == 0 and done // w.rate < w.out_steps:
@@ -247,16 +278,26 @@ class SimOutputs:
                     return np.einsum("mk,mkc->mc", phi, _u[nodes])
 
                 self.planes.maybe_write(done, sampler)
+
+        snap_split = self.snap_every > 0
+
+        def hook(done, state):
+            if not snap_split:
+                snap_taps(done, state)
             if (self.ckpt_dir is not None
                     and done % p.checkpointing_rate == 0):
-                from .io.checkpoint import checkpoint_write
-                checkpoint_write(self.ckpt_dir, done, state)
+                from .io.checkpoint import checkpoint_write_async
+                st3 = state if len(state) >= 3 else (state + ((),))
+                checkpoint_write_async(self.ckpt_dir, done, st3[:3])
             if inner is not None:
                 inner(done, state)
 
-        return hook
+        return hook, (snap_taps if snap_split else None)
 
     def close(self):
+        if self.ckpt_dir is not None:
+            from .io.checkpoint import checkpoint_flush
+            checkpoint_flush()
         for _, w in self.out4d:
             w.close()
         if self.out4d and self.params.output_stats_file:
@@ -466,9 +507,14 @@ class Simulation:
         self.start_step = start_step
 
         hook = None
+        snap_hook = None
+        snap_every = None
         if outputs is not None and outputs.active:
-            hook = outputs.make_hook(self.mesh, plan, on_chunk,
-                                     start_step=start_step)
+            hook, snap_hook = outputs.make_hook(self.mesh, plan,
+                                                on_chunk,
+                                                start_step=start_step)
+            if snap_hook is not None:
+                snap_every = outputs.snap_every
         else:
             hook = on_chunk
 
@@ -506,7 +552,8 @@ class Simulation:
                         self.src_forces, steps, p.delta_t,
                         st_nodes=st_nodes, st_phi=st_phi, dtype=dtype,
                         chunk=chunk, on_chunk=hook, interpret=interpret,
-                        state=state, start_step=start_step)
+                        state=state, start_step=start_step,
+                        on_snap=snap_hook, snap_every=snap_every)
 
                 # compile-failure fallback chain (packed -> unpacked ->
                 # brick): a Mosaic lowering gap must degrade the path,
@@ -545,7 +592,8 @@ class Simulation:
                     plan, self.tables, self.src_ids, self.src_forces,
                     steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
                     dtype=dtype, chunk=chunk, on_chunk=hook,
-                    state=state, start_step=start_step)
+                    state=state, start_step=start_step,
+                    on_snap=snap_hook, snap_every=snap_every)
         else:
             state = None
             if init_state is not None:
@@ -561,7 +609,8 @@ class Simulation:
                 self.tables, self.src_ids, self.src_forces, steps,
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
                 dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl,
-                drm=drm, state=state, start_step=start_step)
+                drm=drm, state=state, start_step=start_step,
+                on_snap=snap_hook, snap_every=snap_every)
         if drm_rec is not None:
             drm_rec.close()
         if outputs is not None:

@@ -330,31 +330,28 @@ def init_brick_state(meta, TOT, damping, dtype=jnp.float32,
 def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                      st_nodes=None, st_phi=None, dtype=jnp.float32,
                      chunk=None, state=None, on_chunk=None,
-                     start_step=0):
+                     start_step=0, on_snap=None, snap_every=None):
     """Chunked brick time loop; same contract as solver.step.run_solver."""
+    from .chunking import run_chunked
+
     t_host, meta, TOT = assemble_brick_tables(
         plan, tables, src_ids=src_ids, st_nodes=st_nodes, st_phi=st_phi)
     step, d = make_brick_step(t_host, meta, TOT, tables.damping, dtype)
-    scan = jax.jit(partial(jax.lax.scan, step))
     if state is None:
         state = init_brick_state(meta, TOT, tables.damping, dtype,
                                  n_loose=len(plan.loose_eidx))
     if chunk is None:
         chunk = min(total_steps, 1000)
-    outs = []
     dt2 = dt * dt
-    s = start_step
-    while s < total_steps:
-        k = min(chunk, total_steps - s)
-        xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
-              jnp.arange(s, s + k, dtype=jnp.int32))
-        state, samples = scan(state, xs)
-        outs.append(np.asarray(samples))
-        if on_chunk is not None:
-            on_chunk(s + k, state)
-        s += k
-    samples = np.concatenate(outs) if outs else np.zeros((0, 0, 3))
-    return state, samples
+
+    def make_xs(s, k):
+        return (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
+                jnp.arange(s, s + k, dtype=jnp.int32))
+
+    return run_chunked(step, state, make_xs, total_steps,
+                       start_step=start_step, chunk=chunk,
+                       on_chunk=on_chunk, on_snap=on_snap,
+                       snap_every=snap_every)
 
 
 def brick_u_global(plan, u_cat, N):

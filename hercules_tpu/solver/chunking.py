@@ -1,0 +1,82 @@
+"""Chunked time-loop driver shared by the three solver paths.
+
+Decouples the scan dispatch size from output cadence: instead of
+shrinking the whole chunk to the gcd of the active output rates (which
+degrades to one dispatch per step for simulation_output_rate = 1, the
+reference default), the scan is nested -- an inner scan of
+``snap_every`` steps inside an outer scan -- and the outer scan emits a
+displacement snapshot per superstep.  One dispatch then covers many
+taps, with device memory bounded by the snapshot stack.  This is the
+TPU equivalent of the reference's IO-pool overlap
+(io_planes.c:1145-1277): compute never stalls on output.
+
+Checkpoint taps still need the full carry (BKT convolution state), so
+chunk boundaries are additionally aligned to the checkpoint rate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+
+
+def run_chunked(step, state, make_xs, total_steps, start_step=0,
+                chunk=1000, on_chunk=None, on_snap=None,
+                snap_every=None):
+    """Drive `step` over [start_step, total_steps).
+
+    step: scan-able (carry, x) -> (carry, sample)
+    make_xs(s, k): xs pytree with leading dim k for steps [s, s+k)
+    on_chunk(done, state): fires at every chunk boundary
+    on_snap(done, (u, up)): fires every `snap_every` steps (host-side,
+        with numpy copies of the first two carry slots)
+
+    Returns (state, samples [T, ...]).
+    """
+    plain_scan = jax.jit(partial(jax.lax.scan, step))
+    nested = None
+    if snap_every:
+        def superstep(carry, xs):
+            carry, samples = jax.lax.scan(step, carry, xs)
+            return carry, (samples, (carry[0], carry[1]))
+
+        nested = jax.jit(partial(jax.lax.scan, superstep))
+        chunk = max(snap_every, chunk // snap_every * snap_every)
+
+    outs = []
+    s = start_step
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        use_nested = (nested is not None and k >= snap_every
+                      and s % snap_every == 0)
+        if use_nested:
+            k = k // snap_every * snap_every
+            xs = make_xs(s, k)
+            K = k // snap_every
+            xs = jax.tree.map(
+                lambda a: a.reshape((K, snap_every) + a.shape[1:]), xs)
+            state, (samples, snaps) = nested(state, xs)
+            samples = np.asarray(samples).reshape(
+                (k,) + samples.shape[2:])
+            if on_snap is not None:
+                su = np.asarray(snaps[0])
+                sp = np.asarray(snaps[1])
+                for i in range(K):
+                    on_snap(s + (i + 1) * snap_every, (su[i], sp[i]))
+        else:
+            xs = make_xs(s, k)
+            state, samples = plain_scan(state, xs)
+            samples = np.asarray(samples)
+            if (on_snap is not None and snap_every
+                    and (s + k) % snap_every == 0):
+                on_snap(s + k, (np.asarray(state[0]),
+                                np.asarray(state[1])))
+        outs.append(samples)
+        if on_chunk is not None:
+            on_chunk(s + k, state)
+        s += k
+    samples = (np.concatenate(outs) if outs
+               else np.zeros((0, 0, 3)))
+    return state, samples

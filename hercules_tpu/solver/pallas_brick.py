@@ -86,8 +86,18 @@ def _kernel_mode(B, chunk=None):
     return C, packed
 
 
-def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
+def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
+                 interpret=False):
     C, packed = _kernel_mode(B, chunk)
+    W0 = C + 128                        # gather region width
+    # lane-shift classes: o mod 128 (= corner popcount when the brick's
+    # x/y/z node strides are all == 1 mod 128, the usual case)
+    NR = sorted({o % 128 for o in offs} - {0})
+
+    def roll(x, shift):
+        if interpret:                   # pltpu.roll is mosaic-only
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, shift, 1)
 
     # packed-mode constant tables: diagonal coefficient vectors and
     # row-level off-diagonal entries (row = 3*m + c), minus folded in
@@ -104,7 +114,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
         return U
 
     def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
-               scr_u, scr_d):
+               scr_w, scr_f):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -112,80 +122,124 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None):
             tail[...] = jnp.zeros_like(tail)
 
         nf[...] = jnp.zeros_like(nf)
-        ue = jnp.concatenate([ua[...], ub[...]], axis=1)    # [3, 2B]
-        upe = jnp.concatenate([upa[...], upb[...]], axis=1)
         cmv = cm[...]
+        ddv = dd[...]
+
+        def region(start):
+            """[6, W0] stacked (u; u-up) at 128-aligned offset start,
+            assembled from the tile block and its +1 halo block."""
+            if start + W0 <= B:
+                gu = ua[:, start:start + W0]
+                gp = upa[:, start:start + W0]
+            elif start >= B:
+                gu = ub[:, start - B:start - B + W0]
+                gp = upb[:, start - B:start - B + W0]
+            else:
+                gu = jnp.concatenate([ua[:, start:B],
+                                      ub[:, :start + W0 - B]], axis=1)
+                gp = jnp.concatenate([upa[:, start:B],
+                                      upb[:, :start + W0 - B]], axis=1)
+            return jnp.concatenate([gu, gu - gp], axis=0)
 
         # compute in C-wide sub-chunks to bound live VMEM (the full-B
-        # dataflow holds ~50 [3, B] slabs and blows the 16 MB budget)
+        # dataflow blows the 16 MB scoped-vmem budget)
         for c0 in range(0, B, C):
             if packed:
-                f = _chunk_packed(ue, upe, cmv, dd[...], c0,
-                                  scr_u, scr_d)
+                f24 = _chunk_packed(region, cmv, ddv, c0, scr_w)
+                F = f24
+                # scatter through a zero-padded scratch + one roll per
+                # shift class: all nf updates are lane-aligned (a
+                # direct misaligned slice store costs a relayout per
+                # corner; Mosaic also rejects pad-concats of
+                # offset-mismatched vectors)
+                scr_f[:, :C] = F
+                scr_f[:, C:] = jnp.zeros((24, 128), dtype)
+                Fv = scr_f[...]
+                R = {0: Fv}
+                for s in NR:
+                    R[s] = roll(Fv, s)
+                for j, o in enumerate(offs):
+                    s = o % 128
+                    a = c0 + (o - s)
+                    nf[:, a:a + W0] = (nf[:, a:a + W0]
+                                       + R[s][3 * j:3 * j + 3])
             else:
+                ue = jnp.concatenate([ua[...], ub[...]], axis=1)
+                upe = jnp.concatenate([upa[...], upb[...]], axis=1)
                 f = _chunk_slabs(ue, upe, cmv, c0)
-
-            # overlap-add of the 8 corner contributions (in-place
-            # static-slice stores: Mosaic has no scatter lowering)
-            for j in range(8):
-                a = c0 + offs[j]
-                nf[:, a:a + C] = nf[:, a:a + C] + f[j]
+                for j in range(8):
+                    a = c0 + offs[j]
+                    nf[:, a:a + C] = nf[:, a:a + C] + f[j]
 
         force = jnp.concatenate(
             [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
-        tail[...] = nf[:, B:]
+        tail[...] = nf[:, B:B + o7]
 
         # mass2_minusaM - mass_minusaM == mass_simple exactly (the
         # dashpot and dangling-distribution terms cancel; consts.py
         # node_masses), so the update needs only mass_minusaM:
         #   u+ = (F + m2*u - m*up)/ms = u + (F + m*(u - up))/ms
-        ut = ue[:, :B]
-        out[...] = ut + (force + mm[...] * (ut - upe[:, :B])) * invm[...]
+        ut = ua[...]
+        out[...] = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
 
-    def _chunk_packed(ue, upe, cmv, ddv, c0, scr_u, scr_d):
+    def _chunk_packed(region, cmv, ddv, c0, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
         (a [3, C] slab wastes 5/8 of every vector register).
 
-        The corner windows sit at misaligned lane offsets; gathering
-        them with jnp.concatenate trips Mosaic ("offset mismatch on
-        non-concat dimension"), so stage them through a VMEM scratch
-        with static-slice stores and reload -- the reload has a clean
-        layout that the downstream butterfly concats accept."""
+        Gather: the corner windows sit at misaligned lane offsets.
+        Each distinct (128-aligned base, shift) pair is loaded as a
+        [6, W0] (u; u-up) region and lane-rolled once by its shift
+        class, so every window read is an aligned slice.  The damping
+        combine is folded into the gather via the reference identity
+        c3 = beta*c1, c4 = beta*c2 (element_coefficients):
+
+          W = u + beta*(u - up),  Z = H W,
+          stiffness+damping = H(D1 (c1 Z) + D2 (c2 Z) + offdiag)
+
+        -- one butterfly instead of three (su, sd, F -> Z, F).
+        Mosaic rejects concats of offset-mismatched vectors, so W is
+        staged through a VMEM scratch with static-slice stores; the
+        reload has the clean layout the butterfly concats accept."""
+        c1 = cmv[0, c0:c0 + C]
+        c2 = cmv[1, c0:c0 + C]
+        bt = cmv[2, c0:c0 + C]
+
+        regs = {}
         for j, o in enumerate(offs):
-            wu = ue[:, c0 + o:c0 + o + C]
-            wp = upe[:, c0 + o:c0 + o + C]
-            scr_u[3 * j:3 * j + 3] = wu
-            scr_d[3 * j:3 * j + 3] = wu - wp
-        su = bf24(scr_u[...])
-        sd = bf24(scr_d[...])
+            s = o % 128
+            start = (o - s) + c0
+            key = (start, s)
+            if key not in regs:
+                g = region(start)
+                regs[key] = g if s == 0 else roll(g, W0 - s)
+            r = regs[key]
+            scr_w[3 * j:3 * j + 3] = r[0:3, :C] + bt * r[3:6, :C]
 
-        c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
-        p = su * c1 + sd * c3
-        q = su * c2 + sd * c4
-
-        y = p * ddv[:24, :1] + q * ddv[24:, :1]
+        Z = bf24(scr_w[...])
+        e1 = Z * c1
+        e2 = Z * c2
+        y = e1 * ddv[:24, :1] + e2 * ddv[24:, :1]
         # off-diagonal corrections as a row-concat (no scatter: Mosaic
         # cannot lower scatter-add)
         rows = [None] * 24
-        for src, off in ((p, off1), (q, off2)):
+        for src, off in ((e1, off1), (e2, off2)):
             for ro, ri, k in off:
                 r = k * src[ri:ri + 1]
                 rows[ro] = r if rows[ro] is None else rows[ro] + r
         zero = jnp.zeros((1, C), dtype)
         corr = jnp.concatenate([r if r is not None else zero
                                 for r in rows], axis=0)
-        F = bf24(y + corr)   # H symmetric -> inverse = forward
-        return [F[3 * j:3 * j + 3] for j in range(8)]
+        return bf24(y + corr)   # H symmetric -> inverse = forward
 
     def _chunk_slabs(ue, upe, cmv, c0):
+        c1, c2, bt = (cmv[k, c0:c0 + C] for k in range(3))
         uj = [ue[:, c0 + o:c0 + o + C] for o in offs]
         dj = [upe[:, c0 + o:c0 + o + C] for o in offs]
-        su = _butterfly(uj)
-        sd = _butterfly([a - b for a, b in zip(uj, dj)])
-
-        c1, c2, c3, c4 = (cmv[k, c0:c0 + C] for k in range(4))
-        p = [su[m] * c1 + sd[m] * c3 for m in range(8)]
-        q = [su[m] * c2 + sd[m] * c4 for m in range(8)]
+        # damping folded via c3 = beta*c1, c4 = beta*c2:
+        # W = u + beta*(u - up), one butterfly for both operators
+        wz = _butterfly([a + bt * (a - b) for a, b in zip(uj, dj)])
+        p = [wz[m] * c1 for m in range(8)]
+        q = [wz[m] * c2 for m in range(8)]
 
         # sparse spectral operator: y = -(F1 p + F2 q) (minus folded
         # into the coefficients at trace time)
@@ -227,10 +281,16 @@ class PallasBrickTables:
             out[:len(x)] = x
             return out
 
-        cm = np.stack([pad1(np.where(plan.evalid_cat,
-                                     getattr(tables, k)[plan.eidx_cat],
-                                     0.0))
-                       for k in ("c1", "c2", "c3", "c4")])
+        def etab(k):
+            return np.where(plan.evalid_cat,
+                            getattr(tables, k)[plan.eidx_cat], 0.0)
+
+        c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
+        # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
+        # (element_coefficients, consts.py; psolve.c:3387-3409), so the
+        # kernel streams (c1, c2, beta) -- 3 rows instead of 4
+        beta = np.divide(c3, c1, out=np.zeros_like(c1), where=c1 != 0)
+        cm = np.stack([pad1(c1), pad1(c2), pad1(beta)])
         mm = np.stack([pad1(tables.mass_minusaM[g][:, c])
                        for c in range(3)])
         self.cm = f(cm)
@@ -263,9 +323,11 @@ class PallasBrickTables:
 def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
     -> u_next [3, LEN]."""
-    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype)
+    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                          interpret=interpret)
     C, packed = _kernel_mode(B)
-    scr24 = (3, 1) if not packed else (24, C)  # unpacked: token-sized
+    scr_w = (24, C) if packed else (8, 128)    # unpacked: token-sized
+    scr_f = (24, C + 128) if packed else (8, 128)
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
     return pl.pallas_call(
@@ -274,7 +336,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
         in_specs=[
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
-            pl.BlockSpec((4, B), blk),
+            pl.BlockSpec((3, B), blk),
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
@@ -282,9 +344,9 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
         out_specs=pl.BlockSpec((3, B), blk),
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
-                        pltpu.VMEM((3, B + o7), dtype),
-                        pltpu.VMEM(scr24, dtype),
-                        pltpu.VMEM(scr24, dtype)],
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM(scr_w, dtype),
+                        pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
     )
 
@@ -335,12 +397,14 @@ def init_pallas_state(pt: PallasBrickTables):
 def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                       dt, st_nodes=None, st_phi=None,
                       dtype=jnp.float32, chunk=None, state=None,
-                      on_chunk=None, interpret=False, start_step=0):
+                      on_chunk=None, interpret=False, start_step=0,
+                      on_snap=None, snap_every=None):
     """Chunked time loop; same contract as run_brick_solver."""
+    from .chunking import run_chunked
+
     pt = PallasBrickTables(plan, tables, src_ids=src_ids,
                            st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
     step = make_pallas_step(pt, interpret=interpret)
-    scan = jax.jit(partial(jax.lax.scan, step))
     if state is None:
         state = init_pallas_state(pt)
     elif state[0].shape[1] != pt.LEN:   # resume from an unpadded field
@@ -349,20 +413,16 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                       for x in state[:2])
     if chunk is None:
         chunk = min(total_steps, 1000)
-    outs = []
     dt2 = dt * dt
-    s = start_step
-    while s < total_steps:
-        k = min(chunk, total_steps - s)
-        xs = (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
-              jnp.arange(s, s + k, dtype=jnp.int32))
-        state, samples = scan(state, xs)
-        outs.append(np.asarray(samples))
-        if on_chunk is not None:
-            on_chunk(s + k, state)
-        s += k
-    samples = np.concatenate(outs) if outs else np.zeros((0, 0, 3))
-    return state, samples
+
+    def make_xs(s, k):
+        return (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
+                jnp.arange(s, s + k, dtype=jnp.int32))
+
+    return run_chunked(step, state, make_xs, total_steps,
+                       start_step=start_step, chunk=chunk,
+                       on_chunk=on_chunk, on_snap=on_snap,
+                       snap_every=snap_every)
 
 
 def pallas_u_global(plan, u_pad, N):

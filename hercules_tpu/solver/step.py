@@ -340,7 +340,7 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
                st_nodes=None, st_phi=None, dtype=jnp.float64,
                chunk=None, state=None, start_step=0,
                on_chunk=None, nl=None, fb_ids=None, fb_series=None,
-               drm=None):
+               drm=None, on_snap=None, snap_every=None):
     """Run the time loop in jitted chunks.
 
     src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
@@ -348,6 +348,8 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
     displacements [T, B, 3].
     drm: optional PART2 bundle from hercules_tpu.drm.attach_drm.
     Returns (final_state, station_samples [T, S, 3])."""
+    from .chunking import run_chunked
+
     if drm is not None:
         drm = dict(drm)
         drm["Fdev"] = jnp.asarray(drm.pop("F"), dtype)
@@ -355,27 +357,21 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
                         drm=drm)
     if fb_ids is not None:
         d["fb_ids"] = jnp.asarray(fb_ids, jnp.int32)
-    scan = jax.jit(partial(jax.lax.scan, step))
 
     if state is None:
         state = init_state(tables, dtype, nl=nl)
     if chunk is None:
         chunk = min(total_steps, 1000)
-
-    outs = []
     dt2 = dt * dt
-    s = start_step
-    while s < total_steps:
-        k = min(chunk, total_steps - s)
+
+    def make_xs(s, k):
         xs = (jnp.asarray(src_forces[s : s + k] * dt2, dtype),
               jnp.arange(s, s + k, dtype=jnp.int32))
         if fb_series is not None:
             xs = xs + (jnp.asarray(fb_series[s : s + k], dtype),)
-        state, samples = scan(state, xs)
-        outs.append(np.asarray(samples))
-        if on_chunk is not None:
-            on_chunk(s + k, state)
-        s += k
-    samples = (np.concatenate(outs) if outs
-               else np.zeros((0, 0, 3)))
-    return state, samples
+        return xs
+
+    return run_chunked(step, state, make_xs, total_steps,
+                       start_step=start_step, chunk=chunk,
+                       on_chunk=on_chunk, on_snap=on_snap,
+                       snap_every=snap_every)
