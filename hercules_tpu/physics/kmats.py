@@ -276,6 +276,30 @@ def hadamard8_matrix():
     return H
 
 
+def _hadamard_t24():
+    """T: the packed corner-major 24x24 Hadamard (T[3m+c, 3j+c] =
+    H[m, j]), the transform the fused kernel's bf24 butterflies apply."""
+    H = hadamard8_matrix()
+    T = np.zeros((24, 24))
+    for m in range(8):
+        for j in range(8):
+            for c in range(3):
+                T[m * 3 + c, j * 3 + c] = H[m, j]
+    return T
+
+
+def _sparse_factor(M):
+    """Sparse entries of F = T M T^T / 64 such that
+    M @ u = bf24(F_apply(bf24(u)))."""
+    T = _hadamard_t24()
+    F = T @ M @ T.T / 64.0   # M = (1/8 T^T) F' (T) with F' = TMT^T/8
+    # python floats, not np.float64: weak-typed scalars keep the kernel
+    # dtype under jax_enable_x64
+    return [(i // 3, i % 3, j // 3, j % 3, float(F[i, j]))
+            for i in range(24) for j in range(24)
+            if abs(F[i, j]) > 1e-13]
+
+
 def spectral_factors():
     """Sparse spectral factors of (M1, M2): lists of (m_out, c_out,
     m_in, c_in, coef) such that with s[m, c] = sum_j H[m, j] u[j, c]
@@ -283,17 +307,15 @@ def spectral_factors():
     the inverse transform f[j, c] = sum_m H[m, j] y[m, c] reproduces
     f24 = M @ u24 exactly.  The 1/8 Hadamard normalization is folded
     into the coefficients."""
-    H = hadamard8_matrix()
-    T = np.zeros((24, 24))
-    for m in range(8):
-        for j in range(8):
-            for c in range(3):
-                T[m * 3 + c, j * 3 + c] = H[m, j]
-    out = []
-    for M in stiffness_matrices_24():
-        F = T @ M @ T.T / 64.0   # M = (1/8 T^T) F' (T) with F' = TMT^T/8
-        ent = [(i // 3, i % 3, j // 3, j % 3, F[i, j])
-               for i in range(24) for j in range(24)
-               if abs(F[i, j]) > 1e-13]
-        out.append(ent)
-    return out
+    return [_sparse_factor(M) for M in stiffness_matrices_24()]
+
+
+def spectral_bkt_factors():
+    """Sparse spectral factors of (KMU, KKAPPA), same contract as
+    spectral_factors(): the BKT viscoelastic force (damping.c:228-416)
+    becomes, in the kernel's Hadamard basis,
+      f24 = bf24(mu_f * Fmu(bf24(dvs)) + kappa_f * Fk(bf24(dvk)))
+    with element-local convolution state carried in the same basis
+    (the memory-variable recursion is elementwise-linear, so it
+    commutes with the corner transform)."""
+    return [_sparse_factor(M) for M in bkt_matrices_24()]

@@ -231,21 +231,22 @@ class SimOutputs:
     def make_hook(self, mesh, plan, inner=None, start_step=0):
         gnid_cat = plan.gnid_cat if plan is not None else None
 
-        def u_global(state):
-            u = np.asarray(state[0])
+        def slot_global(u):
+            if isinstance(u, tuple):          # multi-brick pallas path
+                from .solver.pallas_mesh import mesh_u_global
+                return mesh_u_global(plan, u, mesh.nnum)
+            u = np.asarray(u)
             if gnid_cat is not None:          # brick layout [3, TOT]
                 out = np.zeros((mesh.nnum, 3), u.dtype)
                 out[gnid_cat] = u[:, :len(gnid_cat)].T
                 return out
             return u                          # unstructured [N, 3]
 
+        def u_global(state):
+            return slot_global(state[0])
+
         def u_prev_global(state):
-            u = np.asarray(state[1])
-            if gnid_cat is not None:
-                out = np.zeros((mesh.nnum, 3), u.dtype)
-                out[gnid_cat] = u[:, :len(gnid_cat)].T
-                return out
-            return u
+            return slot_global(state[1])
 
         p = self.params
 
@@ -288,6 +289,11 @@ class SimOutputs:
                     and done % p.checkpointing_rate == 0):
                 from .io.checkpoint import checkpoint_write_async
                 st3 = state if len(state) >= 3 else (state + ((),))
+                if isinstance(st3[0], tuple):
+                    # multi-brick pallas carry: canonicalize the fields
+                    # to global [N, 3]; conv stays carry-shaped
+                    st3 = (slot_global(st3[0]), slot_global(st3[1]),
+                           st3[2])
                 checkpoint_write_async(self.ckpt_dir, done, st3[:3])
             if inner is not None:
                 inner(done, state)
@@ -519,9 +525,13 @@ class Simulation:
             hook = on_chunk
 
         def fit_cm(x, tot):
-            """Fit a restored component-major field [3, X] to width
-            tot (brick vs pallas paths pad differently)."""
+            """Fit a restored field to the brick concat layout [3, tot]:
+            accepts component-major [3, X] (brick/pallas paths pad
+            differently) or a canonical global [N, 3] checkpoint."""
             x = np.asarray(x)
+            if (x.ndim == 2 and x.shape[1] == 3
+                    and x.shape[0] == self.mesh.nnum):
+                x = x[plan.gnid_cat].T
             assert x.ndim == 2 and x.shape[0] == 3, \
                 "checkpoint layout does not match the brick solver"
             if x.shape[1] < tot:
@@ -530,11 +540,47 @@ class Simulation:
 
         if plan is not None:
             from .solver.pallas_brick import plan_applies, run_pallas_solver
-            use_pallas = (solver == "pallas"
-                          or (solver == "auto"
-                              and jax.default_backend() == "tpu"
-                              and dtype == jnp.float32
-                              and plan_applies(plan, self.tables.damping)))
+            from .solver.pallas_mesh import (mesh_plan_applies,
+                                             run_mesh_solver)
+            single = plan_applies(plan, self.tables.damping)
+            multi = mesh_plan_applies(plan, self.tables.damping)
+            want = (solver == "pallas"
+                    or (solver == "auto"
+                        and jax.default_backend() == "tpu"
+                        and dtype == jnp.float32))
+            use_pallas = want and single
+            use_mesh = want and multi and not single
+            if use_mesh:
+                interpret = jax.default_backend() != "tpu"
+                if interpret and solver == "pallas":
+                    print("WARNING: pallas solver on a non-TPU backend "
+                          "runs in the slow interpreter; use "
+                          "solver='bricks' for CPU runs", file=sys.stderr)
+                state = None
+                if init_state is not None:
+                    # canonical global [N, 3] fields + carry-shaped conv
+                    state = (np.asarray(init_state[0]),
+                             np.asarray(init_state[1]),
+                             ck_conv or ())
+
+                def _mesh():
+                    return run_mesh_solver(
+                        plan, self.tables, self.src_ids,
+                        self.src_forces, steps, p.delta_t,
+                        st_nodes=st_nodes, st_phi=st_phi, dtype=dtype,
+                        chunk=chunk, on_chunk=hook, interpret=interpret,
+                        state=state, start_step=start_step,
+                        on_snap=snap_hook, snap_every=snap_every)
+
+                try:
+                    state, samples = _mesh()
+                except Exception as e:
+                    if solver == "pallas" or interpret:
+                        raise
+                    print(f"WARNING: multi-brick pallas path failed "
+                          f"({type(e).__name__}); falling back to the "
+                          f"XLA brick path", file=sys.stderr)
+                    use_mesh = False
             if use_pallas:
                 interpret = jax.default_backend() != "tpu"
                 if interpret and solver == "pallas":
@@ -578,7 +624,7 @@ class Simulation:
                             os.environ.pop("HT_PALLAS_PACKED", None)
                         else:
                             os.environ["HT_PALLAS_PACKED"] = prev
-            if not use_pallas:
+            if not use_pallas and not use_mesh:
                 from .solver.brickstep import run_brick_solver
                 state = None
                 if init_state is not None:

@@ -61,18 +61,20 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
             samples = np.asarray(samples).reshape(
                 (k,) + samples.shape[2:])
             if on_snap is not None:
-                su = np.asarray(snaps[0])
-                sp = np.asarray(snaps[1])
+                su = jax.tree.map(np.asarray, snaps[0])
+                sp = jax.tree.map(np.asarray, snaps[1])
                 for i in range(K):
-                    on_snap(s + (i + 1) * snap_every, (su[i], sp[i]))
+                    on_snap(s + (i + 1) * snap_every,
+                            (jax.tree.map(lambda a: a[i], su),
+                             jax.tree.map(lambda a: a[i], sp)))
         else:
             xs = make_xs(s, k)
             state, samples = plain_scan(state, xs)
             samples = np.asarray(samples)
             if (on_snap is not None and snap_every
                     and (s + k) % snap_every == 0):
-                on_snap(s + k, (np.asarray(state[0]),
-                                np.asarray(state[1])))
+                on_snap(s + k, (jax.tree.map(np.asarray, state[0]),
+                                jax.tree.map(np.asarray, state[1])))
         outs.append(samples)
         if on_chunk is not None:
             on_chunk(s + k, state)

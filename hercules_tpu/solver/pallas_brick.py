@@ -32,6 +32,7 @@ unstructured paths.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -40,7 +41,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.kmats import hadamard8_stages, spectral_factors
+from ..physics.kmats import (hadamard8_stages, spectral_bkt_factors,
+                             spectral_factors)
+
+# row order of the packed BKT coefficient table streamed to the kernel
+BK_ROWS = ("shear_c1", "shear_c2", "shear_c3", "shear_c4",
+           "shear_e0", "shear_e1", "a0_shear", "a1_shear", "shear_coef",
+           "kappa_c1", "kappa_c2", "kappa_c3", "kappa_c4",
+           "kappa_e0", "kappa_e1", "a0_kappa", "a1_kappa", "kappa_coef",
+           "mu_f", "kappa_f")
 
 
 def _butterfly(slabs):
@@ -55,11 +64,11 @@ def _butterfly(slabs):
 
 
 def plan_applies(plan, damping) -> bool:
-    """True if the fused kernel covers this brick plan."""
+    """True if the single-brick fused kernel covers this brick plan."""
     return (len(plan.bricks) == 1
             and len(plan.loose_eidx) == 0
             and len(plan.grp_node) == 0
-            and damping in ("rayleigh", "mass", "none"))
+            and damping in ("rayleigh", "mass", "none", "bkt"))
 
 
 def _bf24_stage(U, k):
@@ -97,7 +106,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     def roll(x, shift):
         if interpret:                   # pltpu.roll is mosaic-only
             return jnp.roll(x, shift, axis=1)
-        return pltpu.roll(x, shift, 1)
+        return pltpu.roll(x, jnp.int32(shift), 1)
 
     # packed-mode constant tables: diagonal coefficient vectors and
     # row-level off-diagonal entries (row = 3*m + c), minus folded in
@@ -257,6 +266,185 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     return kernel
 
 
+def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
+                     interpret=False):
+    """Fused BKT (constant-Q viscoelastic) step kernel
+    (damping.c:110-416 fused into one HBM pass).
+
+    Grid is (T, NC): tiles x C-wide column blocks, so the 96-row
+    convolution state streams through VMEM in (96, C) blocks instead of
+    a whole (96, B) tile (which would blow the scoped-vmem budget).
+    The memory variables are carried in the kernel's Hadamard corner
+    basis: the recursion
+        s0' = c2*u + c1*up + e0*s0          (calc_conv, damping.c:110)
+    is elementwise-linear per element, so it commutes with the corner
+    transform and the state never needs transforming back -- the
+    viscoelastic force is
+        f24 = bf24(mu_f * Fmu(Zdvs) + kappa_f * Fk(Zdvk))
+    with Zdvs/Zdvk formed directly in the spectral basis."""
+    NC = B // C
+    W0 = C + 128
+    NR = sorted({o % 128 for o in offs} - {0})
+
+    offd = []
+    dd = np.zeros((48, 1))
+    for base, ent in ((0, fmue), (24, fke)):
+        rows = []
+        for mo, co, mi, ci, k in ent:
+            ro, ri = 3 * mo + co, 3 * mi + ci
+            if ro == ri:
+                dd[base + ro, 0] = k
+            else:
+                rows.append((ro, ri, k))
+        offd.append(rows)
+    offd_mu, offd_k = offd
+
+    def roll(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, jnp.int32(shift), 1)
+
+    def bf24(U):
+        for k in range(3):
+            U = _bf24_stage(U, k)
+        return U
+
+    def offdiag(e, entries):
+        rows = [None] * 24
+        for ro, ri, k in entries:
+            r = k * e[ri:ri + 1]
+            rows[ro] = r if rows[ro] is None else rows[ro] + r
+        zero = jnp.zeros((1, C), dtype)
+        return jnp.concatenate([r if r is not None else zero
+                                for r in rows], axis=0)
+
+    def kernel(ua, ub, upa, upb, bk, mm, invm, ddv, conv, out, conv_out,
+               tail, nf, scr_u, scr_p, scr_w, scr_f):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(t == 0, c == 0))
+        def _():
+            tail[...] = jnp.zeros_like(tail)
+
+        @pl.when(c == 0)
+        def _():
+            nf[...] = jnp.zeros_like(nf)
+            # stage tile + one-tile halo contiguously so the per-chunk
+            # corner windows are lane-aligned dynamic slices
+            scr_u[:, :B] = ua[...]
+            scr_u[:, B:] = ub[:, :o7 + 128]
+            scr_p[:, :B] = upa[...]
+            scr_p[:, B:] = upb[:, :o7 + 128]
+
+        c0 = c * C
+
+        def region(start):
+            gu = scr_u[:, pl.ds(start, W0)]
+            gp = scr_p[:, pl.ds(start, W0)]
+            return jnp.concatenate([gu, gu - gp], axis=0)
+
+        # gather u and (u - up) corner windows into scr_w [48, C]
+        regs = {}
+        for j, o in enumerate(offs):
+            s = o % 128
+            start = o - s          # + c0 at slice time (tracer)
+            key = (start, s)
+            if key not in regs:
+                g = region(c0 + start)
+                regs[key] = g if s == 0 else roll(g, W0 - s)
+            r = regs[key]
+            scr_w[3 * j:3 * j + 3] = r[0:3, :C]
+            scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
+
+        Zu = bf24(scr_w[0:24, :])
+        Zdu = bf24(scr_w[24:48, :])
+        Zup = Zu - Zdu
+        bkv = bk[...]
+
+        s0, s1 = conv[0:24, :], conv[24:48, :]
+        k0, k1 = conv[48:72, :], conv[72:96, :]
+        s0n = bkv[1:2] * Zu + bkv[0:1] * Zup + bkv[4:5] * s0
+        s1n = bkv[3:4] * Zu + bkv[2:3] * Zup + bkv[5:6] * s1
+        k0n = bkv[10:11] * Zu + bkv[9:10] * Zup + bkv[13:14] * k0
+        k1n = bkv[12:13] * Zu + bkv[11:12] * Zup + bkv[14:15] * k1
+        conv_out[...] = jnp.concatenate([s0n, s1n, k0n, k1n], axis=0)
+
+        Zdvs = bkv[8:9] * Zdu + Zu - bkv[6:7] * s0n - bkv[7:8] * s1n
+        Zdvk = bkv[17:18] * Zdu + Zu - bkv[15:16] * k0n - bkv[16:17] * k1n
+        ys = Zdvs * ddv[0:24] + offdiag(Zdvs, offd_mu)
+        yk = Zdvk * ddv[24:48] + offdiag(Zdvk, offd_k)
+        F = bf24(ys * bkv[18:19] + yk * bkv[19:20])
+
+        # scatter through the zero-padded roll scratch (see _make_kernel)
+        scr_f[:, :C] = F
+        scr_f[:, C:] = jnp.zeros((24, 128), dtype)
+        Fv = scr_f[...]
+        R = {0: Fv}
+        for s in NR:
+            R[s] = roll(Fv, s)
+        for j, o in enumerate(offs):
+            s = o % 128
+            a = c0 + (o - s)
+            nf[:, pl.ds(a, W0)] = nf[:, pl.ds(a, W0)] \
+                + R[s][3 * j:3 * j + 3]
+
+        @pl.when(c == NC - 1)
+        def _():
+            force = jnp.concatenate(
+                [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
+            tail[...] = nf[:, B:B + o7]
+            ut = ua[...]
+            out[...] = ut + (force + mm[...] * (ut - upa[...])) \
+                * invm[...]
+
+    return kernel, jnp.asarray(dd, dtype)
+
+
+def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
+                   interpret=False):
+    """pallas_call for one BKT brick: (u, u, up, up, bk, mm, invm, dd,
+    conv) -> (u_next [3, LEN], conv_next [96, LEN])."""
+    if chunk is None:
+        # same throughput as 4096 but ~5x faster Mosaic compile, and
+        # the (96, C) conv blocks stay well inside VMEM
+        chunk = int(os.environ.get("HT_PALLAS_BKT_CHUNK", 2048))
+    C, _ = _kernel_mode(B, chunk)
+    NC = B // C
+    fmue, fke = spectral_bkt_factors()
+    kernel, dd = _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
+                                  interpret=interpret)
+    blk = lambda t, c: (0, t)
+    blk1 = lambda t, c: (0, jnp.minimum(t + 1, T - 1))
+    blkc = lambda t, c: (0, t * NC + c)
+    call = pl.pallas_call(
+        kernel,
+        grid=(T, NC),
+        in_specs=[
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((20, C), blkc),
+            pl.BlockSpec((3, B), blk),
+            pl.BlockSpec((1, B), blk),
+            pl.BlockSpec((48, 1), lambda t, c: (0, 0)),
+            pl.BlockSpec((96, C), blkc),
+        ],
+        out_specs=[pl.BlockSpec((3, B), blk),
+                   pl.BlockSpec((96, C), blkc)],
+        out_shape=[jax.ShapeDtypeStruct((3, LEN), dtype),
+                   jax.ShapeDtypeStruct((96, LEN), dtype)],
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM((48, C), dtype),
+                        pltpu.VMEM((24, C + 128), dtype)],
+        interpret=interpret,
+    )
+    return lambda u, ub, up, upb, bk, mm, invm, conv: call(
+        u, ub, up, upb, bk, mm, invm, dd, conv)
+
+
 class PallasBrickTables:
     """Padded device tables + geometry for the fused kernel."""
 
@@ -281,19 +469,29 @@ class PallasBrickTables:
             out[:len(x)] = x
             return out
 
-        def etab(k):
-            return np.where(plan.evalid_cat,
-                            getattr(tables, k)[plan.eidx_cat], 0.0)
+        def etab_arr(v):
+            return np.where(plan.evalid_cat, v[plan.eidx_cat], 0.0)
 
-        c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
-        # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
-        # (element_coefficients, consts.py; psolve.c:3387-3409), so the
-        # kernel streams (c1, c2, beta) -- 3 rows instead of 4
-        beta = np.divide(c3, c1, out=np.zeros_like(c1), where=c1 != 0)
-        cm = np.stack([pad1(c1), pad1(c2), pad1(beta)])
+        def etab(k):
+            return etab_arr(getattr(tables, k))
+
+        self.damping = tables.damping
+        if tables.damping == "bkt":
+            self.bk = f(np.stack([pad1(etab_arr(tables.bkt[k]))
+                                  for k in BK_ROWS]))
+            self.cm = None
+        else:
+            c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
+            # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
+            # (element_coefficients, consts.py; psolve.c:3387-3409), so
+            # the kernel streams (c1, c2, beta) -- 3 rows instead of 4
+            beta = np.divide(c3, c1, out=np.zeros_like(c1),
+                             where=c1 != 0)
+            cm = np.stack([pad1(c1), pad1(c2), pad1(beta)])
+            self.cm = f(cm)
+            self.bk = None
         mm = np.stack([pad1(tables.mass_minusaM[g][:, c])
                        for c in range(3)])
-        self.cm = f(cm)
         self.mm = f(mm)
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
 
@@ -358,7 +556,10 @@ def pallas_geometry(offs, nb, tile=None):
         tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
     o7 = offs[7]
     B = tile
-    while B < o7 + 1:
+    # the halo window reaches o7 + 128 into the next tile (region()
+    # reads [start, start + C + 128) with start up to B - C + o7), so
+    # the tile must cover it
+    while B < o7 + 129:
         B *= 2
     T = int(np.ceil(nb / B)) + 1
     return B, T, T * B
@@ -366,31 +567,43 @@ def pallas_geometry(offs, nb, tile=None):
 
 def make_pallas_step(pt: PallasBrickTables, interpret=False):
     """scan-able step with the same carry/x contract as the XLA brick
-    step (minus the BKT conv slot): carry = (u, up), x = (srcf [L,3]
-    dt^2-scaled, step_idx)."""
+    step: carry = (u, up) (elastic) or (u, up, conv) (BKT, conv in the
+    spectral basis [96, LEN]), x = (srcf [L,3] dt^2-scaled, step_idx)."""
     B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
     dtype = pt.dtype
-    call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
-                      interpret=interpret)
+    bkt = pt.damping == "bkt"
+    if bkt:
+        call = build_bkt_call(pt.offs, B, o7, T, LEN, dtype,
+                              interpret=interpret)
+    else:
+        call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
+                          interpret=interpret)
 
     def step(carry, x):
         srcf, step_idx = x
-        u, up = carry
+        u, up = carry[0], carry[1]
         if pt.st_pos is not None:
             sample = jnp.einsum("sn,csn->sc", pt.st_phi, u[:, pt.st_pos])
         else:
             sample = jnp.zeros((0, 3), dtype)
-        un = call(u, u, up, up, pt.cm, pt.mm, pt.invm, pt.dd)
+        if bkt:
+            un, conv = call(u, u, up, up, pt.bk, pt.mm, pt.invm,
+                            carry[2])
+        else:
+            un = call(u, u, up, up, pt.cm, pt.mm, pt.invm, pt.dd)
         if pt.src_pos is not None:
             un = un.at[:, pt.src_pos].add(
                 srcf.T * pt.invm[0][pt.src_pos][None, :])
-        return (un, u), sample
+        out = (un, u, conv) if bkt else (un, u)
+        return out, sample
 
     return step
 
 
 def init_pallas_state(pt: PallasBrickTables):
     u = jnp.zeros((3, pt.LEN), pt.dtype)
+    if pt.damping == "bkt":
+        return (u, u, jnp.zeros((96, pt.LEN), pt.dtype))
     return (u, u)
 
 
@@ -409,8 +622,12 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
         state = init_pallas_state(pt)
     elif state[0].shape[1] != pt.LEN:   # resume from an unpadded field
         pad = pt.LEN - state[0].shape[1]
+        conv = state[2:]
         state = tuple(jnp.pad(jnp.asarray(x, dtype), ((0, 0), (0, pad)))
                       for x in state[:2])
+        if tables.damping == "bkt":
+            state = state + (conv[0] if conv else
+                             jnp.zeros((96, pt.LEN), dtype),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

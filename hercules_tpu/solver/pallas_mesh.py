@@ -1,0 +1,478 @@
+"""Multi-brick fused Pallas solver: the graded-mesh TPU fast path.
+
+The XLA brick path (brickstep.py) evaluates each brick with
+materialized [24, S] intermediates; here every dense brick runs the
+fused single-pass kernel (pallas_brick.py), and an XLA epilogue
+reconciles the O(interface) shared/hanging nodes of the brick plan
+(bricks.py).  The kernel never writes its element forces to HBM: the
+central-difference update is linear in the force, so the local force
+at any node is recoverable from the kernel's own output,
+
+    F_loc = (u_next - u) * mass - mass_minusaM * (u - up),
+
+and reconciliation only gathers (u, up, u_next) at the interface
+copies, sums per shared node, applies the dangling distribute/assign
+algebra (compute_adjust, psolve.c:5936-6039), and rewrites the few
+affected entries.  "Loose" elements (graded-transition slivers too
+small to brick) keep the XLA gather/scatter path on their own node
+section.
+
+Semantics match brickstep.py exactly (same operators, same group
+algebra); tests/test_pallas_mesh.py checks f64 agreement on graded
+meshes for both rayleigh and BKT damping.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bricks import BrickPlan
+from .pallas_brick import (BK_ROWS, build_bkt_call, build_call,
+                           pallas_geometry, spectral_factors)
+
+
+def mesh_plan_applies(plan: BrickPlan, damping: str,
+                      max_bricks: Optional[int] = None) -> bool:
+    """True if the multi-brick fused path covers this plan."""
+    if max_bricks is None:
+        max_bricks = int(os.environ.get("HT_PALLAS_MAX_BRICKS", 24))
+    return (len(plan.bricks) <= max_bricks
+            and damping in ("rayleigh", "mass", "none", "bkt"))
+
+
+class _Gather:
+    """Precomputed gather of K interface entries spread over the
+    per-brick (+ loose) arrays: entry k reads column locals[k] of
+    array arrs[k]."""
+
+    def __init__(self, arrs, locals_, n_arrays, K):
+        self.K = K
+        self.plan = []
+        for a in range(n_arrays):
+            m = arrs == a
+            if m.any():
+                self.plan.append((a, jnp.asarray(locals_[m], jnp.int32),
+                                  jnp.asarray(np.flatnonzero(m),
+                                              jnp.int32)))
+
+    def __call__(self, arrays, dtype):
+        out = jnp.zeros((self.K, 3), dtype)
+        for a, src, dst in self.plan:
+            out = out.at[dst].set(arrays[a][:, src].T)
+        return out
+
+    def scatter_set(self, arrays, vals):
+        arrays = list(arrays)
+        for a, src, dst in self.plan:
+            arrays[a] = arrays[a].at[:, src].set(vals[dst].T)
+        return arrays
+
+
+class MeshPallasTables:
+    """Host-built device tables for the multi-brick fused step."""
+
+    def __init__(self, plan: BrickPlan, tables, src_ids=None,
+                 st_nodes=None, st_phi=None, dtype=jnp.float32,
+                 tile=None):
+        assert mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30)
+        self.plan = plan
+        self.dtype = dtype
+        self.damping = tables.damping
+        bkt = tables.damping == "bkt"
+        f = lambda x: jnp.asarray(x, dtype)
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+
+        NB = len(plan.bricks)
+        self.NB = NB
+        off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
+                     if NB else 0)
+        self.off_loose = off_loose
+        TOT = plan.total_nb
+        NL = TOT - off_loose
+        self.NL = NL
+
+        g = plan.gnid_cat
+        ev = plan.evalid_cat
+        ei = plan.eidx_cat
+
+        def etab_arr(v):
+            return np.where(ev, v[ei], 0.0)
+
+        # ---- per-brick geometry + padded constant tables -------------
+        self.geo = []        # (offs, B, o7, T, LEN) per brick
+        self.cm = []
+        self.bk = []
+        self.mm = []
+        self.invm = []
+        if not bkt:
+            c1 = etab_arr(tables.c1)
+            c2 = etab_arr(tables.c2)
+            c3 = etab_arr(tables.c3)
+            beta = np.divide(c3, c1, out=np.zeros_like(c1),
+                             where=c1 != 0)
+            cm_rows = np.stack([c1, c2, beta])
+        else:
+            bk_rows = np.stack([etab_arr(tables.bkt[k])
+                                for k in BK_ROWS])
+        mm_rows = tables.mass_minusaM[g].T       # [3, TOT]
+        invm_row = tables.inv_mass[g]
+        for b in plan.bricks:
+            offs = tuple(b.corner_offsets())
+            o7 = offs[7]
+            # size the tile to the brick (small bricks need no 32k pad)
+            tb = tile
+            if tb is None:
+                tb = min(int(os.environ.get("HT_PALLAS_TILE", 32768)),
+                         max(512, 1 << int(np.ceil(np.log2(o7 + 130)))))
+            B, T, LEN = pallas_geometry(offs, b.nb, tile=tb)
+            self.geo.append((offs, B, o7, T, LEN))
+            lo, hi = b.off, b.off + b.nb
+
+            def pad2(rows):
+                out = np.zeros((rows.shape[0], LEN), np.float64)
+                out[:, :b.nb] = rows[:, lo:hi]
+                return f(out)
+
+            if bkt:
+                self.bk.append(pad2(bk_rows))
+                self.cm.append(None)
+            else:
+                self.cm.append(pad2(cm_rows))
+                self.bk.append(None)
+            self.mm.append(pad2(mm_rows))
+            self.invm.append(pad2(invm_row[None, :]))
+
+        # ---- loose section -------------------------------------------
+        lslice = slice(off_loose, TOT)
+        self.mm_l = f(mm_rows[:, lslice])
+        self.invm_l = f(invm_row[lslice])[None, :]
+        le = plan.loose_eidx
+        self.El = El = len(le)
+        if El:
+            assert (plan.loose_rows >= off_loose).all()
+            self.l_rows = i32(plan.loose_rows - off_loose)
+            lseg = (plan.loose_rows - off_loose).ravel()
+            lperm = np.argsort(lseg, kind="stable")
+            self.l_perm = i32(lperm)
+            self.l_seg = i32(lseg[lperm])
+            if bkt:
+                self.l_bkt = {k: f(v[le]) for k, v in tables.bkt.items()}
+                self.kmu_cat = f(tables.kmu.T)
+                self.kkappa_cat = f(tables.kkappa.T)
+            else:
+                for k in ("c1", "c2", "c3", "c4"):
+                    setattr(self, f"l_{k}", f(getattr(tables, k)[le]))
+                self.mcat = f(tables.m48.T)
+
+        # ---- reconciliation plan in (array, local) coordinates -------
+        def locate(pos):
+            """concat position -> (array index, local column)."""
+            arr = np.full(len(pos), NB, np.int64)     # default: loose
+            loc = pos - off_loose
+            for a, b in enumerate(plan.bricks):
+                m = (pos >= b.off) & (pos < b.off + b.nb)
+                arr[m] = a
+                loc[m] = pos[m] - b.off
+            return arr, loc
+
+        K = len(plan.ex_pos)
+        self.K = K
+        self.G = len(plan.grp_node)
+        if K:
+            ex_arr, ex_loc = locate(plan.ex_pos.astype(np.int64))
+            self.ex_gather = _Gather(ex_arr, ex_loc, NB + 1, K)
+            self.ex_seg = i32(plan.ex_seg)
+            first = np.searchsorted(plan.ex_seg, np.arange(self.G))
+            self.grp_first = i32(first)
+            # per-entry node constants
+            gn = g[plan.ex_pos]
+            self.mass_ex = f(1.0 / tables.inv_mass[gn])[:, None]
+            self.invm_ex = f(tables.inv_mass[gn])[:, None]
+            self.mm_ex = f(tables.mass_minusaM[gn])
+
+        D = len(plan.dn_grp)
+        self.D = D
+        if D:
+            self.dn_grp = i32(plan.dn_grp)
+            self.dn_anc_grp = i32(plan.dn_anc_grp)
+            self.dn_wgt = f(plan.dn_wgt)
+            isdn = np.zeros(self.G, bool)
+            isdn[plan.dn_grp] = True
+            grp2dn = np.zeros(self.G, np.int64)
+            grp2dn[plan.dn_grp] = np.arange(D)
+            m = isdn[plan.ex_seg]
+            self.dnc_k = i32(np.flatnonzero(m))
+            self.dnc_src = i32(grp2dn[plan.ex_seg[m]])
+
+        # ---- sources: group-level vs direct ---------------------------
+        self.src_grp_idx = self.src_grp_rows = None
+        self.src_direct = []
+        if src_ids is not None and len(src_ids):
+            uniq, firstc = np.unique(g, return_index=True)
+            pos = firstc[np.searchsorted(uniq, src_ids)]
+            assert (g[pos] == src_ids).all()
+            node2grp = -np.ones(plan.mesh.nnum, np.int64)
+            node2grp[plan.grp_node] = np.arange(self.G)
+            gi = node2grp[src_ids]
+            ing = gi >= 0
+            if ing.any():
+                self.src_grp_idx = i32(gi[ing])
+                self.src_grp_rows = i32(np.flatnonzero(ing))
+            dm = ~ing
+            if dm.any():
+                arr, loc = locate(pos[dm])
+                rows = np.flatnonzero(dm)
+                for a in range(NB + 1):
+                    sel = arr == a
+                    if sel.any():
+                        pp = loc[sel]
+                        iv = (tables.inv_mass[g[pos[dm][sel]]])
+                        self.src_direct.append(
+                            (a, i32(pp), i32(rows[sel]), f(iv)[:, None]))
+
+        # ---- stations --------------------------------------------------
+        self.st = None
+        if st_nodes is not None and len(np.asarray(st_nodes)):
+            st_nodes = np.asarray(st_nodes)
+            uniq, firstc = np.unique(g, return_index=True)
+            flat = st_nodes.ravel()
+            pos = firstc[np.searchsorted(uniq, flat)]
+            assert (g[pos] == flat).all()
+            arr, loc = locate(pos)
+            self.st = (_Gather(arr, loc, NB + 1, len(flat)),
+                       st_nodes.shape, f(st_phi))
+
+
+def make_mesh_step(mt: MeshPallasTables, interpret=False):
+    """scan-able multi-brick step.  carry = (us, ups, conv) with us/ups
+    tuples of [3, LEN_b] per brick + [3, NL] loose; conv = per-brick
+    spectral [96, LEN_b] + loose ([El,8,3] x4) for BKT, else ()."""
+    dtype = mt.dtype
+    bkt = mt.damping == "bkt"
+    f1e, f2e = spectral_factors()
+    import numpy as _np
+    dd = _np.zeros((48, 1))
+    for base, ent in ((0, f1e), (24, f2e)):
+        for mo, co, mi, ci, k in ent:
+            if (mo, co) == (mi, ci):
+                dd[base + 3 * mo + co, 0] = -k
+    dd = jnp.asarray(dd, dtype)
+
+    calls = []
+    for (offs, B, o7, T, LEN) in mt.geo:
+        if bkt:
+            calls.append(build_bkt_call(offs, B, o7, T, LEN, dtype,
+                                        interpret=interpret))
+        else:
+            calls.append(build_call(offs, B, o7, T, LEN, f1e, f2e,
+                                    dtype, interpret=interpret))
+
+    NB = mt.NB
+
+    def step(carry, x):
+        srcf, step_idx = x
+        us, ups, conv = carry
+
+        if mt.st is not None:
+            gat, shape, phi = mt.st
+            u_st = gat(us, dtype).reshape(shape + (3,))
+            sample = jnp.einsum("sn,snc->sc", phi, u_st)
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+
+        # ---- per-brick fused kernels ---------------------------------
+        uns = []
+        new_conv = []
+        for b in range(NB):
+            u, up = us[b], ups[b]
+            if bkt:
+                un, cv = calls[b](u, u, up, up, mt.bk[b], mt.mm[b],
+                                  mt.invm[b], conv[b])
+                new_conv.append(cv)
+            else:
+                un = calls[b](u, u, up, up, mt.cm[b], mt.mm[b],
+                              mt.invm[b], dd)
+            uns.append(un)
+
+        # ---- loose elements (XLA gather/scatter) ---------------------
+        u_l, up_l = us[NB], ups[NB]
+        F_l = jnp.zeros((3, mt.NL), dtype)
+        if mt.El:
+            uT, upT = u_l.T, up_l.T
+            ue = uT[mt.l_rows].reshape(mt.El, 24)
+            upe = upT[mt.l_rows].reshape(mt.El, 24)
+            if not bkt:
+                du = ue - upe
+                a = mt.l_c1[:, None] * ue + mt.l_c3[:, None] * du
+                b_ = mt.l_c2[:, None] * ue + mt.l_c4[:, None] * du
+                lf = -(jnp.concatenate([a, b_], 1) @ mt.mcat.T)
+            else:
+                lbk = mt.l_bkt
+                ue3 = ue.reshape(mt.El, 8, 3)
+                upe3 = upe.reshape(mt.El, 8, 3)
+                ls0, ls1, lk0, lk1 = conv[NB]
+
+                def lupd(f0, f1, p):
+                    f0n = (lbk[f"{p}_c2"][:, None, None] * ue3
+                           + lbk[f"{p}_c1"][:, None, None] * upe3
+                           + lbk[f"{p}_e0"][:, None, None] * f0)
+                    f1n = (lbk[f"{p}_c4"][:, None, None] * ue3
+                           + lbk[f"{p}_c3"][:, None, None] * upe3
+                           + lbk[f"{p}_e1"][:, None, None] * f1)
+                    return f0n, f1n
+
+                ls0, ls1 = lupd(ls0, ls1, "shear")
+                lk0, lk1 = lupd(lk0, lk1, "kappa")
+                new_conv.append((ls0, ls1, lk0, lk1))
+                du3 = ue3 - upe3
+                dvs = (lbk["shear_coef"][:, None, None] * du3
+                       - (lbk["a0_shear"][:, None, None] * ls0
+                          + lbk["a1_shear"][:, None, None] * ls1) + ue3)
+                dvk = (lbk["kappa_coef"][:, None, None] * du3
+                       - (lbk["a0_kappa"][:, None, None] * lk0
+                          + lbk["a1_kappa"][:, None, None] * lk1) + ue3)
+                lf = (lbk["mu_f"][:, None]
+                      * (dvs.reshape(mt.El, 24) @ mt.kmu_cat.T)
+                      + lbk["kappa_f"][:, None]
+                      * (dvk.reshape(mt.El, 24) @ mt.kkappa_cat.T))
+            flat = lf.reshape(-1, 3)[mt.l_perm]
+            F_l = jax.ops.segment_sum(flat, mt.l_seg,
+                                      num_segments=mt.NL,
+                                      indices_are_sorted=True).T
+        un_l = u_l + (F_l + mt.mm_l * (u_l - up_l)) * mt.invm_l
+        uns.append(un_l)
+
+        # ---- interface reconciliation --------------------------------
+        if mt.K:
+            u_ex = mt.ex_gather(us, dtype)
+            up_ex = mt.ex_gather(ups, dtype)
+            un_ex = mt.ex_gather(uns, dtype)
+            du_ex = u_ex - up_ex
+            # recover each copy's local force by linearity
+            F_ex = (un_ex - u_ex) * mt.mass_ex - mt.mm_ex * du_ex
+            tot = jax.ops.segment_sum(F_ex, mt.ex_seg,
+                                      num_segments=mt.G,
+                                      indices_are_sorted=True)
+            if mt.src_grp_idx is not None:
+                tot = tot.at[mt.src_grp_idx].add(srcf[mt.src_grp_rows])
+            if mt.D:
+                contrib = (tot[mt.dn_grp][:, None, :]
+                           * mt.dn_wgt[:, :, None])
+                tot = tot.at[mt.dn_anc_grp].add(contrib)
+            un_ex = u_ex + (tot[mt.ex_seg] + mt.mm_ex * du_ex) \
+                * mt.invm_ex
+            if mt.D:
+                u_rep = un_ex[mt.grp_first]
+                dnv = (u_rep[mt.dn_anc_grp]
+                       * mt.dn_wgt[:, :, None]).sum(axis=1)
+                un_ex = un_ex.at[mt.dnc_k].set(dnv[mt.dnc_src])
+            uns = mt.ex_gather.scatter_set(uns, un_ex)
+
+        # ---- direct (single-copy) source injection -------------------
+        for a, pp, rows, iv in mt.src_direct:
+            uns[a] = uns[a].at[:, pp].add((srcf[rows] * iv).T)
+
+        conv_out = ((tuple(new_conv[:NB])
+                     + ((new_conv[NB],) if mt.El else ()))
+                    if bkt else ())
+        return (tuple(uns), tuple(us), conv_out), sample
+
+    return step
+
+
+def init_mesh_state(mt: MeshPallasTables):
+    us = tuple(jnp.zeros((3, geo[4]), mt.dtype) for geo in mt.geo) \
+        + (jnp.zeros((3, mt.NL), mt.dtype),)
+    conv = ()
+    if mt.damping == "bkt":
+        conv = tuple(jnp.zeros((96, geo[4]), mt.dtype) for geo in mt.geo)
+        if mt.El:
+            conv = conv + (tuple(jnp.zeros((mt.El, 8, 3), mt.dtype)
+                                 for _ in range(4)),)
+    return (us, us, conv)
+
+
+def mesh_u_global(plan: BrickPlan, us, N):
+    """Global [N, 3] displacement from the per-array state tuple."""
+    dt = np.asarray(us[0]).dtype
+    u = np.zeros((N, 3), dt)
+    for b, arr in zip(plan.bricks, us):
+        u[plan.gnid_cat[b.off:b.off + b.nb]] = \
+            np.asarray(arr)[:, :b.nb].T
+    off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
+                 if plan.bricks else 0)
+    u[plan.gnid_cat[off_loose:]] = np.asarray(us[-1]).T
+    return u
+
+
+def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
+                       conv_flat):
+    """Rebuild the per-array carry from a checkpoint's canonical global
+    [N, 3] fields (+ carry-shaped conv arrays for BKT)."""
+    dtype = mt.dtype
+
+    def split(ug):
+        ug = np.asarray(ug)
+        assert ug.ndim == 2 and ug.shape[1] == 3, \
+            "checkpoint layout does not match the multi-brick solver"
+        out = []
+        for b, (geo) in zip(plan.bricks, mt.geo):
+            arr = np.zeros((3, geo[4]), np.float64)
+            arr[:, :b.nb] = ug[plan.gnid_cat[b.off:b.off + b.nb]].T
+            out.append(jnp.asarray(arr, dtype))
+        out.append(jnp.asarray(
+            ug[plan.gnid_cat[mt.off_loose:]].T, dtype))
+        return tuple(out)
+
+    conv = ()
+    if mt.damping == "bkt":
+        want = [(96, geo[4]) for geo in mt.geo]
+        if mt.El:
+            want += [(mt.El, 8, 3)] * 4
+        got = [tuple(np.shape(a)) for a in conv_flat]
+        if got != want:
+            raise RuntimeError(
+                f"checkpoint BKT state {got} does not match the "
+                f"multi-brick pallas layout {want}; restart with the "
+                f"solver path that wrote it")
+        conv = tuple(jnp.asarray(a, dtype) for a in conv_flat[:mt.NB])
+        if mt.El:
+            conv = conv + (tuple(jnp.asarray(a, dtype)
+                                 for a in conv_flat[mt.NB:]),)
+    return (split(u_now), split(u_prev), conv)
+
+
+def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
+                    st_nodes=None, st_phi=None, dtype=jnp.float32,
+                    chunk=None, state=None, on_chunk=None,
+                    interpret=False, start_step=0, on_snap=None,
+                    snap_every=None):
+    """Chunked time loop; same contract as run_brick_solver."""
+    from .chunking import run_chunked
+
+    mt = MeshPallasTables(plan, tables, src_ids=src_ids,
+                          st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
+    step = make_mesh_step(mt, interpret=interpret)
+    if state is None:
+        state = init_mesh_state(mt)
+    elif not isinstance(state[0], tuple):
+        state = restore_mesh_state(mt, plan, state[0], state[1],
+                                   state[2] if len(state) > 2 else ())
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+
+    def make_xs(s, k):
+        return (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
+                jnp.arange(s, s + k, dtype=jnp.int32))
+
+    state, samples = run_chunked(step, state, make_xs, total_steps,
+                                 start_step=start_step, chunk=chunk,
+                                 on_chunk=on_chunk, on_snap=on_snap,
+                                 snap_every=snap_every)
+    return state, samples

@@ -59,3 +59,38 @@ def test_pallas_matches_brick_solver(problem):
     # padding region stays exactly zero
     nb = plan.bricks[0].nb
     assert not np.asarray(state_p[0])[:, nb:].any()
+
+
+def test_pallas_bkt_matches_brick_solver():
+    """Fused BKT kernel (spectral-basis convolution state) vs the XLA
+    brick solver on a uniform mesh (interpret mode, f64)."""
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.finalize()
+    mesh = generate_mesh(p, CVM(f"{S}/simple_case.e"))
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    assert plan_applies(plan, tables.damping)
+
+    T = 40
+    rng = np.random.default_rng(7)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[5, 900]]
+    st_phi = np.full((2, 8), 0.125)
+
+    state_b, samp_b = run_brick_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64)
+    state_p, samp_p = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
+        interpret=True)
+
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_p = pallas_u_global(plan, state_p[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_p, u_b, rtol=0, atol=2e-12 * scale)
+    np.testing.assert_allclose(samp_p, samp_b, rtol=0,
+                               atol=2e-12 * max(np.abs(samp_b).max(), 1))

@@ -1,0 +1,116 @@
+"""Multi-brick fused Pallas path (pallas_mesh.py) vs the XLA brick
+solver: identical trajectories on graded meshes with hanging nodes,
+for rayleigh and BKT damping (interpret mode on CPU, f64)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+from hercules_tpu.material import MeshOrigin, correct_properties
+from hercules_tpu.mesh import Octree, extract_mesh
+from hercules_tpu.solver.assemble import assemble
+from hercules_tpu.solver.bricks import build_plan
+from hercules_tpu.solver.brickstep import (brick_u_global,
+                                           run_brick_solver)
+from hercules_tpu.solver.pallas_mesh import (mesh_plan_applies,
+                                             mesh_u_global,
+                                             run_mesh_solver)
+
+S = "/root/reference/examples/simple"
+
+
+def _graded_mesh(p, cvm):
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = (x < (1 << 29)) & (y < (1 << 29)) & (z < (1 << 28))
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    return mesh
+
+
+@pytest.fixture(scope="module")
+def graded():
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    return p, _graded_mesh(p, cvm)
+
+
+def _compare(p, mesh, damping, T=60):
+    p.type_of_damping = damping
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    assert mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30)
+    assert len(plan.grp_node) > 0          # hanging/interface nodes
+    assert len(mesh.dn_ids) > 0
+
+    rng = np.random.default_rng(11)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0],
+                    mesh.elem_lnid[2, 6]], np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[4, mesh.lenum - 3]]
+    st_phi = np.full((2, 8), 0.125)
+
+    state_b, samp_b = run_brick_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=30)
+    state_m, samp_m = run_mesh_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=30,
+        interpret=True)
+
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_m = mesh_u_global(plan, state_m[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_b, rtol=0, atol=5e-12 * scale)
+    np.testing.assert_allclose(
+        samp_m, samp_b, rtol=0,
+        atol=5e-12 * max(np.abs(samp_b).max(), 1))
+
+
+def test_mesh_pallas_rayleigh_graded(graded):
+    p, mesh = graded
+    _compare(p, mesh, "rayleigh")
+
+
+def test_mesh_pallas_bkt_graded(graded):
+    p, mesh = graded
+    _compare(p, mesh, "bkt")
+
+
+def test_mesh_pallas_uniform_source_on_shared_node(graded):
+    """Uniform mesh through the multi path (single brick, no groups)."""
+    from hercules_tpu.meshgen import generate_mesh
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+
+    T = 40
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = np.zeros((T, 2, 3))
+    forces[:6] = 3e7
+    state_b, _ = run_brick_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float64)
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float64,
+                                 interpret=True)
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_m = mesh_u_global(plan, state_m[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_b, rtol=0, atol=2e-13 * scale)
