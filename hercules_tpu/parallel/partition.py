@@ -42,7 +42,6 @@ class ShardedTables:
     bkt: dict = field(default_factory=dict)
     inv_mass: np.ndarray = None      # [d, N_pad]
     mass_minusaM: np.ndarray = None  # [d, N_pad, 3]
-    mass2_minusaM: np.ndarray = None
     scat_perm: np.ndarray = None     # [d, E_pad*8]
     scat_seg: np.ndarray = None
     dn_ids: np.ndarray = None        # [d, D_pad]
@@ -128,7 +127,7 @@ def shard_tables(tables, mesh, n_dev, src_ids=None) -> ShardedTables:
     lnid_s, perm_s, seg_s = [], [], []
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
     bkt_s = {k: [] for k in tables.bkt} if tables.bkt else {}
-    invm_s, m1_s, m2_s = [], [], []
+    invm_s, m1_s = [], []
     dnid_s, danc_s, dwgt_s, dperm_s, dseg_s = [], [], [], [], []
     blidx_s, bmask_s = [], []
     srcl_s, srcm_s = [], []
@@ -166,9 +165,6 @@ def shard_tables(tables, mesh, n_dev, src_ids=None) -> ShardedTables:
         mm = np.zeros((N_pad, 3))
         mm[:nl] = tables.mass_minusaM[nodes]
         m1_s.append(mm)
-        m2 = np.zeros((N_pad, 3))
-        m2[:nl] = tables.mass2_minusaM[nodes]
-        m2_s.append(m2)
 
         dn_rows = dev_dn[d]
         nd = len(dn_rows)
@@ -219,7 +215,6 @@ def shard_tables(tables, mesh, n_dev, src_ids=None) -> ShardedTables:
     st.bkt = {k: np.stack(v) for k, v in bkt_s.items()}
     st.inv_mass = np.stack(invm_s)
     st.mass_minusaM = np.stack(m1_s)
-    st.mass2_minusaM = np.stack(m2_s)
     st.scat_perm = np.stack(perm_s)
     st.scat_seg = np.stack(seg_s)
     st.dn_ids = np.stack(dnid_s)

@@ -28,7 +28,6 @@ def _dev_tables(st, dtype):
         "c3": f(st.c["c3"]), "c4": f(st.c["c4"]),
         "inv_mass": f(st.inv_mass),
         "mass_minusaM": f(st.mass_minusaM),
-        "mass2_minusaM": f(st.mass2_minusaM),
         "scat_perm": i(st.scat_perm), "scat_seg": i(st.scat_seg),
         "dn_ids": i(st.dn_ids), "dn_anchors": i(st.dn_anchors),
         "dn_weights": f(st.dn_weights),
@@ -119,8 +118,9 @@ def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
         newv = jnp.where(t["b_mask"][:, None], tot, force[t["b_lidx"]])
         force = force.at[t["b_lidx"]].set(newv)
 
-        u_next = (force + t["mass2_minusaM"] * u_now
-                  - t["mass_minusaM"] * u_prev) * t["inv_mass"][:, None]
+        # increment form (see solver/step.py): better f32 conditioning
+        u_next = u_now + (force + t["mass_minusaM"]
+                          * (u_now - u_prev)) * t["inv_mass"][:, None]
         # dangling assignment (local anchors, consistent replicas)
         vals = (u_next[t["dn_anchors"]]
                 * t["dn_weights"][:, :, None]).sum(1)

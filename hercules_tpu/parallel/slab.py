@@ -47,7 +47,6 @@ class SlabTables:
     c: dict = None
     inv_mass: np.ndarray = None
     mass_minusaM: np.ndarray = None
-    mass2_minusaM: np.ndarray = None
     src_lidx: np.ndarray = None     # [n_dev, L]
     src_mask: np.ndarray = None
     gnid_local: list = None         # per device: global node ids
@@ -86,7 +85,7 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
     bks = ({k: [] for k in t_host["bkt"]}
            if tables.damping == "bkt" else None)
-    invm, m1, m2 = [], [], []
+    invm, m1 = [], []
     srcl, srcm = [], []
     gnids = []
     L = len(src_ids) if src_ids is not None else 0
@@ -105,7 +104,6 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
                 bks[k].append(v)
         invm.append(t_host["inv_mass"][n0:n1])
         m1.append(t_host["mass_minusaM"][:, n0:n1])
-        m2.append(t_host["mass2_minusaM"][:, n0:n1])
         gnids.append(plan.gnid_cat[n0:n1])
         if L:
             pos = t_host["src_pos"].astype(np.int64)
@@ -121,7 +119,6 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     st.c = {k: np.stack(v) for k, v in cs.items()}
     st.inv_mass = np.stack(invm)
     st.mass_minusaM = np.stack(m1)
-    st.mass2_minusaM = np.stack(m2)
     st.gnid_local = gnids
     if L:
         st.src_lidx = np.stack(srcl)
@@ -144,7 +141,6 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         "c3": f(st.c["c3"]), "c4": f(st.c["c4"]),
         "inv_mass": f(st.inv_mass),
         "mass_minusaM": f(st.mass_minusaM),
-        "mass2_minusaM": f(st.mass2_minusaM),
     }
     has_src = st.src_lidx is not None
     if has_src:
@@ -221,8 +217,9 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         force = jnp.concatenate([top, force[:, plane:-plane], bot],
                                 axis=1)
 
-        u_next = (force + t["mass2_minusaM"] * u
-                  - t["mass_minusaM"] * up) * t["inv_mass"][None]
+        # increment form (see solver/step.py): better f32 conditioning
+        u_next = u + (force + t["mass_minusaM"] * (u - up)) \
+            * t["inv_mass"][None]
         if bkt:
             return (u_next, u, conv), None
         return (u_next, u), None

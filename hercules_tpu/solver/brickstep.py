@@ -53,7 +53,6 @@ def assemble_brick_tables(plan: BrickPlan, tables, src_ids=None,
         "mcat": tables.m48.T.copy(),               # [24, 48]
         "inv_mass": tables.inv_mass[g],            # [TOT]
         "mass_minusaM": tables.mass_minusaM[g].T.copy(),   # [3, TOT]
-        "mass2_minusaM": tables.mass2_minusaM[g].T.copy(),
     }
     for k in ("c1", "c2", "c3", "c4"):
         t[k] = np.where(ev, getattr(tables, k)[ei], 0.0)
@@ -296,8 +295,9 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
                 tot = tot.at[d["dn_anc_grp"]].add(contrib)
             force = force.at[:, d["ex_pos"]].set(tot[d["ex_seg"]].T)
 
-        u_next = (force + d["mass2_minusaM"] * u
-                  - d["mass_minusaM"] * up) * d["inv_mass"][None, :]
+        # increment form (see solver/step.py): better f32 conditioning
+        u_next = u + (force + d["mass_minusaM"] * (u - up)) \
+            * d["inv_mass"][None, :]
 
         if has_dn:
             u_rep = u_next[:, d["grp_rep"]].T              # [G, 3]

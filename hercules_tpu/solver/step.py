@@ -35,7 +35,6 @@ def _dev(tables, dtype):
         "c3": f(tables.c3), "c4": f(tables.c4),
         "inv_mass": f(tables.inv_mass),
         "mass_minusaM": f(tables.mass_minusaM),
-        "mass2_minusaM": f(tables.mass2_minusaM),
         "scat_perm": i(tables.scat_perm), "scat_seg": i(tables.scat_seg),
         "dn_ids": i(tables.dn_ids),
         "dn_anchors": i(tables.dn_anchors),
@@ -213,8 +212,12 @@ def make_step(tables, src_ids, st_nodes=None, st_phi=None,
         force = dangling_distribute(d, N, force)
 
         # node update (solver_compute_displacement, psolve.c:4072-4114)
-        u_next = (force + d["mass2_minusaM"] * u_now
-                  - d["mass_minusaM"] * u_prev) * d["inv_mass"][:, None]
+        # in increment form: mass2_minusaM - mass_minusaM == mass_simple
+        # exactly (node_masses), so u+ = u + (F + m*(u - u-))/ms -- far
+        # better f32 conditioning than the reference's m2*u - m*u- form
+        # (the displacement increment is computed directly)
+        u_next = u_now + (force + d["mass_minusaM"]
+                          * (u_now - u_prev)) * d["inv_mass"][:, None]
 
         if nl is not None and nl["geostatic"]:
             # geostatic_displacements_fix: bottom z pinned during loading
