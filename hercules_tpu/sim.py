@@ -481,9 +481,23 @@ class Simulation:
                 chunk = dcfg.print_rate if chunk is None else min(
                     chunk, dcfg.print_rate)
 
+        # fixed-base buildings: load the prescribed base displacement
+        # series (bldgs_load_fixedbase_disps, buildings.c:975-1146) and
+        # route through the unstructured solver, which applies them
+        fb_ids = fb_series = None
+        bld = getattr(self.mesh, "buildings", None)
+        if bld is not None and getattr(bld, "fixed_base", False):
+            ids, which = bld.base_nodes(self.mesh)
+            series = bld.base_disp_series(
+                p.end_time - p.start_time, p.delta_t, steps,
+                rundir=rundir)
+            fb_ids = ids
+            fb_series = series[:, which, :]
+
         plan = None
         if (solver in ("auto", "bricks", "pallas") and nl is None
-                and drm is None and drm_rec is None):
+                and drm is None and drm_rec is None
+                and fb_ids is None):
             # the brick path does not carry nonlinear state yet;
             # nonlinear runs use the unstructured solver
             try:
@@ -656,6 +670,7 @@ class Simulation:
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
                 dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl,
                 drm=drm, state=state, start_step=start_step,
+                fb_ids=fb_ids, fb_series=fb_series,
                 on_snap=snap_hook, snap_every=snap_every)
         if drm_rec is not None:
             drm_rec.close()

@@ -32,6 +32,28 @@ from .slip import compute_source_function
 PI = np.pi
 
 
+class DiskForceStream:
+    """Disk-backed [T, L, 3] force series with ndarray-slice semantics.
+
+    The TPU-era equivalent of the reference's out-of-core force files
+    (force_process.<pe> cycled by theForcesBufferSize,
+    quakesource.c:2478-3031): the solver's chunked scan slices steps
+    [s, s+k) on demand, so host RAM stays bounded by one scan chunk
+    regardless of fault size x duration."""
+
+    def __init__(self, path):
+        self.path = path
+        self._mm = np.load(path, mmap_mode="r")
+        self.shape = self._mm.shape
+        self.dtype = self._mm.dtype
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        return np.array(self._mm[idx])
+
+
 def compute_domain_coords_linearinterp(lon, lat, corners_long,
                                        corners_lat, len_east, len_north):
     """Vectorized Newton solve (geometrics.c:176-244).  Returns
@@ -468,43 +490,92 @@ class SourceModel:
                                      lx, ly, lz, h)     # [P, 8, 3]
 
         n_use = min(pts["num_steps"], T)
-        t = dt * np.arange(n_use)
         P = len(keep)
-        disp = np.zeros((P, n_use))
-        slip_total = np.zeros(P)
-        from .slip import compute_source_function
-        for w in range(nW):
-            slip = pl["slip"][w][ci, cj]
-            slip_total += slip
-            delay = pts["delay"][keep] + pts["time_windows"][w]
-            decay = compute_source_function(
-                self.source_function_type, t[None, :], T0=self.average_risetime,
-                Ts=self.ricker_ts, Tp=self.ricker_tp,
-                delay=delay[:, None])
-            disp += decay * slip[:, None]
+        slip_w = [pl["slip"][w][ci, cj] for w in range(nW)]
+        delay_w = [pts["delay"][keep] + pts["time_windows"][w]
+                   for w in range(nW)]
+        self.total_m0 = float(np.abs(mu_area * sum(slip_w)).sum())
 
-        self.total_m0 = float(np.abs(mu_area * slip_total).sum())
-
-        # accumulate per-node force series as a sparse [L, P] matrix
-        # (node weights) applied to the [P, T'] displacement table
+        # per-node force series = sparse [L, P] node-weight matrix
+        # applied to the [P, T'] displacement table
         from scipy.sparse import csr_matrix
+        from .slip import compute_source_function
         lnids = mesh.elem_lnid[eidx]                    # [P, 8]
         node_ids, inv = np.unique(lnids, return_inverse=True)
         inv = inv.reshape(P, 8)
         L = len(node_ids)
-        forces = np.zeros((T, L, 3))
         w8 = nodal * mu_area[:, None, None]             # [P, 8, 3]
         rows = inv.ravel()                              # [P*8]
         cols = np.repeat(np.arange(P), 8).reshape(P, 8).ravel()
-        for c in range(3):
-            M = csr_matrix((w8[:, :, c].ravel(), (rows, cols)),
-                           shape=(L, P))
-            forces[:n_use, :, c] = (M @ disp).T
+        M = [csr_matrix((w8[:, :, c].ravel(), (rows, cols)),
+                        shape=(L, P)) for c in range(3)]
+
+        def gen_chunk(out, s):
+            """Fill out[k, L, 3] with forces for steps [s, s+k)."""
+            k = out.shape[0]
+            kk = max(0, min(n_use - s, k))
+            if kk < k:
+                out[kk:] = 0.0
+            if kk <= 0:
+                return
+            t = dt * (s + np.arange(kk))
+            disp = np.zeros((P, kk))
+            for w in range(nW):
+                decay = compute_source_function(
+                    self.source_function_type, t[None, :],
+                    T0=self.average_risetime, Ts=self.ricker_ts,
+                    Tp=self.ricker_tp, delay=delay_w[w][:, None])
+                disp += decay * slip_w[w][:, None]
+            for c in range(3):
+                out[:kk, :, c] = (M[c] @ disp).T
+
+        node_ids = node_ids.astype(np.int32)
+        need = T * L * 3 * 8 + P * n_use * 8
+        bufsz = int(getattr(params, "forces_buffer_size", 0)
+                    or 100_000_000)
+        if need <= bufsz:
+            # in-memory fast path
+            forces = np.empty((T, L, 3))
+            gen_chunk(forces, 0)
+            if self.is_filtered:
+                forces = np.moveaxis(butterworth_filter_signal(
+                    np.moveaxis(forces, 0, -1), 1.0 / dt,
+                    self.threshold_frequency, self.number_of_poles),
+                    -1, 0)
+            return node_ids, forces
+
+        # ---- out-of-core path (theForcesBufferSize cycling,
+        # quakesource.c:2478-3031): generate in bounded time-chunks
+        # into a disk-backed array (the reference's force_process files
+        # become one memmap the solver slices per scan chunk) ---------
+        import tempfile
+        srcdir = getattr(params, "source_directory_output", "") or ""
+        if srcdir:
+            os.makedirs(srcdir, exist_ok=True)
+            path = os.path.join(srcdir, "force_stream.npy")
+        else:
+            fd, path = tempfile.mkstemp(suffix=".npy",
+                                        prefix="ht_forces_")
+            os.close(fd)
+        mm = np.lib.format.open_memmap(path, mode="w+",
+                                       dtype=np.float64,
+                                       shape=(T, L, 3))
+        Tb = max(1, bufsz // (L * 3 * 8 + P * 8))
+        for s in range(0, T, Tb):
+            gen_chunk(mm[s:min(s + Tb, T)], s)
         if self.is_filtered:
-            forces = np.moveaxis(butterworth_filter_signal(
-                np.moveaxis(forces, 0, -1), 1.0 / dt,
-                self.threshold_frequency, self.number_of_poles), -1, 0)
-        return node_ids.astype(np.int32), forces
+            # filter along T per node-block (FilterSignal is global in
+            # time, local per node)
+            Lb = max(1, bufsz // (T * 3 * 8 * 4))
+            for l0 in range(0, L, Lb):
+                blk = np.moveaxis(np.array(mm[:, l0:l0 + Lb]), 0, -1)
+                blk = butterworth_filter_signal(
+                    blk, 1.0 / dt, self.threshold_frequency,
+                    self.number_of_poles)
+                mm[:, l0:l0 + Lb] = np.moveaxis(blk, -1, 0)
+        mm.flush()
+        del mm
+        return node_ids, DiskForceStream(path)
 
     # ------------------------------------------------------------------
     def write_force_file(self, path, node_ids, forces):

@@ -125,3 +125,43 @@ def test_base_disp_series(tmp_path):
     np.testing.assert_allclose(series[0, 0], [0, 0, 0], atol=1e-12)
     # linear interpolation between 10-ms samples at 1-ms steps
     np.testing.assert_allclose(series[105, 0, 1], 0.105, rtol=1e-9)
+
+
+def test_fixed_base_through_simulation(tmp_path):
+    """VERDICT r1 item 8: fixedbase_input_* series load + apply through
+    Simulation.run (the reference config surface), not just run_solver."""
+    import shutil
+    from hercules_tpu.sim import Simulation
+
+    run = tmp_path / "run"
+    (run / "in").mkdir(parents=True)
+    shutil.copy(f"{SIMPLE}/in/physics.in", run / "in" / "physics.in")
+    shutil.copytree(f"{SIMPLE}/in/sourcefiles", run / "in" / "sourcefiles")
+    num = open(f"{SIMPLE}/in/numerical.in").read()
+    num = num.replace("simulation_end_time_sec        =  20",
+                      "simulation_end_time_sec        =  0.1")
+    num += ("\ninclude_buildings = yes\n" + BLDG_CFG.replace(
+        "consider_fixed_base = no",
+        "consider_fixed_base = yes\nfixedbase_input_dt = 0.01\n"
+        "fixedbase_input_dir = fb\nfixedbase_input_startindex = 0\n"
+        "fixedbase_input_sufix = base"))
+    (run / "in" / "numerical.in").write_text(num)
+    d = run / "fb"
+    d.mkdir()
+    t = np.arange(60) * 0.01
+    np.savetxt(d / "base.0", np.stack([np.sin(t), 0 * t, 0 * t], 1))
+
+    sim = Simulation.setup(str(run / "in" / "physics.in"),
+                           str(run / "in" / "numerical.in"),
+                           cvmdb=f"{SIMPLE}/simple_case.e")
+    assert sim.mesh.buildings is not None
+    assert sim.mesh.buildings.fixed_base
+    state, _ = sim.run(dtype=jnp.float64, rundir=str(run))
+    u = np.asarray(state[0])
+    ids, which = sim.mesh.buildings.base_nodes(sim.mesh)
+    series = sim.mesh.buildings.base_disp_series(
+        0.1, sim.params.delta_t, sim.params.total_steps,
+        rundir=str(run))
+    # final base displacement equals the prescribed series
+    np.testing.assert_allclose(u[ids], series[-1, which, :], rtol=1e-12)
+    assert np.abs(u[ids, 0]).max() > 0

@@ -157,3 +157,49 @@ def test_plane_source_runs_in_solver(tmp_path, mesh_and_params):
                           dtype=jnp.float64)
     u = np.asarray(state[0])
     assert np.isfinite(u).all() and np.abs(u).max() > 0
+
+
+def test_streamed_forces_match_inmemory(tmp_path, mesh_and_params):
+    """forces_buffer_size cycling (quakesource.c:2478-3031): the
+    out-of-core DiskForceStream must reproduce the in-memory force
+    series exactly, including the Butterworth filter pass."""
+    import copy
+    from hercules_tpu.source.model import DiskForceStream
+    mesh, p, cvm = mesh_and_params
+    body = PLANE.replace("source_is_filtered = 0",
+                         "source_is_filtered = 1")
+    p = copy.deepcopy(p)
+    sm, ids_ram, f_ram = _forces_for(tmp_path, mesh, p, body)
+    assert isinstance(f_ram, np.ndarray)
+
+    p.forces_buffer_size = 50_000        # force the streamed path
+    p.source_directory_output = str(tmp_path / "srctmp")
+    sm2, ids_st, f_st = _forces_for(tmp_path, mesh, p, body)
+    assert isinstance(f_st, DiskForceStream)
+    np.testing.assert_array_equal(ids_st, ids_ram)
+    assert f_st.shape == f_ram.shape
+    np.testing.assert_allclose(f_st[:], f_ram, rtol=0,
+                               atol=1e-9 * np.abs(f_ram).max())
+    # chunked slicing matches
+    np.testing.assert_array_equal(f_st[100:163], f_st[:][100:163])
+
+
+def test_streamed_forces_through_solver(tmp_path, mesh_and_params):
+    """The solver's chunked scan consumes the stream unchanged."""
+    import copy
+    import jax.numpy as jnp
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.step import run_solver
+    mesh, p, cvm = mesh_and_params
+    p = copy.deepcopy(p)
+    tables = assemble(mesh, p)
+    sm, ids, f_ram = _forces_for(tmp_path, mesh, p, PLANE)
+    p.forces_buffer_size = 50_000
+    sm2, ids2, f_st = _forces_for(tmp_path, mesh, p, PLANE)
+    T = 60
+    s_ram, _ = run_solver(tables, ids, f_ram, T, p.delta_t,
+                          dtype=jnp.float64, chunk=25)
+    s_st, _ = run_solver(tables, ids2, f_st, T, p.delta_t,
+                         dtype=jnp.float64, chunk=25)
+    np.testing.assert_array_equal(np.asarray(s_st[0]),
+                                  np.asarray(s_ram[0]))
