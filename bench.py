@@ -46,6 +46,42 @@ def build(target_elems=1_000_000, damping="rayleigh"):
     return p, mesh, tables, t_mesh, t_asm
 
 
+def golden_check():
+    """BENCH_GOLDEN=1: the FULL 20000-step examples/simple run on the
+    production TPU f32 path (fused pallas kernel), diffed against the
+    committed golden seismograms.  Prints one JSON line with the worst
+    relative error."""
+    import bz2
+    import jax
+    import jax.numpy as jnp
+    from hercules_tpu.sim import Simulation
+
+    S = "/root/reference/examples/simple"
+    sim = Simulation.setup(f"{S}/in/physics.in", f"{S}/in/numerical.in",
+                           cvmdb=f"{S}/simple_case.e")
+    t0 = time.time()
+    state, samples = sim.run(dtype=jnp.float32, chunk=1000)
+    el = time.time() - t0
+    worst = 0.0
+    for i in range(5):
+        txt = bz2.decompress(open(
+            f"{S}/expected-out/stations/station.{i}.bz2", "rb")
+            .read()).decode()
+        rows = [l.split() for l in txt.splitlines()
+                if l and not l.startswith("#")]
+        g = np.array([[float(v) for v in r] for r in rows])
+        n = min(len(g), samples.shape[0])
+        scale = np.abs(g[:n, 1:4]).max()
+        worst = max(worst, float(
+            np.abs(samples[:n, i] - g[:n, 1:4]).max() / scale))
+    print(f"# golden fp32 run: {samples.shape[0]} steps in {el:.1f}s, "
+          f"worst station error {worst:.3e} (budget 1e-2)",
+          file=sys.stderr)
+    print(json.dumps({"metric": "golden-fp32-rel-error", "value": worst,
+                      "unit": "relative", "vs_baseline": worst / 1e-2}))
+    return worst
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -57,6 +93,10 @@ def main():
     from hercules_tpu.solver.brickstep import (assemble_brick_tables,
                                                init_brick_state,
                                                make_brick_step)
+
+    if os.environ.get("BENCH_GOLDEN"):
+        golden_check()
+        return
 
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 800))
