@@ -1,0 +1,186 @@
+"""Multi-host (DCN) execution: the pod-scale analogue of the
+reference's MPI ranks (SURVEY section 2.7; BASELINE config 5).
+
+The reference scales by adding MPI ranks connected over the
+interconnect; every rank meshes its partition and exchanges halos
+point-to-point.  The TPU-native shape is: one JAX process per host,
+`jax.distributed.initialize` over DCN, a single global device mesh
+whose slab axis spans every host's chips (ICI inside a slice, DCN
+across hosts), and the SAME shard_map slab step as single-host runs --
+XLA routes the per-step plane `ppermute`s over whichever fabric
+connects neighboring shards.  Meshing stays host-side: process 0 runs
+the octree pipeline once and broadcasts the mesh arrays (the TPU
+equivalent of the reference's PE0 parse-and-broadcast pattern,
+psolve.c:367-483), so every process builds identical slab tables and
+feeds its own device shards through `jax.make_array_from_callback`.
+
+Every entry point here is process-count agnostic: with one process the
+same code runs unchanged on a local multi-device mesh.  The test suite
+validates both shapes (tests/test_multihost.py): single-process
+8-device equality with the standard slab solver, and a real 2-process
+jax.distributed CPU run (gloo collectives) of the full mesh-broadcast-
+solve pipeline against the single-process oracle.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost(coordinator=None, num_processes=None,
+                   process_id=None, local_device_ids=None):
+    """jax.distributed bring-up; no-op for single-process runs.
+
+    Returns (process_count, process_index) as seen by the backend.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids)
+    return jax.process_count(), jax.process_index()
+
+
+def global_device_mesh(axis="d") -> Mesh:
+    """One-axis mesh over every device of every process (slab axis)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def broadcast_from_host0(obj):
+    """Pickle-broadcast a host object from process 0 to all processes
+    (the PE0 read-and-broadcast pattern for mesh arrays / config)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+    payload = pickle.dumps(obj) if jax.process_index() == 0 else b""
+    n = multihost_utils.broadcast_one_to_all(
+        np.int64(len(payload)))
+    buf = np.zeros(int(n), np.uint8)
+    if jax.process_index() == 0:
+        buf[:] = np.frombuffer(payload, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    return pickle.loads(buf.tobytes())
+
+
+def make_global(arr, mesh: Mesh, spec) -> jax.Array:
+    """Build a global array on `mesh` from a full host copy: each
+    process materializes only its addressable shards (the callback
+    slices the host array), so no process needs to hold device memory
+    for remote shards."""
+    arr = np.asarray(arr)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sh,
+                                        lambda idx: arr[idx])
+
+
+def gather_global(x) -> np.ndarray:
+    """Full host copy of a (possibly process-spanning) global array."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(
+        x, tiled=True))
+
+
+def run_slab_multihost(st, src_forces, total_steps, dt,
+                       dtype=jnp.float32, chunk=None, axis="d",
+                       pallas=False):
+    """Slab solver over the global (multi-host) device mesh.
+
+    st: SlabTables built identically on every process (from the
+    broadcast mesh arrays).  Same contract as run_slab_solver, but all
+    device state is constructed shard-locally via make_global, so it
+    works with addressable-only device subsets.
+    """
+    from .slab import make_slab_pallas_step, make_slab_step
+
+    mesh_dev = global_device_mesh(axis)
+    n_dev = st.n_dev
+    assert n_dev == len(jax.devices()), \
+        f"slab tables built for {n_dev} shards but the global mesh " \
+        f"has {len(jax.devices())} devices"
+    maker = make_slab_pallas_step if pallas else make_slab_step
+    scan_fn, tdev = maker(st, mesh_dev, axis=axis, dtype=dtype)
+
+    npdt = np.dtype(jnp.zeros((), dtype).dtype)
+    sharded = lambda a: make_global(a, mesh_dev, P(axis))
+    repl = lambda a: make_global(a, mesh_dev, P())
+    tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
+
+    u = np.zeros((n_dev, 3, st.tot_local), npdt)
+    if st.damping == "bkt":
+        conv = tuple(sharded(np.zeros((n_dev, 24, st.meta.S), npdt))
+                     for _ in range(4))
+        state = (sharded(u), sharded(u), conv)
+    else:
+        state = (sharded(u), sharded(u))
+
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (repl(np.asarray(src_forces[s:s + k] * dt2, npdt)),
+              repl(np.arange(s, s + k, dtype=np.int32)))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
+def main(argv=None):
+    """Pod launcher: `python -m hercules_tpu.parallel.multihost
+    --coordinator host0:1234 --nprocs N --pid K <cvmdb> <physics.in>
+    <numerical.in>` -- process 0 meshes, everyone solves."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--nprocs", type=int, default=1)
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("inputs", nargs="+")
+    args = ap.parse_args(argv)
+
+    nproc, pid = init_multihost(args.coordinator, args.nprocs, args.pid)
+    print(f"[multihost] process {pid}/{nproc}, "
+          f"{len(jax.local_devices())} local / {len(jax.devices())} "
+          f"global devices")
+
+    from ..config import load_params
+    from ..cvm import CVM
+    from ..meshgen import generate_mesh
+    from ..solver.assemble import assemble
+    from ..source.model import SourceModel
+    from .slab import build_slab_tables, slab_u_global
+
+    cvmdb, physics_in, numerical_in = args.inputs[:3]
+    params = load_params(physics_in, numerical_in)
+
+    if pid == 0:
+        mesh = generate_mesh(params, CVM(cvmdb))
+    else:
+        mesh = None
+    mesh = broadcast_from_host0(mesh)
+
+    tables = assemble(mesh, params)
+    sm = SourceModel.parse(params)
+    src_ids, src_forces = sm.compute_forces(mesh, params)
+    st = build_slab_tables(mesh, tables, len(jax.devices()),
+                           src_ids=src_ids)
+    state = run_slab_multihost(st, src_forces, params.total_steps,
+                               params.delta_t)
+    u = gather_global(state[0])
+    if pid == 0:
+        ug = slab_u_global(st, u, mesh.nnum)
+        print(f"[multihost] done: |u|max = {np.abs(ug).max():.6e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
