@@ -65,6 +65,47 @@ def main(argv=None):
         buf = _io.StringIO()
         mesh_stats(sim.mesh, out=buf)
         mon.print(buf.getvalue())
+        if p.stat_mesh_filename:
+            path = p.stat_mesh_filename
+            if not os.path.isabs(path):
+                path = os.path.join(rundir0, path)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                f.write(buf.getvalue())
+
+    if p.print_matrix_k:
+        # print_K_stdoutput (psolve.c:3184)
+        from .utils.stats import print_k_matrices
+        print_k_matrices()
+
+    if (p.schedule_print_file or p.schedule_print_stdout
+            or p.schedule_print_error_check):
+        from .utils.stats import schedule_stats
+        plan = None
+        try:
+            from .solver.bricks import build_plan
+            plan = build_plan(sim.mesh)
+        except RuntimeError:
+            pass
+        buf = _io.StringIO()
+        schedule_stats(sim.mesh, plan, out=buf,
+                       error_check=bool(p.schedule_print_error_check))
+        if p.schedule_print_stdout:
+            sys.stdout.write(buf.getvalue())
+        if p.schedule_print_file:
+            path = p.stat_schedule_filename
+            if not os.path.isabs(path):
+                path = os.path.join(rundir0, path)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                f.write(buf.getvalue())
+
+    if os.environ.get("IO_PES"):
+        # the reference splits IO-server ranks off comm_solver
+        # (psolve.c:7360-7389); here output overlap comes from the
+        # async writer threads, so the env var is a no-op
+        mon.print("IO_PES set: async writer threads subsume the "
+                  "reference's IO pool; no ranks reserved\n")
 
     if p.damping_statistics:
         from .utils.stats import critical_t_stats, damping_histograms

@@ -143,6 +143,11 @@ class Params:
     use_infinite_qk: int = 0
     stiffness_method: str = "effective"
     print_matrix_k: int = 0
+    schedule_print_file: int = 0
+    schedule_print_error_check: int = 0
+    schedule_print_stdout: int = 0
+    stat_schedule_filename: str = "stat-sched.txt"
+    stat_mesh_filename: str = "stat-mesh.txt"
     print_station_velocities: int = 0
     print_station_accelerations: int = 0
     timing_barriers: int = 0
@@ -267,6 +272,15 @@ def load_params(physics_in: str, numerical_in: Optional[str] = None) -> Params:
     p.stiffness_method = n.get_string("stiffness_calculation_method",
                                       "effective")
     p.print_matrix_k = _yesno(n.get_string("print_matrix_k"))
+    # schedule/stat debug surface (psolve.c:785-801)
+    p.schedule_print_file = n.get_int("schedule_print_file", 0)
+    p.schedule_print_error_check = n.get_int(
+        "schedule_print_error_check", 0)
+    p.schedule_print_stdout = n.get_int("schedule_print_stdout", 0)
+    p.stat_schedule_filename = n.get_string("stat_schedule_filename",
+                                            "stat-sched.txt")
+    p.stat_mesh_filename = n.get_string("stat_mesh_filename",
+                                        "stat-mesh.txt")
     p.print_station_velocities = _yesno(
         n.get_string("print_station_velocities"))
     p.print_station_accelerations = _yesno(

@@ -558,10 +558,21 @@ class Simulation:
                                              run_mesh_solver)
             single = plan_applies(plan, self.tables.damping)
             multi = mesh_plan_applies(plan, self.tables.damping)
-            want = (solver == "pallas"
-                    or (solver == "auto"
-                        and jax.default_backend() == "tpu"
-                        and dtype == jnp.float32))
+            # stiffness_calculation_method = conventional
+            # (stiffness.c:121-174) pins the direct merged-K matmul
+            # evaluation -- the XLA brick/unstructured paths -- over
+            # the fused kernel's Walsh-spectral 'effective'
+            # factorization (stiffness.c:245-424); results are
+            # operator-identical (unit-tested), this selects the
+            # evaluation scheme as the reference key does
+            conventional = (solver == "auto"
+                            and getattr(p, "stiffness_method",
+                                        "effective") == "conventional")
+            want = ((solver == "pallas"
+                     or (solver == "auto"
+                         and jax.default_backend() == "tpu"
+                         and dtype == jnp.float32))
+                    and not conventional)
             use_pallas = want and single
             use_mesh = want and multi and not single
             if use_mesh:

@@ -106,3 +106,49 @@ def print_k_matrices(out=None):
                         row.append(f"{K[i, j, k, m]: 8.5f}")
                 out.write(" ".join(row) + "\n")
     return True
+
+
+def schedule_stats(mesh, plan=None, out=None, error_check=False):
+    """Exchange-plan report: the TPU analogue of the reference's
+    schedule printers (schedule_print/solver_printstat,
+    psolve.c:5091-5319).  The dn/an message schedules become the brick
+    plan's interface-reconciliation tables; this prints their sizes
+    and, with error_check, re-validates the invariants the reference's
+    gnid-in-message cross-checks guard (schedule_print_error_check,
+    psolve.c:790)."""
+    out = out or sys.stdout
+    out.write("\n# Exchange-plan statistics\n")
+    D = len(mesh.dn_ids)
+    ndeps = int((mesh.dn_weights > 0).sum()) if D else 0
+    out.write(f"dangling nodes (dn plan):   {D}\n")
+    out.write(f"dangling anchor deps:       {ndeps}\n")
+    if plan is None:
+        return True
+    G = len(plan.grp_node)
+    K = len(plan.ex_pos)
+    out.write(f"bricks:                     {len(plan.bricks)}\n")
+    out.write(f"loose elements:             {len(plan.loose_eidx)}\n")
+    out.write(f"reconcile groups (an plan): {G}\n")
+    out.write(f"interface node copies:      {K}\n")
+    if G:
+        copies = np.bincount(plan.ex_seg, minlength=G)
+        out.write(f"copies per group:           min {copies.min()} "
+                  f"max {copies.max()} mean {copies.mean():.2f}\n")
+    if error_check:
+        # every interface copy maps to a live group, groups are
+        # contiguous in the copy list (segment-sum precondition), and
+        # each dangling node resolves to a group with valid anchors
+        assert (plan.ex_seg[:-1] <= plan.ex_seg[1:]).all(), \
+            "interface copies not group-sorted"
+        if G:
+            assert plan.ex_seg.min() >= 0 and plan.ex_seg.max() < G
+            assert (np.bincount(plan.ex_seg, minlength=G) > 0).all(), \
+                "empty reconcile group"
+            gn = plan.mesh.nnum
+            assert plan.grp_node.min() >= 0 and plan.grp_node.max() < gn
+        if D:
+            assert plan.dn_grp.min() >= 0 and plan.dn_grp.max() < G
+            assert (plan.dn_anc_grp >= 0).all() \
+                and (plan.dn_anc_grp < G).all()
+        out.write("error check: OK\n")
+    return True
