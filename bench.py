@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def build(target_elems=1_000_000, damping="rayleigh"):
+def build(target_elems=1_000_000, damping="rayleigh", graded=False):
     from hercules_tpu.config import load_params
     from hercules_tpu.cvm import CVM
     from hercules_tpu.meshgen import generate_mesh
@@ -38,7 +38,33 @@ def build(target_elems=1_000_000, damping="rayleigh"):
     p.finalize()
     cvm = CVM(f"{S}/simple_case.e")
     t0 = time.time()
-    mesh = generate_mesh(p, cvm)
+    if graded:
+        # terashake-class grading: fine near the free surface, one
+        # level coarser below (2 levels, hanging-node interface)
+        from hercules_tpu.material import MeshOrigin, correct_properties
+        from hercules_tpu.mesh import Octree, extract_mesh
+        # fine region = top half of z: 2^(3L-2) elements at level L
+        lv_fine = int(round((np.log2(target_elems) + 2.0) / 3.0))
+        tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+        def setrec(tr, hi, lo, lv):
+            return {"lv": lv}
+
+        def toexpand(tr, hi, lo, lv, rec):
+            from hercules_tpu.etree import morton
+            x, y, z = morton.deinterleave3(hi, lo)
+            near = z < (1 << 28)            # top half of the z extent
+            return lv < np.where(near, lv_fine, lv_fine - 1)
+
+        tree.refine(setrec, toexpand)
+        tree.balance()
+        mesh = extract_mesh(tree)
+        correct_properties(mesh, cvm, p,
+                           MeshOrigin.from_params(p, cvm.ctl))
+        # stability for the fine level
+        p.delta_t = 0.4 * (1000.0 / 2 ** lv_fine) / 6000.0
+    else:
+        mesh = generate_mesh(p, cvm)
     t_mesh = time.time() - t0
     t0 = time.time()
     tables = assemble(mesh, p)
@@ -102,8 +128,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 800))
     damping = os.environ.get("BENCH_DAMPING", "rayleigh")
     path = os.environ.get("BENCH_PATH", "auto")
+    graded = os.environ.get("BENCH_MESH", "") == "graded"
 
-    p, mesh, tables, t_mesh, t_asm = build(target, damping)
+    p, mesh, tables, t_mesh, t_asm = build(target, damping,
+                                           graded=graded)
     E = mesh.lenum
     print(f"# mesh: {E} elements, {mesh.nnum} nodes "
           f"(mesh {t_mesh:.1f}s, assemble {t_asm:.1f}s) on "
@@ -117,8 +145,17 @@ def main():
                                                   init_pallas_state,
                                                   make_pallas_step,
                                                   plan_applies)
+    from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
+                                                 init_mesh_state,
+                                                 make_mesh_step,
+                                                 mesh_plan_applies)
     if path == "auto":
-        path = "pallas" if plan_applies(plan, tables.damping) else "brick"
+        if plan_applies(plan, tables.damping):
+            path = "pallas"
+        elif mesh_plan_applies(plan, tables.damping):
+            path = "mesh"
+        else:
+            path = "brick"
 
     def make(which):
         """(scan, state) for one solver path."""
@@ -126,7 +163,11 @@ def main():
             os.environ["HT_PALLAS_PACKED"] = "0"
         elif which == "pallas":
             os.environ["HT_PALLAS_PACKED"] = "1"
-        if which.startswith("pallas"):
+        if which == "mesh":
+            mt = MeshPallasTables(plan, tables, src_ids=src_ids)
+            step = make_mesh_step(mt)
+            state = init_mesh_state(mt)
+        elif which.startswith("pallas"):
             pt = PallasBrickTables(plan, tables, src_ids=src_ids)
             step = make_pallas_step(pt)
             state = init_pallas_state(pt)
@@ -149,6 +190,7 @@ def main():
     # gap) must degrade the number, never zero it
     chains = {"pallas": ["pallas", "pallas-unpacked", "brick"],
               "pallas-unpacked": ["pallas-unpacked", "brick"],
+              "mesh": ["mesh", "brick"],
               "brick": ["brick"]}
     state = None
     for which in chains.get(path, [path]):
@@ -171,13 +213,17 @@ def main():
     if state is None:
         raise RuntimeError("all solver paths failed to compile")
 
-    # the remote-TPU runtime can ack block_until_ready before the work
-    # drains; a scalar fetch forces true completion
-    float(jnp.sum(state[0][0, :8]))
+    def fence(st):
+        # the remote-TPU runtime can ack block_until_ready before the
+        # work drains; a scalar fetch forces true completion
+        leaf = jax.tree.leaves(st[0])[0]
+        float(jnp.sum(leaf[0, :8]))
+
+    fence(state)
     t0 = time.time()
     state = scan(state, xs_for(steps))
     jax.block_until_ready(state[0])
-    float(jnp.sum(state[0][0, :8]))
+    fence(state)
     dt = time.time() - t0
 
     eups = E * steps / dt

@@ -84,6 +84,17 @@ def _bf24_stage(U, k):
     return jnp.concatenate(parts, axis=0)
 
 
+def _bf24_stage48(U, k):
+    """_bf24_stage applied to two stacked 24-row blocks at once."""
+    w = 3 << k
+    parts = []
+    for a in range(0, 48, 2 * w):
+        lo, hi = U[a:a + w], U[a + w:a + 2 * w]
+        parts.append(lo + hi)
+        parts.append(lo - hi)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _kernel_mode(B, chunk=None):
     """(C, packed) sub-chunk width and dataflow mode."""
     import os
@@ -266,7 +277,30 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     return kernel
 
 
+def bkt_kappa_zero(bkt) -> bool:
+    """True when the volumetric (kappa) attenuation is off (infinite
+    Qk, the use_infinite_qk default): the kappa memory variables are
+    multiplied by zero everywhere, so dv_kappa == ue and the kernel
+    can drop half the convolution state."""
+    return (not np.asarray(bkt["a0_kappa"]).any()
+            and not np.asarray(bkt["a1_kappa"]).any()
+            and not np.asarray(bkt["kappa_coef"]).any())
+
+
+def bkt_conv_dtype(dtype):
+    """Storage dtype of the streamed convolution state.  The memory
+    variables enter the force only through a0/a1 ~ O(0.01) weights
+    (QTABLE anelastic coefficients), so bf16 storage costs ~6e-5
+    relative force error while halving the dominant HBM stream; f64
+    runs (validation) keep full precision.  HT_BKT_CONV=f32 opts out."""
+    if (dtype == jnp.float32
+            and os.environ.get("HT_BKT_CONV", "bf16") == "bf16"):
+        return jnp.bfloat16
+    return dtype
+
+
 def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
+                     shear_only=False, conv_dtype=None,
                      interpret=False):
     """Fused BKT (constant-Q viscoelastic) step kernel
     (damping.c:110-416 fused into one HBM pass).
@@ -288,16 +322,23 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
 
     offd = []
     dd = np.zeros((48, 1))
+    dense = []
     for base, ent in ((0, fmue), (24, fke)):
         rows = []
+        M = np.zeros((24, 24))
         for mo, co, mi, ci, k in ent:
             ro, ri = 3 * mo + co, 3 * mi + ci
+            M[ro, ri] = k
             if ro == ri:
                 dd[base + ro, 0] = k
             else:
                 rows.append((ro, ri, k))
         offd.append(rows)
+        dense.append(M)
     offd_mu, offd_k = offd
+    use_mxu = os.environ.get("HT_BKT_MXU", "0") != "0"
+    if conv_dtype is None:
+        conv_dtype = dtype
 
     def roll(x, shift):
         if interpret:
@@ -318,8 +359,8 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
         return jnp.concatenate([r if r is not None else zero
                                 for r in rows], axis=0)
 
-    def kernel(ua, ub, upa, upb, bk, mm, invm, ddv, conv, out, conv_out,
-               tail, nf, scr_u, scr_p, scr_w, scr_f):
+    def kernel(ua, ub, upa, upb, bk, mm, invm, ddv, fm, conv, out,
+               conv_out, tail, nf, scr_u, scr_p, scr_w, scr_f):
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -357,23 +398,43 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
             scr_w[3 * j:3 * j + 3] = r[0:3, :C]
             scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
 
-        Zu = bf24(scr_w[0:24, :])
-        Zdu = bf24(scr_w[24:48, :])
+        # one 48-row butterfly: _bf24_stage's block structure never
+        # crosses the 24-row boundary (2*w <= 24 divides 24), so the
+        # stacked (u; du) transform runs as one wide VPU pass
+        Z48 = scr_w[...]
+        for k in range(3):
+            Z48 = _bf24_stage48(Z48, k)
+        Zu, Zdu = Z48[0:24], Z48[24:48]
         Zup = Zu - Zdu
         bkv = bk[...]
 
-        s0, s1 = conv[0:24, :], conv[24:48, :]
-        k0, k1 = conv[48:72, :], conv[72:96, :]
+        cv = conv[...].astype(dtype)
+        s0, s1 = cv[0:24, :], cv[24:48, :]
         s0n = bkv[1:2] * Zu + bkv[0:1] * Zup + bkv[4:5] * s0
         s1n = bkv[3:4] * Zu + bkv[2:3] * Zup + bkv[5:6] * s1
-        k0n = bkv[10:11] * Zu + bkv[9:10] * Zup + bkv[13:14] * k0
-        k1n = bkv[12:13] * Zu + bkv[11:12] * Zup + bkv[14:15] * k1
-        conv_out[...] = jnp.concatenate([s0n, s1n, k0n, k1n], axis=0)
+        if shear_only:
+            conv_out[...] = jnp.concatenate(
+                [s0n, s1n], axis=0).astype(conv_dtype)
+            Zdvk = Zu
+        else:
+            k0, k1 = cv[48:72, :], cv[72:96, :]
+            k0n = bkv[10:11] * Zu + bkv[9:10] * Zup + bkv[13:14] * k0
+            k1n = bkv[12:13] * Zu + bkv[11:12] * Zup + bkv[14:15] * k1
+            conv_out[...] = jnp.concatenate(
+                [s0n, s1n, k0n, k1n], axis=0).astype(conv_dtype)
+            Zdvk = (bkv[17:18] * Zdu + Zu - bkv[15:16] * k0n
+                    - bkv[16:17] * k1n)
 
         Zdvs = bkv[8:9] * Zdu + Zu - bkv[6:7] * s0n - bkv[7:8] * s1n
-        Zdvk = bkv[17:18] * Zdu + Zu - bkv[15:16] * k0n - bkv[16:17] * k1n
-        ys = Zdvs * ddv[0:24] + offdiag(Zdvs, offd_mu)
-        yk = Zdvk * ddv[24:48] + offdiag(Zdvk, offd_k)
+        if use_mxu:
+            fmv = fm[...]
+            ys = jax.lax.dot(fmv[0:24], Zdvs,
+                             precision=jax.lax.Precision.HIGHEST)
+            yk = jax.lax.dot(fmv[24:48], Zdvk,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            ys = Zdvs * ddv[0:24] + offdiag(Zdvs, offd_mu)
+            yk = Zdvk * ddv[24:48] + offdiag(Zdvk, offd_k)
         F = bf24(ys * bkv[18:19] + yk * bkv[19:20])
 
         # scatter through the zero-padded roll scratch (see _make_kernel)
@@ -398,22 +459,29 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
             out[...] = ut + (force + mm[...] * (ut - upa[...])) \
                 * invm[...]
 
-    return kernel, jnp.asarray(dd, dtype)
+    return kernel, jnp.asarray(dd, dtype), \
+        jnp.asarray(np.concatenate(dense), dtype)
 
 
 def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
-                   interpret=False):
+                   shear_only=False, conv_dtype=None, interpret=False):
     """pallas_call for one BKT brick: (u, u, up, up, bk, mm, invm, dd,
-    conv) -> (u_next [3, LEN], conv_next [96, LEN])."""
+    conv) -> (u_next [3, LEN], conv_next [R, LEN]) with R = 48
+    (shear-only, infinite Qk) or 96."""
     if chunk is None:
         # same throughput as 4096 but ~5x faster Mosaic compile, and
-        # the (96, C) conv blocks stay well inside VMEM
+        # the (R, C) conv blocks stay well inside VMEM
         chunk = int(os.environ.get("HT_PALLAS_BKT_CHUNK", 2048))
     C, _ = _kernel_mode(B, chunk)
     NC = B // C
+    if conv_dtype is None:
+        conv_dtype = dtype
+    R = 48 if shear_only else 96
     fmue, fke = spectral_bkt_factors()
-    kernel, dd = _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
-                                  interpret=interpret)
+    kernel, dd, fm = _make_bkt_kernel(offs, B, o7, T, C, fmue, fke,
+                                      dtype, shear_only=shear_only,
+                                      conv_dtype=conv_dtype,
+                                      interpret=interpret)
     blk = lambda t, c: (0, t)
     blk1 = lambda t, c: (0, jnp.minimum(t + 1, T - 1))
     blkc = lambda t, c: (0, t * NC + c)
@@ -427,12 +495,13 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t, c: (0, 0)),
-            pl.BlockSpec((96, C), blkc),
+            pl.BlockSpec((48, 24), lambda t, c: (0, 0)),
+            pl.BlockSpec((R, C), blkc),
         ],
         out_specs=[pl.BlockSpec((3, B), blk),
-                   pl.BlockSpec((96, C), blkc)],
+                   pl.BlockSpec((R, C), blkc)],
         out_shape=[jax.ShapeDtypeStruct((3, LEN), dtype),
-                   jax.ShapeDtypeStruct((96, LEN), dtype)],
+                   jax.ShapeDtypeStruct((R, LEN), conv_dtype)],
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
@@ -442,7 +511,7 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         interpret=interpret,
     )
     return lambda u, ub, up, upb, bk, mm, invm, conv: call(
-        u, ub, up, upb, bk, mm, invm, dd, conv)
+        u, ub, up, upb, bk, mm, invm, dd, fm, conv)
 
 
 class PallasBrickTables:
@@ -480,6 +549,9 @@ class PallasBrickTables:
             self.bk = f(np.stack([pad1(etab_arr(tables.bkt[k]))
                                   for k in BK_ROWS]))
             self.cm = None
+            self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
+            self.conv_rows = 48 if self.bkt_shear_only else 96
+            self.conv_dtype = bkt_conv_dtype(dtype)
         else:
             c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
             # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
@@ -574,6 +646,8 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
     bkt = pt.damping == "bkt"
     if bkt:
         call = build_bkt_call(pt.offs, B, o7, T, LEN, dtype,
+                              shear_only=pt.bkt_shear_only,
+                              conv_dtype=pt.conv_dtype,
                               interpret=interpret)
     else:
         call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
@@ -603,7 +677,7 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
 def init_pallas_state(pt: PallasBrickTables):
     u = jnp.zeros((3, pt.LEN), pt.dtype)
     if pt.damping == "bkt":
-        return (u, u, jnp.zeros((96, pt.LEN), pt.dtype))
+        return (u, u, jnp.zeros((pt.conv_rows, pt.LEN), pt.conv_dtype))
     return (u, u)
 
 
@@ -627,7 +701,8 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                       for x in state[:2])
         if tables.damping == "bkt":
             state = state + (conv[0] if conv else
-                             jnp.zeros((96, pt.LEN), dtype),)
+                             jnp.zeros((pt.conv_rows, pt.LEN),
+                                       pt.conv_dtype),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bricks import BrickPlan
-from .pallas_brick import (BK_ROWS, build_bkt_call, build_call,
-                           pallas_geometry, spectral_factors)
+from .pallas_brick import (BK_ROWS, bkt_conv_dtype, bkt_kappa_zero,
+                           build_bkt_call, build_call, pallas_geometry,
+                           spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -109,6 +110,10 @@ class MeshPallasTables:
         self.bk = []
         self.mm = []
         self.invm = []
+        if bkt:
+            self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
+            self.conv_rows = 48 if self.bkt_shear_only else 96
+            self.conv_dtype = bkt_conv_dtype(dtype)
         if not bkt:
             c1 = etab_arr(tables.c1)
             c2 = etab_arr(tables.c2)
@@ -267,6 +272,8 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
     for (offs, B, o7, T, LEN) in mt.geo:
         if bkt:
             calls.append(build_bkt_call(offs, B, o7, T, LEN, dtype,
+                                        shear_only=mt.bkt_shear_only,
+                                        conv_dtype=mt.conv_dtype,
                                         interpret=interpret))
         else:
             calls.append(build_call(offs, B, o7, T, LEN, f1e, f2e,
@@ -390,7 +397,8 @@ def init_mesh_state(mt: MeshPallasTables):
         + (jnp.zeros((3, mt.NL), mt.dtype),)
     conv = ()
     if mt.damping == "bkt":
-        conv = tuple(jnp.zeros((96, geo[4]), mt.dtype) for geo in mt.geo)
+        conv = tuple(jnp.zeros((mt.conv_rows, geo[4]), mt.conv_dtype)
+                     for geo in mt.geo)
         if mt.El:
             conv = conv + (tuple(jnp.zeros((mt.El, 8, 3), mt.dtype)
                                  for _ in range(4)),)
@@ -431,7 +439,7 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
 
     conv = ()
     if mt.damping == "bkt":
-        want = [(96, geo[4]) for geo in mt.geo]
+        want = [(mt.conv_rows, geo[4]) for geo in mt.geo]
         if mt.El:
             want += [(mt.El, 8, 3)] * 4
         got = [tuple(np.shape(a)) for a in conv_flat]
@@ -440,7 +448,8 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
                 f"checkpoint BKT state {got} does not match the "
                 f"multi-brick pallas layout {want}; restart with the "
                 f"solver path that wrote it")
-        conv = tuple(jnp.asarray(a, dtype) for a in conv_flat[:mt.NB])
+        conv = tuple(jnp.asarray(a, mt.conv_dtype)
+                     for a in conv_flat[:mt.NB])
         if mt.El:
             conv = conv + (tuple(jnp.asarray(a, dtype)
                                  for a in conv_flat[mt.NB:]),)
