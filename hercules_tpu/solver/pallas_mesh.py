@@ -47,21 +47,57 @@ def mesh_plan_applies(plan: BrickPlan, damping: str,
 
 
 class _Gather:
-    """Precomputed gather of K interface entries spread over the
+    """Precomputed extraction of K interface entries spread over the
     per-brick (+ loose) arrays: entry k reads column locals[k] of
-    array arrs[k]."""
+    array arrs[k].
+
+    When the entries are ordered by (array, local) -- the
+    MeshPallasTables interface ordering -- each array's locals are
+    sorted, and on depth-graded meshes (brick interfaces = z-planes of
+    the brick grids, the production terashake shape) they collapse
+    into a handful of contiguous runs.  Runs extract/insert with
+    static slices at HBM speed instead of row gathers (~50x faster on
+    TPU); fragmented remainders keep the gather path."""
+
+    MAX_RUNS = 64
 
     def __init__(self, arrs, locals_, n_arrays, K):
         self.K = K
-        self.plan = []
+        self.plan = []      # gather fallback: (arr, src, dst)
+        self.runs = None    # slice mode: list of (arr, lo, size, dst0)
+        order_ok = True
+        runs = []
+        pos = 0
+        # entries must already be grouped by array with sorted locals
+        # and identity dst for the slice mode
         for a in range(n_arrays):
             m = arrs == a
-            if m.any():
-                self.plan.append((a, jnp.asarray(locals_[m], jnp.int32),
-                                  jnp.asarray(np.flatnonzero(m),
-                                              jnp.int32)))
+            if not m.any():
+                continue
+            idx = np.flatnonzero(m)
+            loc = locals_[idx]
+            if not ((idx == np.arange(pos, pos + len(idx))).all()
+                    and (np.diff(loc) > 0).all()):
+                order_ok = False
+            # maximal contiguous runs
+            brk = np.flatnonzero(np.diff(loc) != 1)
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk + 1, [len(loc)]])
+            for s, e in zip(starts, ends):
+                runs.append((a, int(loc[s]), int(e - s),
+                             int(pos + s)))
+            pos += len(idx)
+            self.plan.append((a, jnp.asarray(loc, jnp.int32),
+                              jnp.asarray(idx, jnp.int32)))
+        if order_ok and len(runs) <= self.MAX_RUNS:
+            self.runs = runs
 
     def __call__(self, arrays, dtype):
+        if self.runs is not None:
+            parts = [jax.lax.dynamic_slice_in_dim(arrays[a], lo, n,
+                                                  axis=1).T
+                     for a, lo, n, _ in self.runs]
+            return jnp.concatenate(parts, axis=0).astype(dtype)
         out = jnp.zeros((self.K, 3), dtype)
         for a, src, dst in self.plan:
             out = out.at[dst].set(arrays[a][:, src].T)
@@ -69,8 +105,15 @@ class _Gather:
 
     def scatter_set(self, arrays, vals):
         arrays = list(arrays)
+        if self.runs is not None:
+            for a, lo, n, d0 in self.runs:
+                arrays[a] = jax.lax.dynamic_update_slice_in_dim(
+                    arrays[a], vals[d0:d0 + n].T.astype(
+                        arrays[a].dtype), lo, axis=1)
+            return arrays
         for a, src, dst in self.plan:
-            arrays[a] = arrays[a].at[:, src].set(vals[dst].T)
+            arrays[a] = arrays[a].at[:, src].set(
+                vals[dst].T.astype(arrays[a].dtype))
         return arrays
 
 
@@ -189,13 +232,22 @@ class MeshPallasTables:
         self.K = K
         self.G = len(plan.grp_node)
         if K:
-            ex_arr, ex_loc = locate(plan.ex_pos.astype(np.int64))
+            # order interface entries by concat position = (array,
+            # local): per-array locals become sorted and (on
+            # depth-graded meshes) contiguous, so _Gather runs in
+            # slice mode; ex_seg is then NOT sorted (the segment sum
+            # scatters)
+            order = np.argsort(plan.ex_pos, kind="stable")
+            ex_pos = plan.ex_pos[order]
+            ex_seg = plan.ex_seg[order]
+            ex_arr, ex_loc = locate(ex_pos.astype(np.int64))
             self.ex_gather = _Gather(ex_arr, ex_loc, NB + 1, K)
-            self.ex_seg = i32(plan.ex_seg)
-            first = np.searchsorted(plan.ex_seg, np.arange(self.G))
+            self.ex_seg = i32(ex_seg)
+            first = np.full(self.G, K, np.int64)
+            np.minimum.at(first, ex_seg, np.arange(K))
             self.grp_first = i32(first)
             # per-entry node constants
-            gn = g[plan.ex_pos]
+            gn = g[ex_pos]
             self.mass_ex = f(1.0 / tables.inv_mass[gn])[:, None]
             self.invm_ex = f(tables.inv_mass[gn])[:, None]
             self.mm_ex = f(tables.mass_minusaM[gn])
@@ -210,9 +262,9 @@ class MeshPallasTables:
             isdn[plan.dn_grp] = True
             grp2dn = np.zeros(self.G, np.int64)
             grp2dn[plan.dn_grp] = np.arange(D)
-            m = isdn[plan.ex_seg]
+            m = isdn[ex_seg]
             self.dnc_k = i32(np.flatnonzero(m))
-            self.dnc_src = i32(grp2dn[plan.ex_seg[m]])
+            self.dnc_src = i32(grp2dn[ex_seg[m]])
 
         # ---- sources: group-level vs direct ---------------------------
         self.src_grp_idx = self.src_grp_rows = None
@@ -364,7 +416,7 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
             F_ex = (un_ex - u_ex) * mt.mass_ex - mt.mm_ex * du_ex
             tot = jax.ops.segment_sum(F_ex, mt.ex_seg,
                                       num_segments=mt.G,
-                                      indices_are_sorted=True)
+                                      indices_are_sorted=False)
             if mt.src_grp_idx is not None:
                 tot = tot.at[mt.src_grp_idx].add(srcf[mt.src_grp_rows])
             if mt.D:
