@@ -106,13 +106,59 @@ def _kernel_mode(B, chunk=None):
     return C, packed
 
 
+def detect_tier(c1, c2, beta, valid):
+    """Kernel specialization tier from the element coefficient rows.
+
+    The kernel is VPU-bound (DMA fully overlaps), so the wins come from
+    cutting vector work, not bytes:
+
+    - "ubeta": beta = c3/c1 = b*dt is one global scalar (compute_setab's
+      Rayleigh b is global, psolve.c:5813-5876; "mass"/"none" have
+      beta = 0), so the damping fold W = u + beta*(u - up) is staged
+      once per tile into VMEM and every corner gather rolls a [3, W]
+      window instead of [6, W] -- half the roll volume.
+    - "umat": additionally c1, c2 are brick-constant (homogeneous
+      material region), so they fold into the spectral coefficients at
+      trace time; the streamed c1 row only supplies the element
+      validity mask.
+    Env cap: HT_PALLAS_TIER=general|ubeta|umat caps the auto tier (it
+    can only downgrade -- an unsound force would corrupt results)."""
+    import os
+    if not np.any(valid):
+        return "general"
+    c1v, c2v, btv = c1[valid], c2[valid], beta[valid]
+    if np.ptp(btv) != 0.0:
+        tier = "general"
+    elif np.ptp(c1v) == 0.0 and np.ptp(c2v) == 0.0 and c1v[0] != 0.0:
+        tier = "umat"
+    else:
+        tier = "ubeta"
+    rank = {"general": 0, "ubeta": 1, "umat": 2}
+    cap = os.environ.get("HT_PALLAS_TIER", "")
+    if cap in rank and rank[cap] < rank[tier]:
+        tier = cap
+    return tier
+
+
 def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
-                 interpret=False):
+                 interpret=False, tier="general", kco=None):
     C, packed = _kernel_mode(B, chunk)
     W0 = C + 128                        # gather region width
     # lane-shift classes: o mod 128 (= corner popcount when the brick's
     # x/y/z node strides are all == 1 mod 128, the usual case)
     NR = sorted({o % 128 for o in offs} - {0})
+    # corners grouped by shift class (the scatter rolls only the rows
+    # of each class instead of the whole 24-row force block)
+    CLASSES = {}
+    for j, o in enumerate(offs):
+        CLASSES.setdefault(o % 128, []).append(j)
+    staged = packed and tier in ("ubeta", "umat")
+    if tier == "umat":
+        c1s, c2s, beta_s = kco
+        if c1s == 0.0:                  # degenerate: no fold possible
+            tier, staged = "ubeta", packed
+    if staged:
+        beta_s = kco[2]
 
     def roll(x, shift):
         if interpret:                   # pltpu.roll is mosaic-only
@@ -127,6 +173,10 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             ro, ri = 3 * mo + co, 3 * mi + ci
             if ro != ri:
                 off.append((ro, ri, -k))
+    if tier == "umat":
+        # fold the uniform c1/c2 into the sparse coefficients
+        offu = ([(ro, ri, k * c1s) for ro, ri, k in off1]
+                + [(ro, ri, k * c2s) for ro, ri, k in off2])
 
     def bf24(U):
         for k in range(3):
@@ -134,7 +184,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         return U
 
     def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
-               scr_w, scr_f):
+               scr_s, scr_w, scr_f):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -144,6 +194,16 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         nf[...] = jnp.zeros_like(nf)
         cmv = cm[...]
         ddv = dd[...]
+
+        if staged:
+            # stage W = u + beta*(u - up) for the tile + halo once:
+            # every corner window becomes a [3, W0] roll instead of a
+            # [6, W0] (u; u-up) roll + per-corner fma
+            H = o7 + 128
+            ut0, ub0 = ua[...], ub[:, :H]
+            up0, upb0 = upa[...], upb[:, :H]
+            scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
+            scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
 
         def region(start):
             """[6, W0] stacked (u; u-up) at 128-aligned offset start,
@@ -165,24 +225,33 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         # dataflow blows the 16 MB scoped-vmem budget)
         for c0 in range(0, B, C):
             if packed:
-                f24 = _chunk_packed(region, cmv, ddv, c0, scr_w)
+                f24 = _chunk_packed(region, cmv, ddv, c0, scr_s, scr_w)
                 F = f24
                 # scatter through a zero-padded scratch + one roll per
                 # shift class: all nf updates are lane-aligned (a
                 # direct misaligned slice store costs a relayout per
                 # corner; Mosaic also rejects pad-concats of
-                # offset-mismatched vectors)
+                # offset-mismatched vectors).  Only the rows of each
+                # class are rolled.
                 scr_f[:, :C] = F
                 scr_f[:, C:] = jnp.zeros((24, 128), dtype)
                 Fv = scr_f[...]
-                R = {0: Fv}
-                for s in NR:
-                    R[s] = roll(Fv, s)
-                for j, o in enumerate(offs):
-                    s = o % 128
-                    a = c0 + (o - s)
-                    nf[:, a:a + W0] = (nf[:, a:a + W0]
-                                       + R[s][3 * j:3 * j + 3])
+                for s, js in CLASSES.items():
+                    if s == 0:
+                        for j in js:
+                            a = c0 + offs[j]
+                            nf[:, a:a + W0] = (nf[:, a:a + W0]
+                                               + Fv[3 * j:3 * j + 3])
+                        continue
+                    sel = (Fv[3 * js[0]:3 * js[0] + 3] if len(js) == 1
+                           else jnp.concatenate(
+                               [Fv[3 * j:3 * j + 3] for j in js],
+                               axis=0))
+                    Rv = roll(sel, s)
+                    for i, j in enumerate(js):
+                        a = c0 + (offs[j] - s)
+                        nf[:, a:a + W0] = (nf[:, a:a + W0]
+                                           + Rv[3 * i:3 * i + 3])
             else:
                 ue = jnp.concatenate([ua[...], ub[...]], axis=1)
                 upe = jnp.concatenate([upa[...], upb[...]], axis=1)
@@ -202,40 +271,65 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         ut = ua[...]
         out[...] = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
 
-    def _chunk_packed(region, cmv, ddv, c0, scr_w):
+    def _chunk_packed(region, cmv, ddv, c0, scr_s, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
         (a [3, C] slab wastes 5/8 of every vector register).
 
         Gather: the corner windows sit at misaligned lane offsets.
         Each distinct (128-aligned base, shift) pair is loaded as a
-        [6, W0] (u; u-up) region and lane-rolled once by its shift
-        class, so every window read is an aligned slice.  The damping
-        combine is folded into the gather via the reference identity
-        c3 = beta*c1, c4 = beta*c2 (element_coefficients):
+        region and lane-rolled once by its shift class, so every window
+        read is an aligned slice.  The damping combine is folded via
+        the reference identity c3 = beta*c1, c4 = beta*c2
+        (element_coefficients):
 
           W = u + beta*(u - up),  Z = H W,
           stiffness+damping = H(D1 (c1 Z) + D2 (c2 Z) + offdiag)
 
         -- one butterfly instead of three (su, sd, F -> Z, F).
-        Mosaic rejects concats of offset-mismatched vectors, so W is
-        staged through a VMEM scratch with static-slice stores; the
-        reload has the clean layout the butterfly concats accept."""
+        In the staged tiers the fold happens once per tile (scr_s);
+        the general tier folds per corner with the per-element beta
+        row.  Mosaic rejects concats of offset-mismatched vectors, so
+        W is staged through a VMEM scratch with static-slice stores;
+        the reload has the clean layout the butterfly concats accept."""
         c1 = cmv[0, c0:c0 + C]
         c2 = cmv[1, c0:c0 + C]
-        bt = cmv[2, c0:c0 + C]
 
         regs = {}
-        for j, o in enumerate(offs):
-            s = o % 128
-            start = (o - s) + c0
-            key = (start, s)
-            if key not in regs:
-                g = region(start)
-                regs[key] = g if s == 0 else roll(g, W0 - s)
-            r = regs[key]
-            scr_w[3 * j:3 * j + 3] = r[0:3, :C] + bt * r[3:6, :C]
+        if staged:
+            for j, o in enumerate(offs):
+                s = o % 128
+                start = c0 + (o - s)
+                key = (o - s, s)
+                if key not in regs:
+                    g = scr_s[:, pl.ds(start, W0)]
+                    regs[key] = g if s == 0 else roll(g, W0 - s)
+                scr_w[3 * j:3 * j + 3] = regs[key][:, :C]
+        else:
+            bt = cmv[2, c0:c0 + C]
+            for j, o in enumerate(offs):
+                s = o % 128
+                start = (o - s) + c0
+                key = (start, s)
+                if key not in regs:
+                    g = region(start)
+                    regs[key] = g if s == 0 else roll(g, W0 - s)
+                r = regs[key]
+                scr_w[3 * j:3 * j + 3] = r[0:3, :C] + bt * r[3:6, :C]
 
         Z = bf24(scr_w[...])
+        zero = jnp.zeros((1, C), dtype)
+        if tier == "umat":
+            # uniform material: coefficients folded at trace time; the
+            # streamed c1 row only supplies the validity mask
+            y = Z * (ddv[:24, :1] * c1s + ddv[24:, :1] * c2s)
+            rows = [None] * 24
+            for ro, ri, k in offu:
+                r = k * Z[ri:ri + 1]
+                rows[ro] = r if rows[ro] is None else rows[ro] + r
+            corr = jnp.concatenate([r if r is not None else zero
+                                    for r in rows], axis=0)
+            # validity mask from the streamed c1 row (exact 1.0/0.0)
+            return bf24(y + corr) * (c1 != 0.0).astype(dtype)
         e1 = Z * c1
         e2 = Z * c2
         y = e1 * ddv[:24, :1] + e2 * ddv[24:, :1]
@@ -246,7 +340,6 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             for ro, ri, k in off:
                 r = k * src[ri:ri + 1]
                 rows[ro] = r if rows[ro] is None else rows[ro] + r
-        zero = jnp.zeros((1, C), dtype)
         corr = jnp.concatenate([r if r is not None else zero
                                 for r in rows], axis=0)
         return bf24(y + corr)   # H symmetric -> inverse = forward
@@ -545,6 +638,7 @@ class PallasBrickTables:
             return etab_arr(getattr(tables, k))
 
         self.damping = tables.damping
+        self.tier, self.kco = "general", None
         if tables.damping == "bkt":
             self.bk = f(np.stack([pad1(etab_arr(tables.bkt[k]))
                                   for k in BK_ROWS]))
@@ -562,6 +656,8 @@ class PallasBrickTables:
             cm = np.stack([pad1(c1), pad1(c2), pad1(beta)])
             self.cm = f(cm)
             self.bk = None
+            self.tier, self.kco = _tier_kco(c1, c2, beta,
+                                            plan.evalid_cat)
         mm = np.stack([pad1(tables.mass_minusaM[g][:, c])
                        for c in range(3)])
         self.mm = f(mm)
@@ -590,14 +686,26 @@ class PallasBrickTables:
             self.st_phi = f(st_phi)
 
 
-def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
+def _tier_kco(c1, c2, beta, valid):
+    """(tier, (c1s, c2s, beta_s)) for the kernel specialization."""
+    tier = detect_tier(c1, c2, beta, valid)
+    if tier == "general" or not np.any(valid):
+        return ("general", None)
+    i = int(np.flatnonzero(valid)[0])
+    return (tier, (float(c1[i]), float(c2[i]), float(beta[i])))
+
+
+def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
+               tier="general", kco=None):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
-    -> u_next [3, LEN]."""
+    -> u_next [3, LEN].  tier/kco: see detect_tier."""
     kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                          interpret=interpret)
+                          interpret=interpret, tier=tier, kco=kco)
     C, packed = _kernel_mode(B)
     scr_w = (24, C) if packed else (8, 128)    # unpacked: token-sized
     scr_f = (24, C + 128) if packed else (8, 128)
+    staged = packed and tier in ("ubeta", "umat")
+    scr_s = (3, B + o7 + 128) if staged else (8, 128)
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
     return pl.pallas_call(
@@ -615,6 +723,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False):
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM(scr_s, dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
@@ -651,7 +760,7 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
                               interpret=interpret)
     else:
         call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
-                          interpret=interpret)
+                          interpret=interpret, tier=pt.tier, kco=pt.kco)
 
     def step(carry, x):
         srcf, step_idx = x

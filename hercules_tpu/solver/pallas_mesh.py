@@ -32,9 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bricks import BrickPlan
-from .pallas_brick import (BK_ROWS, bkt_conv_dtype, bkt_kappa_zero,
-                           build_bkt_call, build_call, pallas_geometry,
-                           spectral_factors)
+from .pallas_brick import (BK_ROWS, _tier_kco, bkt_conv_dtype,
+                           bkt_kappa_zero, build_bkt_call, build_call,
+                           pallas_geometry, spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -153,6 +153,7 @@ class MeshPallasTables:
         self.bk = []
         self.mm = []
         self.invm = []
+        self.tiers = []      # per-brick kernel specialization
         if bkt:
             self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
             self.conv_rows = 48 if self.bkt_shear_only else 96
@@ -189,9 +190,14 @@ class MeshPallasTables:
             if bkt:
                 self.bk.append(pad2(bk_rows))
                 self.cm.append(None)
+                self.tiers.append(("general", None))
             else:
                 self.cm.append(pad2(cm_rows))
                 self.bk.append(None)
+                evb = ev[lo:hi]
+                self.tiers.append(_tier_kco(
+                    cm_rows[0, lo:hi], cm_rows[1, lo:hi],
+                    cm_rows[2, lo:hi], evb))
             self.mm.append(pad2(mm_rows))
             self.invm.append(pad2(invm_row[None, :]))
 
@@ -321,7 +327,7 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
     dd = jnp.asarray(dd, dtype)
 
     calls = []
-    for (offs, B, o7, T, LEN) in mt.geo:
+    for (offs, B, o7, T, LEN), (tier, kco) in zip(mt.geo, mt.tiers):
         if bkt:
             calls.append(build_bkt_call(offs, B, o7, T, LEN, dtype,
                                         shear_only=mt.bkt_shear_only,
@@ -329,7 +335,8 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
                                         interpret=interpret))
         else:
             calls.append(build_call(offs, B, o7, T, LEN, f1e, f2e,
-                                    dtype, interpret=interpret))
+                                    dtype, interpret=interpret,
+                                    tier=tier, kco=kco))
 
     NB = mt.NB
 

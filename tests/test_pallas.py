@@ -94,3 +94,32 @@ def test_pallas_bkt_matches_brick_solver():
     np.testing.assert_allclose(u_p, u_b, rtol=0, atol=2e-12 * scale)
     np.testing.assert_allclose(samp_p, samp_b, rtol=0,
                                atol=2e-12 * max(np.abs(samp_b).max(), 1))
+
+
+def test_pallas_tiers_agree(problem, monkeypatch):
+    """The kernel specialization tiers (general / staged uniform-beta /
+    folded uniform-material; detect_tier, pallas_brick.py) produce the
+    same trajectory.  examples/simple is homogeneous so the auto tier
+    is 'umat'; HT_PALLAS_TIER caps it down for the cross-check."""
+    from hercules_tpu.solver.pallas_brick import detect_tier  # noqa: F401
+
+    p, mesh, tables, plan = problem
+    T = 25
+    rng = np.random.default_rng(11)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3))
+
+    results = {}
+    for tier in ("general", "ubeta", "umat"):
+        monkeypatch.setenv("HT_PALLAS_TIER", tier)
+        state, _ = run_pallas_solver(
+            plan, tables, nid, forces, T, p.delta_t,
+            dtype=jnp.float64, interpret=True)
+        results[tier] = pallas_u_global(plan, state[0], mesh.nnum)
+    monkeypatch.delenv("HT_PALLAS_TIER")
+
+    scale = np.abs(results["general"]).max()
+    assert scale > 0
+    for tier in ("ubeta", "umat"):
+        np.testing.assert_allclose(results[tier], results["general"],
+                                   rtol=0, atol=5e-13 * scale)
