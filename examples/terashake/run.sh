@@ -49,12 +49,15 @@ src = src.replace("extended_cells_along_strike         = 1000",
 src = src.replace("extended_cells_down_dip             = 75",
                   "extended_cells_down_dip             = 8")
 open(f"{run}/in/src/source.in", "w").write(src)
-n = int(cells) * 8
+# slip/rake need number_of_time_windows * down_dip * along_strike
+# values (SourceModel._parse_plane; quakesource.c:3931-3983)
+nwin = int(re.search(r"number_of_time_windows\s*=\s*(\d+)", src)
+           .group(1))
 rng = np.random.default_rng(0)
 np.savetxt(f"{run}/in/src/slip.in",
-           rng.uniform(0.5, 3.0, (8, int(cells))))
+           rng.uniform(0.5, 3.0, (nwin * 8, int(cells))))
 np.savetxt(f"{run}/in/src/rake.in",
-           np.full((8, int(cells)), 107.0))
+           np.full((nwin * 8, int(cells)), 107.0))
 print("terashake inputs prepared")
 PY
 

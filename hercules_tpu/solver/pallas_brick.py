@@ -50,6 +50,14 @@ BK_ROWS = ("shear_c1", "shear_c2", "shear_c3", "shear_c4",
            "kappa_c1", "kappa_c2", "kappa_c3", "kappa_c4",
            "kappa_e0", "kappa_e1", "a0_kappa", "a1_kappa", "kappa_coef",
            "mu_f", "kappa_f")
+# shear-only (infinite Qk) runs never touch the 9 kappa recursion rows;
+# dropping them from the stream saves ~10% of the BKT kernel's HBM
+# traffic (the kernel is bandwidth-bound)
+BK_ROWS_SHEAR = BK_ROWS[:9] + BK_ROWS[18:]
+
+
+def bk_row_names(shear_only: bool):
+    return BK_ROWS_SHEAR if shear_only else BK_ROWS
 
 
 def _butterfly(slabs):
@@ -528,7 +536,8 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
         else:
             ys = Zdvs * ddv[0:24] + offdiag(Zdvs, offd_mu)
             yk = Zdvk * ddv[24:48] + offdiag(Zdvk, offd_k)
-        F = bf24(ys * bkv[18:19] + yk * bkv[19:20])
+        imf = 9 if shear_only else 18   # mu_f/kappa_f rows (bk_row_names)
+        F = bf24(ys * bkv[imf:imf + 1] + yk * bkv[imf + 1:imf + 2])
 
         # scatter through the zero-padded roll scratch (see _make_kernel)
         scr_f[:, :C] = F
@@ -570,6 +579,7 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
     if conv_dtype is None:
         conv_dtype = dtype
     R = 48 if shear_only else 96
+    RB = len(bk_row_names(shear_only))
     fmue, fke = spectral_bkt_factors()
     kernel, dd, fm = _make_bkt_kernel(offs, B, o7, T, C, fmue, fke,
                                       dtype, shear_only=shear_only,
@@ -584,7 +594,7 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         in_specs=[
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
             pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
-            pl.BlockSpec((20, C), blkc),
+            pl.BlockSpec((RB, C), blkc),
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t, c: (0, 0)),
@@ -640,10 +650,11 @@ class PallasBrickTables:
         self.damping = tables.damping
         self.tier, self.kco = "general", None
         if tables.damping == "bkt":
-            self.bk = f(np.stack([pad1(etab_arr(tables.bkt[k]))
-                                  for k in BK_ROWS]))
-            self.cm = None
             self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
+            self.bk = f(np.stack(
+                [pad1(etab_arr(tables.bkt[k]))
+                 for k in bk_row_names(self.bkt_shear_only)]))
+            self.cm = None
             self.conv_rows = 48 if self.bkt_shear_only else 96
             self.conv_dtype = bkt_conv_dtype(dtype)
         else:

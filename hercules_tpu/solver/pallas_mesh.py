@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bricks import BrickPlan
-from .pallas_brick import (BK_ROWS, _tier_kco, bkt_conv_dtype,
+from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
                            bkt_kappa_zero, build_bkt_call, build_call,
                            pallas_geometry, spectral_factors)
 
@@ -166,8 +166,9 @@ class MeshPallasTables:
                              where=c1 != 0)
             cm_rows = np.stack([c1, c2, beta])
         else:
-            bk_rows = np.stack([etab_arr(tables.bkt[k])
-                                for k in BK_ROWS])
+            bk_rows = np.stack(
+                [etab_arr(tables.bkt[k])
+                 for k in bk_row_names(self.bkt_shear_only)])
         mm_rows = tables.mass_minusaM[g].T       # [3, TOT]
         invm_row = tables.inv_mass[g]
         for b in plan.bricks:
@@ -222,6 +223,12 @@ class MeshPallasTables:
                 for k in ("c1", "c2", "c3", "c4"):
                     setattr(self, f"l_{k}", f(getattr(tables, k)[le]))
                 self.mcat = f(tables.m48.T)
+
+        # ---- dense plane reconciler (depth-graded fast path) ----------
+        from .planerec import PlaneReconciler
+        self.plane_rec = PlaneReconciler.build(plan, tables,
+                                               src_ids=src_ids,
+                                               dtype=dtype)
 
         # ---- reconciliation plan in (array, local) coordinates -------
         def locate(pos):
@@ -414,7 +421,10 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
         uns.append(un_l)
 
         # ---- interface reconciliation --------------------------------
-        if mt.K:
+        if mt.plane_rec is not None:
+            # dense z-plane algebra (planerec.py): no gathers/scatters
+            uns = mt.plane_rec.apply(us, ups, uns, srcf, dtype)
+        elif mt.K:
             u_ex = mt.ex_gather(us, dtype)
             up_ex = mt.ex_gather(ups, dtype)
             un_ex = mt.ex_gather(uns, dtype)

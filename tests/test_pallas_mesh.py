@@ -114,3 +114,84 @@ def test_mesh_pallas_uniform_source_on_shared_node(graded):
     scale = np.abs(u_b).max()
     assert scale > 0
     np.testing.assert_allclose(u_m, u_b, rtol=0, atol=2e-13 * scale)
+
+
+def _depth_graded_mesh(p, cvm):
+    """Fine top half over coarse bottom half: full z-plane 2:1
+    interface (the production terashake grading shape)."""
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = z < (1 << 28)
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    return mesh
+
+
+@pytest.mark.parametrize("damping", ["rayleigh", "bkt"])
+def test_plane_reconciler_depth_graded(damping):
+    """The dense z-plane reconciler (planerec.py) activates on a
+    depth-graded mesh and reproduces both the XLA brick solver and the
+    index-based epilogue (HT_PLANE_RECONCILE=0) exactly."""
+    import os
+    from hercules_tpu.solver.pallas_mesh import MeshPallasTables
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    mesh = _depth_graded_mesh(p, cvm)
+    p.type_of_damping = damping
+    tables = assemble(mesh, p)
+    # lower the brick floor so the small coarse half stays dense
+    plan = build_plan(mesh, min_brick_elems=512)
+    assert len(mesh.dn_ids) > 0
+
+    # the plane reconciler must actually engage on this mesh
+    mt = MeshPallasTables(plan, tables)
+    assert mt.plane_rec is not None
+    assert len(mt.plane_rec.hang) == 1
+
+    T = 50
+    rng = np.random.default_rng(5)
+    # one source on the interface plane (group node) + one off it
+    dn_anchor = int(plan.mesh.dn_anchors[plan.mesh.dn_weights > 0][0])
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0], dn_anchor],
+                   np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[4, mesh.lenum - 3]]
+    st_phi = np.full((2, 8), 0.125)
+
+    state_b, samp_b = run_brick_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=25)
+    state_m, samp_m = run_mesh_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=25,
+        interpret=True)
+    os.environ["HT_PLANE_RECONCILE"] = "0"
+    try:
+        state_i, samp_i = run_mesh_solver(
+            plan, tables, nid, forces, T, p.delta_t,
+            st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
+            chunk=25, interpret=True)
+    finally:
+        del os.environ["HT_PLANE_RECONCILE"]
+
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_m = mesh_u_global(plan, state_m[0], mesh.nnum)
+    u_i = mesh_u_global(plan, state_i[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_b, rtol=0, atol=5e-12 * scale)
+    np.testing.assert_allclose(u_m, u_i, rtol=0, atol=5e-12 * scale)
+    np.testing.assert_allclose(
+        samp_m, samp_b, rtol=0,
+        atol=5e-12 * max(np.abs(samp_b).max(), 1))
