@@ -161,6 +161,10 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     for j, o in enumerate(offs):
         CLASSES.setdefault(o % 128, []).append(j)
     staged = packed and tier in ("ubeta", "umat")
+    # measured ~10% slower than per-chunk rolls on v5e (the
+    # tile-wide roll + scratch round-trip outweighs the saved
+    # per-chunk rolls); kept as an experiment flag
+    preshift = staged and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1"
     if tier == "umat":
         c1s, c2s, beta_s = kco
         if c1s == 0.0:                  # degenerate: no fold possible
@@ -192,7 +196,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         return U
 
     def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
-               scr_s, scr_w, scr_f):
+               scr_s, scr_sv, scr_w, scr_f):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -204,14 +208,21 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         ddv = dd[...]
 
         if staged:
-            # stage W = u + beta*(u - up) for the tile + halo once:
-            # every corner window becomes a [3, W0] roll instead of a
-            # [6, W0] (u; u-up) roll + per-corner fma
+            # stage W = u + beta*(u - up) for the tile + halo once,
+            # then pre-shift it once per lane-shift class: every corner
+            # window in every chunk becomes a plain aligned slice (the
+            # per-chunk [3, W0] rolls collapse into one tile-wide roll
+            # per class)
             H = o7 + 128
+            L = B + H
             ut0, ub0 = ua[...], ub[:, :H]
             up0, upb0 = upa[...], upb[:, :H]
             scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
             scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
+            if preshift:
+                sv = scr_s[...]
+                for k, s in enumerate(NR):
+                    scr_sv[3 * k:3 * k + 3] = roll(sv, L - s)
 
         def region(start):
             """[6, W0] stacked (u; u-up) at 128-aligned offset start,
@@ -233,7 +244,8 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         # dataflow blows the 16 MB scoped-vmem budget)
         for c0 in range(0, B, C):
             if packed:
-                f24 = _chunk_packed(region, cmv, ddv, c0, scr_s, scr_w)
+                f24 = _chunk_packed(region, cmv, ddv, c0, scr_s,
+                                    scr_sv, scr_w)
                 F = f24
                 # scatter through a zero-padded scratch + one roll per
                 # shift class: all nf updates are lane-aligned (a
@@ -279,7 +291,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         ut = ua[...]
         out[...] = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
 
-    def _chunk_packed(region, cmv, ddv, c0, scr_s, scr_w):
+    def _chunk_packed(region, cmv, ddv, c0, scr_s, scr_sv, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
         (a [3, C] slab wastes 5/8 of every vector register).
 
@@ -303,7 +315,18 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         c2 = cmv[1, c0:c0 + C]
 
         regs = {}
-        if staged:
+        if staged and preshift:
+            cls = {s: k for k, s in enumerate(NR)}
+            for j, o in enumerate(offs):
+                s = o % 128
+                start = c0 + (o - s)
+                if s == 0:
+                    scr_w[3 * j:3 * j + 3] = scr_s[:, pl.ds(start, C)]
+                else:
+                    k = 3 * cls[s]
+                    scr_w[3 * j:3 * j + 3] = \
+                        scr_sv[k:k + 3, pl.ds(start, C)]
+        elif staged:
             for j, o in enumerate(offs):
                 s = o % 128
                 start = c0 + (o - s)
@@ -717,6 +740,8 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
     scr_f = (24, C + 128) if packed else (8, 128)
     staged = packed and tier in ("ubeta", "umat")
     scr_s = (3, B + o7 + 128) if staged else (8, 128)
+    nshift = len({o % 128 for o in offs} - {0})
+    scr_sv = (max(3 * nshift, 8), B + o7 + 128) if staged else (8, 128)
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
     return pl.pallas_call(
@@ -735,6 +760,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM(scr_s, dtype),
+                        pltpu.VMEM(scr_sv, dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
