@@ -168,6 +168,10 @@ def zorder_argsort(hi, lo, level=None):
     """Argsort by Morton code (then level), matching code_comparekey
     (code.c:288-319): Morton bytes most-significant first, level last."""
     if level is None:
+        from .. import native
+        perm = native.sort_perm(hi, lo)   # parallel C++ (hi, lo) sort
+        if perm is not None:
+            return perm
         return np.lexsort((lo, hi))
     return np.lexsort((np.asarray(level), lo, hi))
 
@@ -181,16 +185,16 @@ def is_ancestor(anc_hi, anc_lo, anc_level, ch_hi, ch_lo, ch_level, bits=32):
     # number of low bits that may differ
     nbits = 3 * bits - 3 * (anc_level + 1)
     ok = ch_level >= anc_level
-    # mask out the low nbits and compare
     lo_bits = np.minimum(nbits, 64)
     hi_bits = np.maximum(nbits - 64, 0)
 
-    def mask_off(v, b):
-        b = b.astype(np.uint64)
-        full = b >= np.uint64(64)
-        shifted = np.where(full, np.uint64(0), np.asarray(v, np.uint64) >> b << b)
-        return np.where(full, np.uint64(0), shifted)
+    def same_above(a, b, nb):
+        """True where a and b agree above their low nb bits (one xor +
+        one shift instead of two mask-and-compare passes)."""
+        x = np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)
+        full = nb >= 64
+        sh = np.where(full, 0, nb).astype(np.uint64)
+        return full | ((x >> sh) == 0)
 
-    same_lo = mask_off(anc_lo, lo_bits) == mask_off(ch_lo, lo_bits)
-    same_hi = mask_off(anc_hi, hi_bits) == mask_off(ch_hi, hi_bits)
-    return ok & same_lo & same_hi
+    return (ok & same_above(anc_lo, ch_lo, lo_bits)
+            & same_above(anc_hi, ch_hi, hi_bits))

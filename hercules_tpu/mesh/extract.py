@@ -118,8 +118,11 @@ def extract_mesh(tree: Octree) -> MeshArrays:
 
     # ---- dangling classification ------------------------------------
     # candidate hanging locations: edge midpoints and face centers of
-    # every element with edge >= 2 ticks
-    big = e >= 2
+    # every element with edge >= 2 ticks.  Only elements coarser than
+    # the finest level can host hanging nodes (a hanging node is a
+    # corner of a *finer* neighbor), so uniform meshes skip the 18
+    # candidate lookups entirely.
+    big = (e >= 2) & (lv < lv.max())
     bx, by, bz, be = x[big], y[big], z[big], e[big]
     h = be // 2
 
@@ -167,9 +170,13 @@ def extract_mesh(tree: Octree) -> MeshArrays:
 
     def node_lookup(qx, qy, qz):
         """Exact node index for each query coord, -1 if no node there."""
+        from .. import native
         qhi, qlo = _pack(np.minimum(qx, far[0] - 1),
                          np.minimum(qy, far[1] - 1),
                          np.minimum(qz, far[2] - 1))
+        pos = native.exact_search(nhi, nlo, qhi, qlo)
+        if pos is not None:
+            return pos
         pos = np.searchsorted(_key128(nhi, nlo), _key128(qhi, qlo))
         pos = np.clip(pos, 0, N - 1)
         hit = (nhi[pos] == qhi) & (nlo[pos] == qlo)
