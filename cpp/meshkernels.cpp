@@ -147,4 +147,40 @@ void ht_exact_search(const uint64_t* shi, const uint64_t* slo, int64_t ns,
     });
 }
 
+
+// fused etree point lookup (etree.c:563-615 semantics): Morton
+// interleave of each query tick coordinate, floor search over the
+// sorted leaf keys, hit iff the floor leaf is an ancestor of the
+// max-level query key.  One parallel pass instead of three numpy ones.
+void ht_etree_search(const uint64_t* shi, const uint64_t* slo,
+                     const uint8_t* slevel, int64_t ns,
+                     const uint32_t* qx, const uint32_t* qy,
+                     const uint32_t* qz, int64_t nq, int64_t* out) {
+    parallel_for(nq, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++) {
+            uint64_t qh, ql;
+            interleave_one(qx[i], qy[i], qz[i], &qh, &ql);
+            // floor: last stored key <= query key
+            int64_t lo_i = 0, hi_i = ns;
+            while (lo_i < hi_i) {
+                int64_t mid = (lo_i + hi_i) >> 1;
+                bool le = (shi[mid] < qh)
+                    || (shi[mid] == qh && slo[mid] <= ql);
+                if (le) lo_i = mid + 1; else hi_i = mid;
+            }
+            int64_t f = lo_i - 1;
+            if (f < 0) { out[i] = -1; continue; }
+            // ancestor at level l shares the top 3*(l+1) of 96 bits
+            int nbits = 96 - 3 * ((int)slevel[f] + 1);
+            uint64_t xl = shi[f] ^ qh;   // hi words
+            uint64_t xo = slo[f] ^ ql;   // lo words
+            int lo_bits = nbits < 64 ? nbits : 64;
+            int hi_bits = nbits > 64 ? nbits - 64 : 0;
+            bool same_lo = lo_bits >= 64 || (xo >> lo_bits) == 0;
+            bool same_hi = (xl >> hi_bits) == 0;
+            out[i] = (same_lo && same_hi) ? f : -1;
+        }
+    });
+}
+
 }  // extern "C"

@@ -175,6 +175,13 @@ class EtreeReader:
         Classic linear-octree lookup (etree.c:563-615): Morton key of the
         query point, floor search, hit iff the floor record is an ancestor.
         """
+        if len(np.atleast_1d(x)) >= 1 << 12:
+            from .. import native
+            idx = native.etree_search(self.hi, self.lo, self.level,
+                                      x, y, z)
+            if idx is not None:
+                ok = idx >= 0
+                return ok, np.maximum(idx, 0)
         qhi, qlo = morton.interleave3(x, y, z)
         # floor search on (hi, lo); a max-level query key always compares
         # >= any leaf key with the same Morton prefix, so a plain Morton

@@ -63,6 +63,9 @@ def get_lib():
                                     i64p]
     lib.ht_exact_search.argtypes = [u64p, u64p, i64, u64p, u64p, i64,
                                     i64p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ht_etree_search.argtypes = [u64p, u64p, u8p, i64, u32p, u32p,
+                                    u32p, i64, i64p]
     _LIB = lib
     return _LIB
 
@@ -150,4 +153,28 @@ def sort_perm(hi, lo):
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.ht_sort_perm_u128(_p(hi, u64p), _p(lo, u64p), len(hi),
                           _p(out, i64p))
+    return out
+
+
+def etree_search(shi, slo, slevel, qx, qy, qz):
+    """Fused etree point lookup: interleave + floor + ancestor check in
+    one parallel C++ pass.  Returns leaf index or -1 per query."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_etree_search"):
+        return None
+    import ctypes
+    shi = np.ascontiguousarray(shi, np.uint64)
+    slo = np.ascontiguousarray(slo, np.uint64)
+    slevel = np.ascontiguousarray(slevel, np.uint8)
+    qx = np.ascontiguousarray(np.atleast_1d(qx), np.uint32)
+    qy = np.ascontiguousarray(np.atleast_1d(qy), np.uint32)
+    qz = np.ascontiguousarray(np.atleast_1d(qz), np.uint32)
+    out = np.empty(len(qx), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_etree_search(_p(shi, u64p), _p(slo, u64p), _p(slevel, u8p),
+                        len(shi), _p(qx, u32p), _p(qy, u32p),
+                        _p(qz, u32p), len(qx), _p(out, i64p))
     return out
