@@ -5,9 +5,9 @@ header plus fixed-stride tm1/tm2 slabs per PE, and restarts only with
 an identical rank count; BKT convolution state is NOT saved (a known
 gap, SURVEY.md section 5).  This implementation keeps the alternating
 double-buffer protocol and the checkpoint.in restart convention but
-stores the *global* state (u_now, u_prev, and the BKT convolution
-arrays when present), so restarts are rank-elastic and bit-exact for
-all damping models.
+stores the *global* state (u_now, u_prev, plus the BKT convolution
+arrays and the nonlinear plastic state when present), so restarts are
+rank-elastic and bit-exact for all damping and material models.
 """
 
 from __future__ import annotations
@@ -65,6 +65,8 @@ def checkpoint_flush():
 
 
 def _tree_asarray(t):
+    if t is None:
+        return None
     if isinstance(t, (tuple, list)):
         return tuple(_tree_asarray(x) for x in t)
     return np.asarray(t)

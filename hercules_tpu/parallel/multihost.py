@@ -105,18 +105,29 @@ def run_slab_multihost(st, src_forces, total_steps, dt,
     assert n_dev == len(jax.devices()), \
         f"slab tables built for {n_dev} shards but the global mesh " \
         f"has {len(jax.devices())} devices"
-    maker = make_slab_pallas_step if pallas else make_slab_step
-    scan_fn, tdev = maker(st, mesh_dev, axis=axis, dtype=dtype)
+    if pallas:
+        scan_fn, tdev, LEN, conv_info = make_slab_pallas_step(
+            st, mesh_dev, axis=axis, dtype=dtype)
+    else:
+        scan_fn, tdev = make_slab_step(st, mesh_dev, axis=axis,
+                                       dtype=dtype)
 
     npdt = np.dtype(jnp.zeros((), dtype).dtype)
     sharded = lambda a: make_global(a, mesh_dev, P(axis))
     repl = lambda a: make_global(a, mesh_dev, P())
     tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
 
-    u = np.zeros((n_dev, 3, st.tot_local), npdt)
+    nn = LEN if pallas else st.tot_local
+    u = np.zeros((n_dev, 3, nn), npdt)
     if st.damping == "bkt":
-        conv = tuple(sharded(np.zeros((n_dev, 24, st.meta.S), npdt))
-                     for _ in range(4))
+        if pallas:
+            conv_rows, conv_dtype = conv_info
+            cn = np.dtype(jnp.zeros((), conv_dtype).dtype)
+            conv = sharded(np.zeros((n_dev, conv_rows, nn), cn))
+        else:
+            conv = tuple(sharded(np.zeros((n_dev, 24, st.meta.S),
+                                          npdt))
+                         for _ in range(4))
         state = (sharded(u), sharded(u), conv)
     else:
         state = (sharded(u), sharded(u))

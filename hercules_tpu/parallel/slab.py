@@ -300,19 +300,18 @@ def slab_u_global(st: SlabTables, u_sharded, N):
 def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
                           dtype=jnp.float32, interpret=False):
     from ..physics.kmats import spectral_factors
-    from ..solver.pallas_brick import build_call, pallas_geometry
+    from ..solver.pallas_brick import (_tier_kco, bk_row_names,
+                                       bkt_conv_dtype, bkt_kappa_zero,
+                                       build_bkt_call, build_call,
+                                       pallas_geometry)
 
-    if st.damping == "bkt":
-        raise NotImplementedError("fused-kernel slab path covers "
-                                  "rayleigh/mass/none damping")
     offs = st.meta.offs
     o7 = offs[7]
     nb = st.tot_local
     B, T, LEN = pallas_geometry(offs, nb)
     plane = st.nyp * st.nxp
     f1e, f2e = spectral_factors()
-    call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
-                      interpret=interpret)
+    bkt = st.damping == "bkt"
 
     def pad_nodes(x):
         """[n_dev, ..., nb] -> [n_dev, ..., LEN]"""
@@ -320,15 +319,31 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return np.pad(x, w)
 
     f = lambda x: jnp.asarray(x, dtype)
-    # kernel contract: (c1, c2, beta) with c3 = beta*c1, c4 = beta*c2
-    c1, c3 = st.c["c1"], st.c["c3"]
-    beta = np.divide(c3, c1, out=np.zeros_like(c1), where=c1 != 0)
-    cm = np.stack([c1, st.c["c2"], beta], axis=1)
     tdev = {
-        "cm": f(pad_nodes(cm)),                  # [n_dev, 4, LEN]
         "mm": f(pad_nodes(st.mass_minusaM)),     # [n_dev, 3, LEN]
         "invm": f(pad_nodes(st.inv_mass))[:, None, :],
     }
+    conv_rows = conv_dtype = None
+    if bkt:
+        shear_only = bkt_kappa_zero(st.bkt)
+        conv_rows = 48 if shear_only else 96
+        conv_dtype = bkt_conv_dtype(dtype)
+        call = build_bkt_call(offs, B, o7, T, LEN, dtype,
+                              shear_only=shear_only,
+                              conv_dtype=conv_dtype,
+                              interpret=interpret)
+        tdev["bk"] = f(pad_nodes(np.stack(
+            [st.bkt[k] for k in bk_row_names(shear_only)], axis=1)))
+    else:
+        # kernel contract: (c1, c2, beta) with c3 = beta*c1, c4 = beta*c2
+        c1, c3 = st.c["c1"], st.c["c3"]
+        beta = np.divide(c3, c1, out=np.zeros_like(c1), where=c1 != 0)
+        cm = np.stack([c1, st.c["c2"], beta], axis=1)
+        tier, kco = _tier_kco(c1.ravel(), st.c["c2"].ravel(),
+                              beta.ravel(), c1.ravel() != 0)
+        call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                          interpret=interpret, tier=tier, kco=kco)
+        tdev["cm"] = f(pad_nodes(cm))            # [n_dev, 3, LEN]
     dd = np.zeros((48, 1))
     for base, ent in ((0, f1e), (24, f2e)):
         for mo, co, mi, ci, k in ent:
@@ -343,8 +358,13 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
 
     def local_step(t, carry, x):
         srcf, _step = x
-        u, up = carry
-        un = call(u, u, up, up, t["cm"], t["mm"], t["invm"], dd)
+        if bkt:
+            u, up, conv = carry
+            un, conv = call(u, u, up, up, t["bk"], t["mm"], t["invm"],
+                            conv)
+        else:
+            u, up = carry
+            un = call(u, u, up, up, t["cm"], t["mm"], t["invm"], dd)
         if has_src:
             sf = jnp.where(t["src_mask"][:, None], srcf, 0)
             un = un.at[:, t["src_lidx"]].add(
@@ -371,6 +391,8 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
         un = un.at[:, nb - plane:nb].add(
             wbot * up_ * iv[nb - plane:nb][None, :])
+        if bkt:
+            return (un, u, conv), None
         return (un, u), None
 
     def scan_all(t, state, xs):
@@ -380,22 +402,26 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return jax.tree.map(lambda v: v[None], state)
 
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    sspec = (P(axis), P(axis))
+    sspec = ((P(axis),) * 3 if bkt else (P(axis),) * 2)
     # check_vma off: pallas_call's out_shape carries no vma annotation
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()), out_specs=sspec,
                          check_vma=False)
-    return jax.jit(smap), tdev, LEN
+    return jax.jit(smap), tdev, LEN, (conv_rows, conv_dtype)
 
 
 def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,
                            total_steps, dt, dtype=jnp.float32,
                            chunk=None, interpret=False):
-    scan_fn, tdev, LEN = make_slab_pallas_step(st, mesh_dev,
-                                               dtype=dtype,
-                                               interpret=interpret)
+    scan_fn, tdev, LEN, conv_info = make_slab_pallas_step(
+        st, mesh_dev, dtype=dtype, interpret=interpret)
     u = jnp.zeros((st.n_dev, 3, LEN), dtype)
-    state = (u, u)
+    if st.damping == "bkt":
+        conv_rows, conv_dtype = conv_info
+        state = (u, u, jnp.zeros((st.n_dev, conv_rows, LEN),
+                                 conv_dtype))
+    else:
+        state = (u, u)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

@@ -288,13 +288,17 @@ class SimOutputs:
             if (self.ckpt_dir is not None
                     and done % p.checkpointing_rate == 0):
                 from .io.checkpoint import checkpoint_write_async
-                st3 = state if len(state) >= 3 else (state + ((),))
-                if isinstance(st3[0], tuple):
+                # the whole carry tail (BKT convolution and nonlinear
+                # state) goes into the checkpoint -- the reference only
+                # saves tm1/tm2 (io_checkpoint.c:29-134), a known
+                # restart-semantics gap this fixes
+                u0, u1, tail = state[0], state[1], tuple(state[2:])
+                if isinstance(u0, tuple):
                     # multi-brick pallas carry: canonicalize the fields
                     # to global [N, 3]; conv stays carry-shaped
-                    st3 = (slot_global(st3[0]), slot_global(st3[1]),
-                           st3[2])
-                checkpoint_write_async(self.ckpt_dir, done, st3[:3])
+                    u0, u1 = slot_global(u0), slot_global(u1)
+                checkpoint_write_async(self.ckpt_dir, done,
+                                       (u0, u1, tail))
             if inner is not None:
                 inner(done, state)
 
@@ -517,9 +521,6 @@ class Simulation:
                 ckdir = os.path.join(rundir, ckdir)
             ckin = os.path.join(ckdir, "checkpoint.in")
             if os.path.exists(ckin):
-                if nl is not None:
-                    raise NotImplementedError(
-                        "checkpoint restart with nonlinear state")
                 from .io.checkpoint import checkpoint_read
                 start_step, u_now, u_prev, ck_conv, _ = \
                     checkpoint_read(ckin)
@@ -672,10 +673,23 @@ class Simulation:
                 assert u_now.ndim == 2 and u_now.shape[1] == 3, \
                     "checkpoint layout does not match the unstructured " \
                     "solver"
-                conv = tuple(jnp.asarray(c, dtype) for c in ck_conv)
+                nconv = 4 if self.tables.damping == "bkt" else 0
+                conv = tuple(jnp.asarray(c, dtype)
+                             for c in ck_conv[:nconv]) or None
                 state = (jnp.asarray(u_now, dtype),
                          jnp.asarray(np.asarray(init_state[1]), dtype),
                          conv)
+                if nl is not None:
+                    # re-nest the plastic state (strain, pstrain,
+                    # lambda [, geostatic bottom reactions])
+                    nlflat = ck_conv[nconv:]
+                    want = 4 if nl["geostatic"] else 3
+                    if len(nlflat) != want:
+                        raise RuntimeError(
+                            f"checkpoint has {len(nlflat)} nonlinear "
+                            f"state arrays; this run needs {want}")
+                    state = state + (tuple(jnp.asarray(a, dtype)
+                                           for a in nlflat),)
             state, samples = run_solver(
                 self.tables, self.src_ids, self.src_forces, steps,
                 p.delta_t, st_nodes=st_nodes, st_phi=st_phi,

@@ -176,3 +176,76 @@ def test_sim_run_checkpoint_restart(tmp_path, small_sim):
     np.testing.assert_array_equal(np.asarray(state_b[0]),
                                   np.asarray(state_a[0]))
     np.testing.assert_array_equal(samples_b, samples_a[100:])
+
+
+def test_sim_run_checkpoint_restart_nonlinear(tmp_path, small_sim):
+    """Checkpoint restart with nonlinear plastic state: the reference
+    never saves it (io_checkpoint.c stores only tm1/tm2); here the
+    strain/pstrain/lambda arrays ride the checkpoint and the resumed
+    run is bit-exact."""
+    from hercules_tpu.nonlinear import NonlinearConfig, \
+        build_nonlinear_tables
+    from hercules_tpu.sim import setup_stations
+    from hercules_tpu.source.model import SourceModel
+
+    p, cvm, mesh = small_sim
+    rundir = str(tmp_path)
+    p.output_displacement = 0
+    p.output_velocity = 0
+    p.number_output_planes = 0
+    p.planes = None
+    p.use_checkpoint = 1
+    p.checkpointing_rate = 100
+    p.checkpoint_path = os.path.join(rundir, "ckpt")
+
+    cfg = NonlinearConfig()
+    cfg.material_model = "vonmises"
+    cfg.properties_type = "alphakay"
+    cfg.plasticity_type = "rate_independant"
+    cfg.vs_cut = 1e9
+    cfg.vs_min = 0.0
+    cfg.vs_limits = np.array([0.0, 1e10])
+    cfg.alpha_cohes = np.array([0.0, 0.0])
+    cfg.kay_phis = np.array([2e4, 2e4])
+    cfg.strain_rates = np.array([1e-3, 1e-3])
+    cfg.sensitivities = np.array([1.0, 1.0])
+    cfg.hardening = np.array([0.0, 0.0])
+
+    tables = assemble(mesh, p)
+    src = SourceModel.parse(p)
+    src_ids, src_forces = src.compute_forces(mesh, p)
+    src_forces = src_forces * 50.0          # force yielding
+
+    def make():
+        sim = Simulation(params=p, cvm=cvm, mesh=mesh, tables=tables,
+                         source=src, src_ids=src_ids,
+                         src_forces=src_forces,
+                         stations=setup_stations(mesh, p))
+        sim.nl_tables = build_nonlinear_tables(mesh, p, cfg)
+        return sim
+
+    outputs = SimOutputs(mesh, p, rundir=rundir)
+    state_a, samples_a = make().run(dtype=jnp.float64, outputs=outputs,
+                                    rundir=rundir)
+    assert np.asarray(state_a[3][2]).max() > 0   # actually yielded
+
+    ck = p.checkpoint_path
+    chosen = None
+    for w in (0, 1):
+        path = os.path.join(ck, f"checkpoint.out{w}")
+        with np.load(path) as z:
+            if int(z["step"]) == 100:
+                chosen = path
+    assert chosen is not None
+    os.replace(chosen, os.path.join(ck, "checkpoint.in"))
+
+    sim_b = make()
+    outputs_b = SimOutputs(mesh, p, rundir=rundir)
+    state_b, samples_b = sim_b.run(dtype=jnp.float64, outputs=outputs_b,
+                                   rundir=rundir)
+    assert sim_b.start_step == 100
+    np.testing.assert_array_equal(np.asarray(state_b[0]),
+                                  np.asarray(state_a[0]))
+    for a, b in zip(state_a[3], state_b[3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(samples_b, samples_a[100:])

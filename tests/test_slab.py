@@ -125,3 +125,36 @@ def test_slab_pallas_matches_single():
                                     interpret=True)
     u = slab_pallas_u_global(st, sh[0], mesh.nnum)
     np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
+
+
+def test_slab_pallas_bkt_matches_single():
+    """Fused BKT kernel under slab sharding: the spectral-basis
+    convolution state stays shard-local; the same force-plane recovery
+    + ppermute exchange matches the single-device solver."""
+    from hercules_tpu.parallel.slab import (run_slab_pallas_solver,
+                                            slab_pallas_u_global)
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.finalize()
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 80
+    forces = np.zeros((T, 1, 3))
+    forces[:10, 0, :] = 1e8
+
+    state, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                          dtype=jnp.float64)
+    u_ref = np.asarray(state[0])
+
+    st = build_slab_tables(mesh, tables, 4, src_ids=src_ids)
+    devs = np.array(jax.devices()[:4])
+    with Mesh(devs, ("d",)) as m:
+        sh = run_slab_pallas_solver(st, m, forces, T, p.delta_t,
+                                    dtype=jnp.float64, chunk=40,
+                                    interpret=True)
+    u = slab_pallas_u_global(st, sh[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-11 * scale)
