@@ -1,0 +1,384 @@
+"""Multi-chip graded-mesh solver: stacked slab decomposition.
+
+The production large-CVM configuration is a depth-graded octree (one
+brick per resolution level, stacked in z, 2:1 plane interfaces).  The
+uniform slab path (slab.py) shards one brick; here EVERY brick is
+sharded in z across the whole device axis, so each device holds one
+z-fragment of every brick:
+
+- per brick, per step: the fused single-brick Pallas kernel
+  (solver/pallas_brick.py, with its specialization tiers / BKT
+  variant) runs on the local fragment, followed by the same
+  shared-plane force recovery + ppermute exchange the uniform slab
+  uses (the reference's schedule_senddata halo, psolve.c:4946-5079);
+- per 2:1 brick interface: the interface's fine plane lives on one
+  end device and the coarse plane on another; the coarse device
+  ppermutes its (u, up, u_next) plane triplet to the fine device,
+  which runs the dense plane reconciliation (compute_adjust semantics,
+  solver/planerec.py:hanging_algebra) and ppermutes the reconciled
+  coarse plane back.  Two point-to-point transfers of one plane each
+  -- no gathers, no segment sums.
+
+Interface structure is verified exhaustively at build time by
+PlaneReconciler.build; meshes that don't decompose into full z-planes
+(or whose per-brick layer counts don't divide the device count) raise,
+and callers fall back to the unstructured sharded path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solver.bricks import build_plan
+from ..solver.brickstep import assemble_brick_tables
+from ..solver.planerec import PlaneReconciler
+
+
+@dataclass
+class _GBrick:
+    offs: tuple
+    plane: int            # nyp * nxp
+    ez: int               # element layers per device
+    nb: int               # local node count (ez+1 planes)
+    B: int = 0
+    T: int = 0
+    LEN: int = 0
+    # stacked per-device tables [n_dev, rows, LEN]
+    cm: object = None
+    bk: object = None
+    mm: object = None
+    invm: object = None
+    tier: str = "general"
+    kco: tuple = None
+    gnid_local: list = None
+    src_lidx: object = None     # [n_dev, L] local positions
+    src_mask: object = None
+
+
+@dataclass
+class GSlabTables:
+    n_dev: int
+    damping: str
+    bricks: List[_GBrick]
+    rec: PlaneReconciler        # verified interfaces + plane tables
+    hang_own: list              # per hang: (df, lzf, dc, lzc)
+    same_own: list              # per same: (da, lza, db, lzb)
+    conv_rows: int = 0
+    conv_dtype: object = None
+    shear_only: bool = False
+    gnid_all: list = None       # per device, per brick
+
+
+def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
+                       dtype=jnp.float32,
+                       min_brick_elems=2048) -> GSlabTables:
+    from ..solver.pallas_brick import (_tier_kco, bk_row_names,
+                                       bkt_conv_dtype, bkt_kappa_zero,
+                                       pallas_geometry)
+
+    plan = build_plan(mesh, min_brick_elems=min_brick_elems)
+    if len(plan.bricks) < 2 or len(plan.loose_eidx):
+        raise RuntimeError("graded slab needs >=2 dense bricks and no "
+                           "loose elements")
+    rec = PlaneReconciler.build(plan, tables, src_ids=None, dtype=dtype)
+    if rec is None:
+        raise RuntimeError("mesh interfaces do not decompose into full "
+                           "z-planes; use the unstructured path")
+
+    t_host, metas, TOT = assemble_brick_tables(plan, tables,
+                                               src_ids=src_ids)
+    bkt = tables.damping == "bkt"
+    st = GSlabTables(n_dev=n_dev, damping=tables.damping, bricks=[],
+                     rec=rec, hang_own=[], same_own=[])
+    if bkt:
+        st.shear_only = bkt_kappa_zero(tables.bkt)
+        st.conv_rows = 48 if st.shear_only else 96
+        st.conv_dtype = bkt_conv_dtype(dtype)
+        bknames = bk_row_names(st.shear_only)
+
+    # source ownership: first concat copy; owner device excludes the
+    # shared top plane of fragments > 0 (same rule as slab.py)
+    src_pos = t_host.get("src_pos")
+    L = len(src_ids) if src_ids is not None else 0
+
+    f = lambda x: jnp.asarray(x, dtype)
+    for bi, (b, gm) in enumerate(zip(plan.bricks, metas)):
+        nzp, nyp, nxp = b.node_shape
+        nz = nzp - 1
+        if nz % n_dev:
+            raise RuntimeError(
+                f"brick {bi}: {nz} element layers not divisible by "
+                f"{n_dev} devices")
+        ez = nz // n_dev
+        plane = nyp * nxp
+        nb = (ez + 1) * plane
+        B, T, LEN = pallas_geometry(gm.offs, nb)
+        gb = _GBrick(offs=gm.offs, plane=plane, ez=ez, nb=nb,
+                     B=B, T=T, LEN=LEN, gnid_local=[])
+
+        def pad(x):
+            w = [(0, 0)] * (x.ndim - 1) + [(0, LEN - x.shape[-1])]
+            return np.pad(x, w)
+
+        cms, bks, mms, invs = [], [], [], []
+        srcl, srcm = [], []
+        for d in range(n_dev):
+            n0 = b.off + d * ez * plane
+            n1 = n0 + nb
+            sel = slice(n0, n1)
+            if bkt:
+                rows = np.stack([t_host["bkt"][k][sel].copy()
+                                 for k in bknames])
+                rows[:, ez * plane:] = 0.0     # ghost-plane elements
+                bks.append(rows)
+            else:
+                c1 = t_host["c1"][sel].copy()
+                c2 = t_host["c2"][sel].copy()
+                c3 = t_host["c3"][sel].copy()
+                c1[ez * plane:] = 0.0
+                c2[ez * plane:] = 0.0
+                c3[ez * plane:] = 0.0
+                beta = np.divide(c3, c1, out=np.zeros_like(c1),
+                                 where=c1 != 0)
+                cms.append(np.stack([c1, c2, beta]))
+            mms.append(t_host["mass_minusaM"][:, sel])
+            invs.append(t_host["inv_mass"][sel])
+            gb.gnid_local.append(plan.gnid_cat[sel])
+            if L:
+                pos = src_pos.astype(np.int64)
+                mine = (pos >= n0) & (pos < n1)
+                if d > 0:
+                    mine &= pos >= n0 + plane
+                sl = np.where(mine, pos - n0, nb - 1)
+                srcl.append(sl.astype(np.int32))
+                srcm.append(mine)
+        if bkt:
+            gb.bk = f(pad(np.stack(bks)))
+        else:
+            cm = np.stack(cms)
+            gb.cm = f(pad(cm))
+            gb.tier, gb.kco = _tier_kco(
+                cm[:, 0].ravel(), cm[:, 1].ravel(), cm[:, 2].ravel(),
+                cm[:, 0].ravel() != 0)
+        gb.mm = f(pad(np.stack(mms)))
+        gb.invm = f(pad(np.stack(invs)))[:, None, :]
+        if L and np.any([m.any() for m in srcm]):
+            gb.src_lidx = jnp.asarray(np.stack(srcl), jnp.int32)
+            gb.src_mask = jnp.asarray(np.stack(srcm))
+        st.bricks.append(gb)
+
+    def owner(z_plane, brick):
+        """(device, local plane) of a brick-end plane."""
+        gb = st.bricks[brick]
+        return (0, 0) if z_plane == 0 else (n_dev - 1, gb.ez)
+
+    for h in rec.hang:
+        df, lzf = owner(h.zf, h.fi)
+        dc, lzc = owner(h.zc, h.ci)
+        st.hang_own.append((df, lzf, dc, lzc))
+    for s in rec.same:
+        da, lza = owner(s.za, s.ai)
+        db, lzb = owner(s.zb, s.bi)
+        st.same_own.append((da, lza, db, lzb))
+    return st
+
+
+def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
+                    dtype=jnp.float32, interpret=False):
+    from ..physics.kmats import spectral_factors
+    from ..solver.pallas_brick import build_bkt_call, build_call
+
+    bkt = st.damping == "bkt"
+    n_dev = st.n_dev
+    f1e, f2e = spectral_factors()
+    dd = np.zeros((48, 1))
+    for base, ent in ((0, f1e), (24, f2e)):
+        for mo, co, mi, ci, k in ent:
+            if (mo, co) == (mi, ci):
+                dd[base + 3 * mo + co, 0] = -k
+    dd = jnp.asarray(dd, dtype)
+
+    calls = []
+    for gb in st.bricks:
+        if bkt:
+            calls.append(build_bkt_call(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, dtype,
+                shear_only=st.shear_only, conv_dtype=st.conv_dtype,
+                interpret=interpret))
+        else:
+            calls.append(build_call(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, f1e, f2e,
+                dtype, interpret=interpret, tier=gb.tier, kco=gb.kco))
+
+    tdev = {}
+    for bi, gb in enumerate(st.bricks):
+        tdev[f"mm{bi}"] = gb.mm
+        tdev[f"invm{bi}"] = gb.invm
+        if bkt:
+            tdev[f"bk{bi}"] = gb.bk
+        else:
+            tdev[f"cm{bi}"] = gb.cm
+        if gb.src_lidx is not None:
+            tdev[f"sl{bi}"] = gb.src_lidx
+            tdev[f"sm{bi}"] = gb.src_mask
+
+    ring_dn = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    ring_up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_step(t, carry, x):
+        srcf, _step = x
+        if bkt:
+            us, ups, convs = carry
+        else:
+            us, ups = carry
+            convs = None
+        idx = jax.lax.axis_index(axis)
+        uns = []
+        new_conv = []
+
+        for bi, gb in enumerate(st.bricks):
+            u, up = us[bi], ups[bi]
+            if bkt:
+                un, cv = calls[bi](u, u, up, up, t[f"bk{bi}"],
+                                   t[f"mm{bi}"], t[f"invm{bi}"],
+                                   convs[bi])
+                new_conv.append(cv)
+            else:
+                un = calls[bi](u, u, up, up, t[f"cm{bi}"],
+                               t[f"mm{bi}"], t[f"invm{bi}"], dd)
+            iv = t[f"invm{bi}"][0]
+            if gb.src_lidx is not None:
+                sf = jnp.where(t[f"sm{bi}"][:, None], srcf, 0)
+                un = un.at[:, t[f"sl{bi}"]].add(
+                    sf.T * iv[t[f"sl{bi}"]][None, :])
+
+            # within-brick fragment halo: shared-plane force recovery
+            # + ppermute (identical to slab.py's fused path)
+            plane, nb = gb.plane, gb.nb
+            m1 = t[f"mm{bi}"]
+
+            def plane_force(sl):
+                return ((un[:, sl] - u[:, sl]) / iv[sl][None, :]
+                        - m1[:, sl] * (u[:, sl] - up[:, sl]))
+
+            f_top = plane_force(slice(0, plane))
+            f_bot = plane_force(slice(nb - plane, nb))
+            down = jax.lax.ppermute(f_bot, axis, ring_dn)
+            up_ = jax.lax.ppermute(f_top, axis, ring_up)
+            wtop = jnp.where(idx > 0, 1.0, 0.0)
+            wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
+            un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
+            un = un.at[:, nb - plane:nb].add(
+                wbot * up_ * iv[nb - plane:nb][None, :])
+            uns.append(un)
+
+        # cross-brick interface reconciliation
+        def triplet(bi, lz, ny, nx):
+            gb = st.bricks[bi]
+            sl = slice(lz * gb.plane, (lz + 1) * gb.plane)
+            return jnp.concatenate(
+                [us[bi][:, sl], ups[bi][:, sl], uns[bi][:, sl]],
+                axis=0).reshape(9, ny, nx)
+
+        for h, (df, lzf, dc, lzc) in zip(st.rec.hang, st.hang_own):
+            gbf, gbc = st.bricks[h.fi], st.bricks[h.ci]
+            fine = triplet(h.fi, lzf, h.nyf, h.nxf)
+            coarse = triplet(h.ci, lzc, h.nyc, h.nxc)
+            if df != dc:
+                coarse = jax.lax.ppermute(coarse, axis, [(dc, df)])
+            v2 = PlaneReconciler.hanging_algebra(
+                fine[0:3], fine[3:6], fine[6:9],
+                coarse[0:3], coarse[3:6], coarse[6:9], h)
+            v2c = v2[:, ::2, ::2]
+            if df != dc:
+                v2c = jax.lax.ppermute(v2c, axis, [(df, dc)])
+            putf = jax.lax.dynamic_update_slice_in_dim(
+                uns[h.fi], v2.reshape(3, gbf.plane).astype(dtype),
+                lzf * gbf.plane, axis=1)
+            putc = jax.lax.dynamic_update_slice_in_dim(
+                uns[h.ci], v2c.reshape(3, gbc.plane).astype(dtype),
+                lzc * gbc.plane, axis=1)
+            uns[h.fi] = jnp.where(idx == df, putf, uns[h.fi])
+            uns[h.ci] = jnp.where(idx == dc, putc, uns[h.ci])
+
+        for s, (da, lza, db, lzb) in zip(st.rec.same, st.same_own):
+            gba, gbb = st.bricks[s.ai], st.bricks[s.bi]
+            ta = triplet(s.ai, lza, s.ny, s.nx)
+            tb = triplet(s.bi, lzb, s.ny, s.nx)
+            if da != db:
+                tb = jax.lax.ppermute(tb, axis, [(db, da)])
+            unv = PlaneReconciler.same_level_algebra(
+                ta[0:3], ta[3:6], ta[6:9], tb[0:3], tb[3:6], tb[6:9], s)
+            unb = unv
+            if da != db:
+                unb = jax.lax.ppermute(unv, axis, [(da, db)])
+            puta = jax.lax.dynamic_update_slice_in_dim(
+                uns[s.ai], unv.reshape(3, gba.plane).astype(dtype),
+                lza * gba.plane, axis=1)
+            putb = jax.lax.dynamic_update_slice_in_dim(
+                uns[s.bi], unb.reshape(3, gbb.plane).astype(dtype),
+                lzb * gbb.plane, axis=1)
+            uns[s.ai] = jnp.where(idx == da, puta, uns[s.ai])
+            uns[s.bi] = jnp.where(idx == db, putb, uns[s.bi])
+
+        if bkt:
+            return (tuple(uns), tuple(us), tuple(new_conv)), None
+        return (tuple(uns), tuple(us)), None
+
+    def scan_all(t, state, xs):
+        t = jax.tree.map(lambda v: v[0], t)
+        state = jax.tree.map(lambda v: v[0], state)
+        state, _ = jax.lax.scan(partial(local_step, t), state, xs)
+        return jax.tree.map(lambda v: v[None], state)
+
+    tspec = jax.tree.map(lambda _: P(axis), tdev)
+    nb_ = len(st.bricks)
+    one = (P(axis),) * nb_
+    sspec = (one, one, one) if bkt else (one, one)
+    smap = jax.shard_map(scan_all, mesh=mesh_dev,
+                         in_specs=(tspec, sspec, P()), out_specs=sspec,
+                         check_vma=False)
+    return jax.jit(smap), tdev
+
+
+def run_gslab_solver(st: GSlabTables, mesh_dev, src_forces,
+                     total_steps, dt, dtype=jnp.float32, chunk=None,
+                     interpret=False):
+    scan_fn, tdev = make_gslab_step(st, mesh_dev, dtype=dtype,
+                                    interpret=interpret)
+    u = tuple(jnp.zeros((st.n_dev, 3, gb.LEN), dtype)
+              for gb in st.bricks)
+    if st.damping == "bkt":
+        conv = tuple(jnp.zeros((st.n_dev, st.conv_rows, gb.LEN),
+                               st.conv_dtype) for gb in st.bricks)
+        state = (u, u, conv)
+    else:
+        state = (u, u)
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
+              jnp.arange(s, s + k, dtype=jnp.int32))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
+def gslab_u_global(st: GSlabTables, us, N):
+    """Global [N, 3] field from the per-brick stacked slab states."""
+    u = np.zeros((N, 3), np.asarray(us[0]).dtype)
+    for gb, arr in zip(st.bricks, us):
+        a = np.asarray(arr)               # [n_dev, 3, LEN]
+        for d in range(st.n_dev):
+            u[gb.gnid_local[d]] = a[d, :, :gb.nb].T
+    return u

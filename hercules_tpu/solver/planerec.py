@@ -296,6 +296,61 @@ class PlaneReconciler:
     # -- device step -------------------------------------------------------
 
     @staticmethod
+    def hanging_algebra(uf, upf, unf, uc, upc, unc, h, srcf=None,
+                        src=()):
+        """The full 2:1 plane reconciliation on gathered plane fields:
+        force recovery, coarse upsample, separable distribute, nodal
+        update, separable assign.  Returns the reconciled fine-plane
+        field [3, nyf, nxf] (coarse plane = its [::2, ::2]).  Pure
+        function so the multi-chip graded path can reuse it."""
+        dtype = uf.dtype
+        ny, nx = h.nyf, h.nxf
+
+        def shy(v, d):
+            if d > 0:
+                return jnp.pad(v, ((0, 0), (d, 0), (0, 0)))[:, :v.shape[1]]
+            return jnp.pad(v, ((0, 0), (0, -d), (0, 0)))[:, -d:]
+
+        def shx(v, d):
+            if d > 0:
+                return jnp.pad(v, ((0, 0), (0, 0), (d, 0)))[:, :, :v.shape[2]]
+            return jnp.pad(v, ((0, 0), (0, 0), (0, -d)))[:, :, -d:]
+
+        duf = uf - upf
+        Ff = (unf - uf) * h.mass - h.mm * duf
+        Fc = (unc - uc) * h.mass_c - h.mm_c * (uc - upc)
+        tot = Ff + PlaneReconciler._upsample(Fc, ny, nx)
+        for r, iy, ix in src:
+            tot = tot.at[:, iy, ix].add(srcf[r].astype(dtype))
+        # distribute (y then x): edge 1/2, face 1/4 via composition
+        my = (jnp.arange(ny) % 2).astype(dtype)[None, :, None]
+        mx = (jnp.arange(nx) % 2).astype(dtype)[None, None, :]
+        ty = tot * my
+        t1 = tot + 0.5 * (shy(ty, 1) + shy(ty, -1))
+        tx = t1 * mx
+        t2 = t1 + 0.5 * (shx(tx, 1) + shx(tx, -1))
+        unv = uf + (t2 + h.mm * duf) * h.invm
+        # assign (y then x): dangling = mean of anchors
+        v1 = unv * (1 - my) + 0.5 * my * (shy(unv * (1 - my), 1)
+                                          + shy(unv * (1 - my), -1))
+        v2 = v1 * (1 - mx) + 0.5 * mx * (shx(v1 * (1 - mx), 1)
+                                         + shx(v1 * (1 - mx), -1))
+        return v2
+
+    @staticmethod
+    def same_level_algebra(ua, upa, una, ub, upb, unb, s, srcf=None,
+                           src=()):
+        """Conforming shared-plane reconciliation: sum the two sides'
+        forces and update once.  Returns the reconciled plane field."""
+        dtype = ua.dtype
+        dua = ua - upa
+        tot = ((una - ua) * s.mass - s.mm * dua
+               + (unb - ub) * s.mass_b - s.mm_b * (ub - upb))
+        for r, iy, ix in src:
+            tot = tot.at[:, iy, ix].add(srcf[r].astype(dtype))
+        return ua + (tot + s.mm * dua) * s.invm
+
+    @staticmethod
     def _plane(arr, z, ny, nx):
         pl = ny * nx
         return jax.lax.dynamic_slice_in_dim(
@@ -322,56 +377,24 @@ class PlaneReconciler:
     def apply(self, us, ups, uns, srcf, dtype):
         uns = list(uns)
 
-        def shy(v, d):
-            """Shift +d along y (rows move toward +y), zero fill."""
-            if d > 0:
-                return jnp.pad(v, ((0, 0), (d, 0), (0, 0)))[:, :v.shape[1]]
-            return jnp.pad(v, ((0, 0), (0, -d), (0, 0)))[:, -d:]
-
-        def shx(v, d):
-            if d > 0:
-                return jnp.pad(v, ((0, 0), (0, 0), (d, 0)))[:, :, :v.shape[2]]
-            return jnp.pad(v, ((0, 0), (0, 0), (0, -d)))[:, :, -d:]
-
         for h in self.hang:
             ny, nx = h.nyf, h.nxf
             pf = lambda a: self._plane(a, h.zf, ny, nx).astype(dtype)
             pc = lambda a: self._plane(a, h.zc, h.nyc, h.nxc).astype(dtype)
-            uf, upf, unf = pf(us[h.fi]), pf(ups[h.fi]), pf(uns[h.fi])
-            uc, upc, unc = pc(us[h.ci]), pc(ups[h.ci]), pc(uns[h.ci])
-            duf = uf - upf
-            Ff = (unf - uf) * h.mass - h.mm * duf
-            Fc = (unc - uc) * h.mass_c - h.mm_c * (uc - upc)
-            tot = Ff + self._upsample(Fc, ny, nx)
-            for r, iy, ix in h.src:
-                tot = tot.at[:, iy, ix].add(srcf[r].astype(dtype))
-            # distribute (y then x): edge 1/2, face 1/4 via composition
-            my = (jnp.arange(ny) % 2).astype(dtype)[None, :, None]
-            mx = (jnp.arange(nx) % 2).astype(dtype)[None, None, :]
-            ty = tot * my
-            t1 = tot + 0.5 * (shy(ty, 1) + shy(ty, -1))
-            tx = t1 * mx
-            t2 = t1 + 0.5 * (shx(tx, 1) + shx(tx, -1))
-            unv = uf + (t2 + h.mm * duf) * h.invm
-            # assign (y then x): dangling = mean of anchors
-            v1 = unv * (1 - my) + 0.5 * my * (shy(unv * (1 - my), 1)
-                                              + shy(unv * (1 - my), -1))
-            v2 = v1 * (1 - mx) + 0.5 * mx * (shx(v1 * (1 - mx), 1)
-                                             + shx(v1 * (1 - mx), -1))
+            v2 = self.hanging_algebra(
+                pf(us[h.fi]), pf(ups[h.fi]), pf(uns[h.fi]),
+                pc(us[h.ci]), pc(ups[h.ci]), pc(uns[h.ci]),
+                h, srcf=srcf, src=h.src)
             uns[h.fi] = self._put(uns[h.fi], v2, h.zf)
             uns[h.ci] = self._put(uns[h.ci], v2[:, ::2, ::2], h.zc)
 
         for s in self.same:
             pa = lambda a: self._plane(a, s.za, s.ny, s.nx).astype(dtype)
             pb = lambda a: self._plane(a, s.zb, s.ny, s.nx).astype(dtype)
-            ua, upa, una = pa(us[s.ai]), pa(ups[s.ai]), pa(uns[s.ai])
-            ub, upb, unb = pb(us[s.bi]), pb(ups[s.bi]), pb(uns[s.bi])
-            dua = ua - upa
-            tot = ((una - ua) * s.mass - s.mm * dua
-                   + (unb - ub) * s.mass_b - s.mm_b * (ub - upb))
-            for r, iy, ix in s.src:
-                tot = tot.at[:, iy, ix].add(srcf[r].astype(dtype))
-            unv = ua + (tot + s.mm * dua) * s.invm
+            unv = self.same_level_algebra(
+                pa(us[s.ai]), pa(ups[s.ai]), pa(uns[s.ai]),
+                pb(us[s.bi]), pb(ups[s.bi]), pb(uns[s.bi]),
+                s, srcf=srcf, src=s.src)
             uns[s.ai] = self._put(uns[s.ai], unv, s.za)
             uns[s.bi] = self._put(uns[s.bi], unv, s.zb)
 

@@ -141,7 +141,7 @@ def test_slab_pallas_bkt_matches_single():
     tables = assemble(mesh, p)
     nid = mesh.elem_lnid[mesh.lenum // 2, 0]
     src_ids = np.array([nid], np.int32)
-    T = 80
+    T = 40
     forces = np.zeros((T, 1, 3))
     forces[:10, 0, :] = 1e8
 
@@ -153,8 +153,78 @@ def test_slab_pallas_bkt_matches_single():
     devs = np.array(jax.devices()[:4])
     with Mesh(devs, ("d",)) as m:
         sh = run_slab_pallas_solver(st, m, forces, T, p.delta_t,
-                                    dtype=jnp.float64, chunk=40,
+                                    dtype=jnp.float64, chunk=20,
                                     interpret=True)
     u = slab_pallas_u_global(st, sh[0], mesh.nnum)
     scale = np.abs(u_ref).max()
     np.testing.assert_allclose(u, u_ref, rtol=0, atol=1e-11 * scale)
+
+
+def _depth_graded(damping="rayleigh"):
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    p.type_of_damping = damping
+    p.finalize()
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = z < (1 << 28)
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    return p, mesh, assemble(mesh, p)
+
+
+@pytest.mark.parametrize("damping", ["rayleigh", "bkt"])
+def test_gslab_graded_matches_single(damping):
+    """Graded multi-chip path (parallel/gslab.py): every brick z-sharded
+    over the device axis, fused kernels + within-brick force-plane
+    halos + ppermute'd dense 2:1 interface reconciliation; matches the
+    single-device brick solver."""
+    import os
+    from hercules_tpu.parallel.gslab import (build_gslab_tables,
+                                             gslab_u_global,
+                                             run_gslab_solver)
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.brickstep import (brick_u_global,
+                                               run_brick_solver)
+
+    p, mesh, tables = _depth_graded(damping)
+    # lower the brick floor so the small coarse half stays dense
+    plan = build_plan(mesh, min_brick_elems=512)
+    assert len(plan.bricks) == 2
+
+    # source on the interface plane (a dangling anchor) + one interior
+    dn_anchor = int(mesh.dn_anchors[mesh.dn_weights > 0][0])
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0], dn_anchor],
+                   np.int32)
+    T = 24
+    rng = np.random.default_rng(9)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+
+    state_b, _ = run_brick_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float64,
+                                  chunk=12)
+    u_ref = brick_u_global(plan, state_b[0], mesh.nnum)
+
+    st = build_gslab_tables(mesh, tables, 4, src_ids=nid,
+                            dtype=jnp.float64, min_brick_elems=512)
+    devs = np.array(jax.devices()[:4])
+    with Mesh(devs, ("d",)) as m:
+        sh = run_gslab_solver(st, m, forces, T, p.delta_t,
+                              dtype=jnp.float64, chunk=12,
+                              interpret=True)
+    u = gslab_u_global(st, sh[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u, u_ref, rtol=0, atol=5e-12 * scale)
