@@ -108,6 +108,125 @@ def golden_check():
     return worst
 
 
+def terashake_bench():
+    """BENCH_CONFIG=terashake: the full-scale SCEC TeraShake box
+    (600x300x84.4 km) at the reference's production 0.1 Hz / 8 ppw /
+    VsCut 500 (examples/terashake/numerical.in) on a synthetic layered
+    CVM, rayleigh damping, on one chip.  Metric: wall-clock seconds
+    per simulated second (Delta t = 20 ms -> 50 steps/sim-second),
+    BASELINE.md's second primary metric."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+    from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
+                                                 init_mesh_state,
+                                                 make_mesh_step,
+                                                 mesh_plan_applies)
+
+    R = "/root/reference/examples/terashake"
+    p = load_params(f"{R}/physics.in", f"{R}/numerical.in")
+    freq = float(os.environ.get("BENCH_TERA_FREQ", p.freq))   # 0.1 Hz
+    p.freq = freq
+    p.finalize()
+    tmp = tempfile.mkdtemp(prefix="ht_tera_")
+    layers = [[0.0, 1200.0, 500.0, 2000.0],
+              [9375.0, 3500.0, 1800.0, 2400.0],
+              [28125.0, 6000.0, 3464.0, 2700.0]]
+    build_layered_cvm(f"{tmp}/tera.e", p.region_length_east_m,
+                      p.region_length_north_m, p.region_depth_deep_m,
+                      4687.5, layers, origin_lat=p.region_origin_latitude_deg,
+                      origin_lon=p.region_origin_longitude_deg)
+    cvm = CVM(f"{tmp}/tera.e")
+    cache = os.environ.get("BENCH_TERA_CACHE", "")
+    t0 = time.time()
+    if cache and os.path.exists(cache):
+        import pickle
+        with open(cache, "rb") as fh:
+            mesh, tables = pickle.load(fh)
+        t_mesh = time.time() - t0
+    else:
+        mesh = generate_mesh(p, cvm)
+        t_mesh = time.time() - t0
+        tables = assemble(mesh, p)
+        if cache:
+            import pickle
+            with open(cache + ".tmp", "wb") as fh:
+                pickle.dump((mesh, tables), fh, protocol=4)
+            os.replace(cache + ".tmp", cache)
+    t0 = time.time()
+    plan = build_plan(mesh)
+    t_asm = time.time() - t0
+    E = mesh.lenum
+    print(f"# terashake mesh: {E} elements, {mesh.nnum} nodes, "
+          f"{len(plan.bricks)} bricks (mesh {t_mesh:.0f}s, "
+          f"assemble {t_asm:.0f}s)", file=sys.stderr)
+    nid = int(mesh.elem_lnid[E // 2, 0])
+    steps = int(os.environ.get("BENCH_STEPS", 200))
+    from functools import partial
+    if mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30):
+        mt = MeshPallasTables(plan, tables,
+                              src_ids=np.array([nid], np.int32))
+        print(f"# path: fused mesh kernels, plane reconciler "
+              f"{'ON' if mt.plane_rec is not None else 'OFF'}",
+              file=sys.stderr)
+        step, consts = make_mesh_step(mt)
+        state = init_mesh_state(mt)
+    else:
+        # terashake-aspect bricks (xy plane > the fused kernel's VMEM
+        # envelope): XLA brick path
+        from hercules_tpu.solver.brickstep import (assemble_brick_tables,
+                                                   init_brick_state,
+                                                   make_brick_step)
+        print("# path: XLA brick (plane exceeds fused-kernel tile)",
+              file=sys.stderr)
+        t_host, meta, TOT = assemble_brick_tables(
+            plan, tables, src_ids=np.array([nid], np.int32))
+        step, consts = make_brick_step(t_host, meta, TOT,
+                                       tables.damping, jnp.float32)
+        state = init_brick_state(meta, TOT, tables.damping, jnp.float32,
+                                 n_loose=len(plan.loose_eidx))
+    scan = jax.jit(lambda c, s, xs: jax.lax.scan(
+        partial(step, c), s, xs)[0])
+
+    def xs_for(k):
+        return (jnp.ones((k, 1, 3), jnp.float32),
+                jnp.arange(k, dtype=jnp.int32))
+
+    def fence(st):
+        leaf = jax.tree.leaves(st[0])[0]
+        jax.block_until_ready(leaf)
+        float(jnp.sum(leaf[0, :8]))
+
+    t0 = time.time()
+    state = scan(consts, state, xs_for(steps))
+    fence(state)
+    print(f"# compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    state = scan(consts, state, xs_for(steps))
+    fence(state)
+    dt_wall = time.time() - t0
+    per_step = dt_wall / steps
+    steps_per_sim_s = 1.0 / p.delta_t
+    wall_per_sim = per_step * steps_per_sim_s
+    eups = E * steps / dt_wall
+    print(f"# {steps} steps in {dt_wall:.2f}s = {per_step*1e3:.2f} "
+          f"ms/step ({eups:.3e} eups); dt={p.delta_t} s -> "
+          f"{wall_per_sim:.2f} wall-s per simulated second",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "terashake-wallclock-per-sim-second",
+        "value": wall_per_sim,
+        "unit": "s/s",
+        "vs_baseline": eups / 1e7,
+    }))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -122,6 +241,9 @@ def main():
 
     if os.environ.get("BENCH_GOLDEN"):
         golden_check()
+        return
+    if os.environ.get("BENCH_CONFIG") == "terashake":
+        terashake_bench()
         return
 
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
@@ -163,23 +285,30 @@ def main():
             os.environ["HT_PALLAS_PACKED"] = "0"
         elif which == "pallas":
             os.environ["HT_PALLAS_PACKED"] = "1"
+        consts = None
         if which == "mesh":
             mt = MeshPallasTables(plan, tables, src_ids=src_ids)
-            step = make_mesh_step(mt)
+            step, consts = make_mesh_step(mt)
             state = init_mesh_state(mt)
         elif which.startswith("pallas"):
             pt = PallasBrickTables(plan, tables, src_ids=src_ids)
-            step = make_pallas_step(pt)
+            step, consts = make_pallas_step(pt)
             state = init_pallas_state(pt)
         else:
             t_host, meta, TOT = assemble_brick_tables(plan, tables,
                                                       src_ids=src_ids)
-            step, _ = make_brick_step(t_host, meta, TOT, tables.damping,
-                                      jnp.float32)
+            step, consts = make_brick_step(t_host, meta, TOT,
+                                           tables.damping, jnp.float32)
             state = init_brick_state(meta, TOT, tables.damping,
                                      jnp.float32,
                                      n_loose=len(plan.loose_eidx))
-        scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
+        from functools import partial
+        if consts is not None:
+            scan0 = jax.jit(lambda c, s, xs: jax.lax.scan(
+                partial(step, c), s, xs)[0])
+            scan = lambda s, xs: scan0(consts, s, xs)
+        else:
+            scan = jax.jit(lambda s, xs: jax.lax.scan(step, s, xs)[0])
         return scan, state
 
     def xs_for(k):

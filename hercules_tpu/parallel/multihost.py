@@ -145,6 +145,49 @@ def run_slab_multihost(st, src_forces, total_steps, dt,
     return state
 
 
+def run_gslab_multihost(st, src_forces, total_steps, dt,
+                        dtype=jnp.float32, chunk=None, axis="d",
+                        interpret=False):
+    """Graded (stacked-slab) solver over the global device mesh: the
+    pod-scale path for depth-graded meshes (parallel/gslab.py)."""
+    from .gslab import make_gslab_step
+
+    mesh_dev = global_device_mesh(axis)
+    n_dev = st.n_dev
+    assert n_dev == len(jax.devices()), \
+        f"gslab tables built for {n_dev} shards but the global mesh " \
+        f"has {len(jax.devices())} devices"
+    scan_fn, tdev = make_gslab_step(st, mesh_dev, axis=axis,
+                                    dtype=dtype, interpret=interpret)
+
+    npdt = np.dtype(jnp.zeros((), dtype).dtype)
+    sharded = lambda a: make_global(a, mesh_dev, P(axis))
+    repl = lambda a: make_global(a, mesh_dev, P())
+    tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
+
+    u = tuple(sharded(np.zeros((n_dev, 3, gb.LEN), npdt))
+              for gb in st.bricks)
+    if st.damping == "bkt":
+        cn = np.dtype(jnp.zeros((), st.conv_dtype).dtype)
+        conv = tuple(sharded(np.zeros((n_dev, st.conv_rows, gb.LEN),
+                                      cn)) for gb in st.bricks)
+        state = (u, u, conv)
+    else:
+        state = (u, u)
+
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (repl(np.asarray(src_forces[s:s + k] * dt2, npdt)),
+              repl(np.arange(s, s + k, dtype=np.int32)))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
 def main(argv=None):
     """Pod launcher: `python -m hercules_tpu.parallel.multihost
     --coordinator host0:1234 --nprocs N --pid K <cvmdb> <physics.in>
@@ -182,15 +225,30 @@ def main(argv=None):
     tables = assemble(mesh, params)
     sm = SourceModel.parse(params)
     src_ids, src_forces = sm.compute_forces(mesh, params)
-    st = build_slab_tables(mesh, tables, len(jax.devices()),
-                           src_ids=src_ids)
-    state = run_slab_multihost(st, src_forces, params.total_steps,
-                               params.delta_t)
-    u = gather_global(state[0])
-    if pid == 0:
-        ug = slab_u_global(st, u, mesh.nnum)
-        print(f"[multihost] done: |u|max = {np.abs(ug).max():.6e}")
-    return 0
+    try:
+        st = build_slab_tables(mesh, tables, len(jax.devices()),
+                               src_ids=src_ids)
+        state = run_slab_multihost(st, src_forces, params.total_steps,
+                                   params.delta_t)
+        u = gather_global(state[0])
+        if pid == 0:
+            ug = slab_u_global(st, u, mesh.nnum)
+            print(f"[multihost] done: |u|max = {np.abs(ug).max():.6e}")
+        return 0
+    except RuntimeError:
+        # graded mesh: stacked-slab path
+        from .gslab import build_gslab_tables, gslab_u_global
+        st = build_gslab_tables(mesh, tables, len(jax.devices()),
+                                src_ids=src_ids)
+        state = run_gslab_multihost(st, src_forces,
+                                    params.total_steps,
+                                    params.delta_t)
+        us = tuple(gather_global(a) for a in state[0])
+        if pid == 0:
+            ug = gslab_u_global(st, us, mesh.nnum)
+            print(f"[multihost] done (graded): "
+                  f"|u|max = {np.abs(ug).max():.6e}")
+        return 0
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ bitwise-level agreement in f64.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -159,15 +161,17 @@ def _scatter_back(force_b, f, meta: BrickMeta):
 
 
 def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
+    """Returns (step, d): step(d, carry, x) takes the device tables as
+    an explicit argument so node-scale arrays lower as program
+    parameters, not HLO literals (see chunking.run_chunked)."""
     d = _to_device(t_host, dtype)
     G = t_host["n_groups"]
     has_src = "src_pos" in d
     has_st = "st_pos" in d
     has_dn = len(t_host["dn_grp"]) > 0
 
-    mcat = d["mcat"]
-
-    def step(carry, x):
+    def step(d, carry, x):
+        mcat = d["mcat"]
         srcf, step_idx = x
         u, up, conv = carry
 
@@ -185,19 +189,48 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
         for bi, m in enumerate(meta):
             sl_u = jax.lax.dynamic_slice_in_dim(u, m.off, m.nb, axis=1)
             sl_up = jax.lax.dynamic_slice_in_dim(up, m.off, m.nb, axis=1)
-            ue = _elem_field(sl_u, m)       # [24, S]
-            upe = _elem_field(sl_up, m)
-            c1 = jax.lax.dynamic_slice_in_dim(d["c1"], m.off, m.S)
-            c2 = jax.lax.dynamic_slice_in_dim(d["c2"], m.off, m.S)
 
             if damping != "bkt":
-                c3 = jax.lax.dynamic_slice_in_dim(d["c3"], m.off, m.S)
-                c4 = jax.lax.dynamic_slice_in_dim(d["c4"], m.off, m.S)
-                du = ue - upe
-                a = c1[None, :] * ue + c3[None, :] * du
-                b = c2[None, :] * ue + c4[None, :] * du
-                f = -(mcat @ jnp.concatenate([a, b], axis=0))
-            else:
+                # segment the element sweep so the [24, S] dataflow
+                # stays bounded on production-scale bricks (an
+                # unsegmented 7M-element brick peaks at several GB of
+                # live intermediates)
+                SEG = int(os.environ.get("HT_BRICK_SEG", 1 << 20))
+                fb = jnp.zeros((3, m.nb), dtype)
+                for q0 in range(0, m.S, SEG):
+                    qn = min(SEG, m.S - q0)
+
+                    def cut(v):
+                        return jax.lax.dynamic_slice_in_dim(
+                            v, m.off + q0, qn)
+
+                    ue = jnp.concatenate(
+                        [jax.lax.dynamic_slice_in_dim(
+                            sl_u, o + q0, qn, axis=1)
+                         for o in m.offs], axis=0)
+                    upe = jnp.concatenate(
+                        [jax.lax.dynamic_slice_in_dim(
+                            sl_up, o + q0, qn, axis=1)
+                         for o in m.offs], axis=0)
+                    du = ue - upe
+                    a = cut(d["c1"])[None] * ue + cut(d["c3"])[None] * du
+                    b = cut(d["c2"])[None] * ue + cut(d["c4"])[None] * du
+                    f = -(mcat @ jnp.concatenate([a, b], axis=0))
+                    for j in range(8):
+                        o = m.offs[j] + q0
+                        seg = jax.lax.dynamic_slice_in_dim(fb, o, qn,
+                                                           axis=1)
+                        fb = jax.lax.dynamic_update_slice_in_dim(
+                            fb, seg + f[3 * j:3 * j + 3], o, axis=1)
+                segf = jax.lax.dynamic_slice_in_dim(force, m.off, m.nb,
+                                                    axis=1)
+                force = jax.lax.dynamic_update_slice_in_dim(
+                    force, segf + fb, m.off, axis=1)
+                continue
+            # BKT path (memory variables carried per element)
+            ue = _elem_field(sl_u, m)       # [24, S]
+            upe = _elem_field(sl_up, m)
+            if True:
                 bk = d["bkt"]
 
                 def bsl(name):
@@ -351,7 +384,7 @@ def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     return run_chunked(step, state, make_xs, total_steps,
                        start_step=start_step, chunk=chunk,
                        on_chunk=on_chunk, on_snap=on_snap,
-                       snap_every=snap_every)
+                       snap_every=snap_every, consts=d)
 
 
 def brick_u_global(plan, u_cat, N):

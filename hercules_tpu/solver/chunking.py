@@ -24,10 +24,14 @@ import numpy as np
 
 def run_chunked(step, state, make_xs, total_steps, start_step=0,
                 chunk=1000, on_chunk=None, on_snap=None,
-                snap_every=None):
+                snap_every=None, consts=None):
     """Drive `step` over [start_step, total_steps).
 
-    step: scan-able (carry, x) -> (carry, sample)
+    step: scan-able (carry, x) -> (carry, sample); with `consts`, the
+        signature is (consts, carry, x) and the consts pytree is passed
+        as a jit *argument* -- closure-captured device tables get
+        inlined into the serialized HLO as literals, which breaks
+        remote compilation for production-scale meshes (hundreds of MB)
     make_xs(s, k): xs pytree with leading dim k for steps [s, s+k)
     on_chunk(done, state): fires at every chunk boundary
     on_snap(done, (u, up)): fires every `snap_every` steps (host-side,
@@ -35,14 +39,29 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
 
     Returns (state, samples [T, ...]).
     """
-    plain_scan = jax.jit(partial(jax.lax.scan, step))
+    if consts is not None:
+        raw_step = step
+        plain_scan = jax.jit(
+            lambda c, s0, xs: jax.lax.scan(partial(raw_step, c), s0, xs))
+    else:
+        plain_scan = jax.jit(partial(jax.lax.scan, step))
     nested = None
     if snap_every:
-        def superstep(carry, xs):
-            carry, samples = jax.lax.scan(step, carry, xs)
-            return carry, (samples, (carry[0], carry[1]))
+        if consts is not None:
+            def superstep(c, carry, xs):
+                carry, samples = jax.lax.scan(partial(raw_step, c),
+                                              carry, xs)
+                return carry, (samples, (carry[0], carry[1]))
 
-        nested = jax.jit(partial(jax.lax.scan, superstep))
+            nested = jax.jit(
+                lambda c, s0, xs: jax.lax.scan(partial(superstep, c),
+                                               s0, xs))
+        else:
+            def superstep(carry, xs):
+                carry, samples = jax.lax.scan(step, carry, xs)
+                return carry, (samples, (carry[0], carry[1]))
+
+            nested = jax.jit(partial(jax.lax.scan, superstep))
         chunk = max(snap_every, chunk // snap_every * snap_every)
 
     outs = []
@@ -57,7 +76,9 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
             K = k // snap_every
             xs = jax.tree.map(
                 lambda a: a.reshape((K, snap_every) + a.shape[1:]), xs)
-            state, (samples, snaps) = nested(state, xs)
+            state, (samples, snaps) = (
+                nested(consts, state, xs) if consts is not None
+                else nested(state, xs))
             samples = np.asarray(samples).reshape(
                 (k,) + samples.shape[2:])
             if on_snap is not None:
@@ -69,7 +90,9 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
                              jax.tree.map(lambda a: a[i], sp)))
         else:
             xs = make_xs(s, k)
-            state, samples = plain_scan(state, xs)
+            state, samples = (plain_scan(consts, state, xs)
+                              if consts is not None
+                              else plain_scan(state, xs))
             samples = np.asarray(samples)
             if (on_snap is not None and snap_every
                     and (s + k) % snap_every == 0):

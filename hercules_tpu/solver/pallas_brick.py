@@ -71,12 +71,21 @@ def _butterfly(slabs):
     return slabs
 
 
+def pallas_fits(offs) -> bool:
+    """The fused kernel's tile+halo design needs the stencil reach
+    (o7 = one xy node plane) to fit a VMEM tile: o7 + 129 <= 32768.
+    Bricks with larger planes (e.g. terashake's 961x481) fall back to
+    the XLA brick path."""
+    return offs[7] + 129 <= int(os.environ.get("HT_PALLAS_TILE", 32768))
+
+
 def plan_applies(plan, damping) -> bool:
     """True if the single-brick fused kernel covers this brick plan."""
     return (len(plan.bricks) == 1
             and len(plan.loose_eidx) == 0
             and len(plan.grp_node) == 0
-            and damping in ("rayleigh", "mass", "none", "bkt"))
+            and damping in ("rayleigh", "mass", "none", "bkt")
+            and pallas_fits(plan.bricks[0].corner_offsets()))
 
 
 def _bf24_stage(U, k):
@@ -786,7 +795,13 @@ def pallas_geometry(offs, nb, tile=None):
 def make_pallas_step(pt: PallasBrickTables, interpret=False):
     """scan-able step with the same carry/x contract as the XLA brick
     step: carry = (u, up) (elastic) or (u, up, conv) (BKT, conv in the
-    spectral basis [96, LEN]), x = (srcf [L,3] dt^2-scaled, step_idx)."""
+    spectral basis [96, LEN]), x = (srcf [L,3] dt^2-scaled, step_idx).
+
+    Returns (step, consts): step(consts, carry, x) takes the node-scale
+    device tables as an explicit argument so they lower as program
+    parameters, not HLO literals (closure capture embeds them in the
+    serialized module, which breaks remote compilation at production
+    mesh sizes)."""
     B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
     dtype = pt.dtype
     bkt = pt.damping == "bkt"
@@ -795,11 +810,13 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
                               shear_only=pt.bkt_shear_only,
                               conv_dtype=pt.conv_dtype,
                               interpret=interpret)
+        consts = {"bk": pt.bk, "mm": pt.mm, "invm": pt.invm}
     else:
         call = build_call(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e, dtype,
                           interpret=interpret, tier=pt.tier, kco=pt.kco)
+        consts = {"cm": pt.cm, "mm": pt.mm, "invm": pt.invm}
 
-    def step(carry, x):
+    def step(cd, carry, x):
         srcf, step_idx = x
         u, up = carry[0], carry[1]
         if pt.st_pos is not None:
@@ -807,17 +824,18 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
         else:
             sample = jnp.zeros((0, 3), dtype)
         if bkt:
-            un, conv = call(u, u, up, up, pt.bk, pt.mm, pt.invm,
-                            carry[2])
+            un, conv = call(u, u, up, up, cd["bk"], cd["mm"],
+                            cd["invm"], carry[2])
         else:
-            un = call(u, u, up, up, pt.cm, pt.mm, pt.invm, pt.dd)
+            un = call(u, u, up, up, cd["cm"], cd["mm"], cd["invm"],
+                      pt.dd)
         if pt.src_pos is not None:
             un = un.at[:, pt.src_pos].add(
-                srcf.T * pt.invm[0][pt.src_pos][None, :])
+                srcf.T * cd["invm"][0][pt.src_pos][None, :])
         out = (un, u, conv) if bkt else (un, u)
         return out, sample
 
-    return step
+    return step, consts
 
 
 def init_pallas_state(pt: PallasBrickTables):
@@ -837,7 +855,7 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
 
     pt = PallasBrickTables(plan, tables, src_ids=src_ids,
                            st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
-    step = make_pallas_step(pt, interpret=interpret)
+    step, consts = make_pallas_step(pt, interpret=interpret)
     if state is None:
         state = init_pallas_state(pt)
     elif state[0].shape[1] != pt.LEN:   # resume from an unpadded field
@@ -860,7 +878,7 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
     return run_chunked(step, state, make_xs, total_steps,
                        start_step=start_step, chunk=chunk,
                        on_chunk=on_chunk, on_snap=on_snap,
-                       snap_every=snap_every)
+                       snap_every=snap_every, consts=consts)
 
 
 def pallas_u_global(plan, u_pad, N):

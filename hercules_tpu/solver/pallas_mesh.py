@@ -34,7 +34,8 @@ import numpy as np
 from .bricks import BrickPlan
 from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
                            bkt_kappa_zero, build_bkt_call, build_call,
-                           pallas_geometry, spectral_factors)
+                           pallas_fits, pallas_geometry,
+                           spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -43,7 +44,9 @@ def mesh_plan_applies(plan: BrickPlan, damping: str,
     if max_bricks is None:
         max_bricks = int(os.environ.get("HT_PALLAS_MAX_BRICKS", 24))
     return (len(plan.bricks) <= max_bricks
-            and damping in ("rayleigh", "mass", "none", "bkt"))
+            and damping in ("rayleigh", "mass", "none", "bkt")
+            and all(pallas_fits(b.corner_offsets())
+                    for b in plan.bricks))
 
 
 class _Gather:
@@ -321,7 +324,10 @@ class MeshPallasTables:
 def make_mesh_step(mt: MeshPallasTables, interpret=False):
     """scan-able multi-brick step.  carry = (us, ups, conv) with us/ups
     tuples of [3, LEN_b] per brick + [3, NL] loose; conv = per-brick
-    spectral [96, LEN_b] + loose ([El,8,3] x4) for BKT, else ()."""
+    spectral [96, LEN_b] + loose ([El,8,3] x4) for BKT, else ().
+
+    Returns (step, consts): step(consts, carry, x) takes the node-scale
+    device tables as an explicit argument (see make_pallas_step)."""
     dtype = mt.dtype
     bkt = mt.damping == "bkt"
     f1e, f2e = spectral_factors()
@@ -346,8 +352,14 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
                                     tier=tier, kco=kco))
 
     NB = mt.NB
+    consts = {"mm": tuple(mt.mm), "invm": tuple(mt.invm),
+              "mm_l": mt.mm_l, "invm_l": mt.invm_l}
+    if bkt:
+        consts["bk"] = tuple(mt.bk)
+    else:
+        consts["cm"] = tuple(mt.cm)
 
-    def step(carry, x):
+    def step(cd, carry, x):
         srcf, step_idx = x
         us, ups, conv = carry
 
@@ -364,12 +376,12 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
         for b in range(NB):
             u, up = us[b], ups[b]
             if bkt:
-                un, cv = calls[b](u, u, up, up, mt.bk[b], mt.mm[b],
-                                  mt.invm[b], conv[b])
+                un, cv = calls[b](u, u, up, up, cd["bk"][b],
+                                  cd["mm"][b], cd["invm"][b], conv[b])
                 new_conv.append(cv)
             else:
-                un = calls[b](u, u, up, up, mt.cm[b], mt.mm[b],
-                              mt.invm[b], dd)
+                un = calls[b](u, u, up, up, cd["cm"][b], cd["mm"][b],
+                              cd["invm"][b], dd)
             uns.append(un)
 
         # ---- loose elements (XLA gather/scatter) ---------------------
@@ -417,7 +429,7 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
             F_l = jax.ops.segment_sum(flat, mt.l_seg,
                                       num_segments=mt.NL,
                                       indices_are_sorted=True).T
-        un_l = u_l + (F_l + mt.mm_l * (u_l - up_l)) * mt.invm_l
+        un_l = u_l + (F_l + cd["mm_l"] * (u_l - up_l)) * cd["invm_l"]
         uns.append(un_l)
 
         # ---- interface reconciliation --------------------------------
@@ -458,7 +470,7 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
                     if bkt else ())
         return (tuple(uns), tuple(us), conv_out), sample
 
-    return step
+    return step, consts
 
 
 def init_mesh_state(mt: MeshPallasTables):
@@ -535,7 +547,7 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
 
     mt = MeshPallasTables(plan, tables, src_ids=src_ids,
                           st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
-    step = make_mesh_step(mt, interpret=interpret)
+    step, consts = make_mesh_step(mt, interpret=interpret)
     if state is None:
         state = init_mesh_state(mt)
     elif not isinstance(state[0], tuple):
@@ -552,5 +564,5 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     state, samples = run_chunked(step, state, make_xs, total_steps,
                                  start_step=start_step, chunk=chunk,
                                  on_chunk=on_chunk, on_snap=on_snap,
-                                 snap_every=snap_every)
+                                 snap_every=snap_every, consts=consts)
     return state, samples

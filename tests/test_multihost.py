@@ -173,3 +173,65 @@ def test_multihost_two_process_slab_solve(tmp_path):
     u_ref = slab_u_global(st, np.asarray(state[0]), mesh.nnum)
     assert np.abs(u_ref).max() > 0
     np.testing.assert_allclose(u_mh, u_ref, rtol=1e-12, atol=1e-18)
+
+
+def test_gslab_multihost_single_process():
+    """run_gslab_multihost on the 8-device single-process mesh equals
+    the single-device brick solver (graded pod path, BASELINE cfg 5)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.parallel.gslab import (build_gslab_tables,
+                                             gslab_u_global)
+    from hercules_tpu.parallel.multihost import run_gslab_multihost
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.brickstep import (brick_u_global,
+                                               run_brick_solver)
+
+    S = "/root/reference/examples/simple"
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        # fine top half at level 6 so 16 fine / 8 coarse layers divide
+        # the 8-device axis
+        return lv < np.where(z < (1 << 28), 6, 5)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    assert len(plan.bricks) == 2
+
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0]], np.int32)
+    T = 4
+    forces = np.zeros((T, 1, 3))
+    forces[0, 0, 0] = 1e8
+
+    state_b, _ = run_brick_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float64, chunk=2)
+    u_ref = brick_u_global(plan, state_b[0], mesh.nnum)
+
+    st = build_gslab_tables(mesh, tables, len(jax.devices()),
+                            src_ids=nid, dtype=jnp.float64)
+    state = run_gslab_multihost(st, forces, T, p.delta_t,
+                                dtype=jnp.float64, chunk=2,
+                                interpret=True)
+    us = tuple(np.asarray(a) for a in state[0])
+    u = gslab_u_global(st, us, mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u, u_ref, rtol=0, atol=5e-12 * scale)
