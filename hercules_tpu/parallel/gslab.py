@@ -110,6 +110,10 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
 
     f = lambda x: jnp.asarray(x, dtype)
     for bi, (b, gm) in enumerate(zip(plan.bricks, metas)):
+        if b.axes != (2, 1, 0):
+            raise RuntimeError(
+                f"brick {bi} is not z-major (elongated bricks reorder "
+                f"axes for the fused kernel); graded slab unavailable")
         nzp, nyp, nxp = b.node_shape
         nz = nzp - 1
         if nz % n_dev:

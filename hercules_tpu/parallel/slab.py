@@ -61,6 +61,11 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
         raise RuntimeError("slab decomposition requires a single "
                            "uniform brick covering the whole mesh")
     b = plan.bricks[0]
+    if b.axes != (2, 1, 0):
+        raise RuntimeError("slab decomposition needs a z-major brick "
+                           "layout (elongated bricks reorder axes for "
+                           "the fused kernel; use the unstructured "
+                           "path)")
     nzp, nyp, nxp = b.node_shape
     nz = nzp - 1
     if nz % n_dev:

@@ -47,21 +47,49 @@ class Brick:
     gnid: Optional[np.ndarray] = None     # [nb] global node ids
     eidx: Optional[np.ndarray] = None     # [nb] global element idx or -1
 
+    # storage axis order, set mesh-globally by build_plan (all bricks
+    # of a plan share one permutation so interface planes align)
+    _axes: tuple = (2, 1, 0)
+
+    @property
+    def axes(self):
+        """Storage axis order, outermost -> innermost, as indices into
+        (x, y, z) = (0, 1, 2).  The legacy (z, y, x) order is kept
+        whenever every brick's stencil reach (o7 ~ one xy node plane)
+        fits the fused kernel's VMEM tile -- it is what the slab/gslab
+        decompositions assume.  When any brick's xy plane exceeds the
+        tile (terashake's 960x480x15), build_plan reorders ALL bricks
+        largest-extent-outermost, so o7 becomes the product of the two
+        *smallest* dims and interface planes keep matching in-plane
+        axis order across bricks."""
+        return self._axes
+
     @property
     def node_shape(self):
-        nx, ny, nz = self.shape
-        return (int(nz) + 1, int(ny) + 1, int(nx) + 1)
+        """Node-grid dims in storage order (outer, mid, inner)."""
+        n = [int(v) + 1 for v in self.shape]
+        a = self.axes
+        return (n[a[0]], n[a[1]], n[a[2]])
 
     @property
     def strides(self):
-        nzp, nyp, nxp = self.node_shape
-        return (nyp * nxp, nxp, 1)
+        """Flat strides in storage order (outer, mid, inner)."""
+        d0, d1, d2 = self.node_shape
+        return (d1 * d2, d2, 1)
+
+    def strides_xyz(self):
+        """Flat stride of each physical axis (x, y, z)."""
+        s = self.strides
+        out = [0, 0, 0]
+        for k, a in enumerate(self.axes):
+            out[a] = s[k]
+        return tuple(out)
 
     def corner_offsets(self):
         """Flat node-grid offset of element corner j (which-order:
-        bit0=x, bit1=y, bit2=z)."""
-        syx, sx, _ = self.strides
-        return [((w >> 2) & 1) * syx + ((w >> 1) & 1) * sx + (w & 1)
+        bit0=x, bit1=y, bit2=z, octor.c:1583-1588)."""
+        sx, sy, sz = self.strides_xyz()
+        return [(w & 1) * sx + ((w >> 1) & 1) * sy + ((w >> 2) & 1) * sz
                 for w in range(8)]
 
 
@@ -149,6 +177,17 @@ def build_plan(mesh: MeshArrays, max_bricks=512,
         raise RuntimeError(
             f"{len(bricks)} dense bricks exceed the cap {max_bricks}")
 
+    # ---- storage axis order (mesh-global; see Brick.axes) -----------
+    import os
+    tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
+    if any((b.shape[1] + 1) * (b.shape[0] + 1) + b.shape[0] + 130
+           > tile for b in bricks):
+        ext = [max(int(b.shape[a]) + 1 for b in bricks)
+               for a in range(3)]
+        perm = tuple(sorted((2, 1, 0), key=lambda a: -ext[a]))
+        for b in bricks:
+            b._axes = perm
+
     # ---- global node lookup (clamped-coordinate morton keys) --------
     far = mesh.farendp
     nhi, nlo = morton.interleave3(
@@ -192,31 +231,33 @@ def build_plan(mesh: MeshArrays, max_bricks=512,
     evalid_parts = []
     eidx_parts = []
     for b in bricks:
-        nzp, nyp, nxp = b.node_shape
-        b.nb = nzp * nyp * nxp
+        d0, d1, d2 = b.node_shape
+        axes = b.axes
+        b.nb = d0 * d1 * d2
         b.off = off
         off += b.nb
         shift = PIXELLEVEL - b.level
-        # node coords: grid (z, y, x) row-major
-        zz, yy, xx = np.meshgrid(
-            (b.origin[2] + np.arange(nzp)) << shift,
-            (b.origin[1] + np.arange(nyp)) << shift,
-            (b.origin[0] + np.arange(nxp)) << shift,
-            indexing="ij")
-        g = node_lookup(xx.ravel(), yy.ravel(), zz.ravel())
+        # node coords on the storage-ordered grid (Brick.axes)
+        dims = (d0, d1, d2)
+        C = np.meshgrid(*[(b.origin[a] + np.arange(dims[k])) << shift
+                          for k, a in enumerate(axes)], indexing="ij")
+        cxyz = {a: C[k] for k, a in enumerate(axes)}
+        g = node_lookup(cxyz[0].ravel(), cxyz[1].ravel(),
+                        cxyz[2].ravel())
         if (g < 0).any():
             raise RuntimeError("brick node missing from global mesh")
         b.gnid = g
         # element validity: cells with local index < shape
-        ez, ey, ex_ = np.meshgrid(
-            np.arange(nzp), np.arange(nyp), np.arange(nxp), indexing="ij")
-        valid = ((ex_ < b.shape[0]) & (ey < b.shape[1])
-                 & (ez < b.shape[2])).ravel()
+        I = np.meshgrid(*[np.arange(dims[k]) for k in range(3)],
+                        indexing="ij")
+        ixyz = {a: I[k] for k, a in enumerate(axes)}
+        valid = ((ixyz[0] < b.shape[0]) & (ixyz[1] < b.shape[1])
+                 & (ixyz[2] < b.shape[2])).ravel()
         eid = np.zeros(b.nb, np.int64)
         if valid.any():
-            lx = ((b.origin[0] + ex_.ravel()[valid]) << shift)
-            ly = ((b.origin[1] + ey.ravel()[valid]) << shift)
-            lz = ((b.origin[2] + ez.ravel()[valid]) << shift)
+            lx = ((b.origin[0] + ixyz[0].ravel()[valid]) << shift)
+            ly = ((b.origin[1] + ixyz[1].ravel()[valid]) << shift)
+            lz = ((b.origin[2] + ixyz[2].ravel()[valid]) << shift)
             ge = elem_lookup(lx, ly, lz)
             if (ge < 0).any():
                 raise RuntimeError("brick cell missing from element table")

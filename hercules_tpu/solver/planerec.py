@@ -53,10 +53,17 @@ class _Hanging:
     ci: int                  # coarse brick index
     zf: int                  # fine plane index (0 or nzf)
     zc: int                  # coarse plane index
-    nyf: int                 # fine plane node dims
+    nyf: int                 # fine plane node dims (storage order)
     nxf: int
     nyc: int
     nxc: int
+    # storage geometry for plane extraction (Brick.axes ordering)
+    nbf: int = 0             # fine brick node count
+    dims_f: tuple = ()       # fine storage dims
+    zpos_f: int = 0          # position of the z axis in storage order
+    nbc: int = 0
+    dims_c: tuple = ()
+    zpos_c: int = 0
     # device tables, shaped [*, nyf, nxf] on the fine plane grid
     mass: object = None      # [1, nyf, nxf]
     mm: object = None        # [3, nyf, nxf]
@@ -74,6 +81,12 @@ class _SameLevel:
     zb: int
     ny: int
     nx: int
+    nba: int = 0
+    dims_a: tuple = ()
+    zpos_a: int = 0
+    nbb: int = 0
+    dims_b: tuple = ()
+    zpos_b: int = 0
     mass: object = None
     mm: object = None
     invm: object = None
@@ -129,11 +142,15 @@ class PlaneReconciler:
         sh_of = [PIXELLEVEL - b.level for b in bricks]
 
         def plane_gnid(b, z):
-            """Global node ids of brick b's z-plane, [ny, nx]."""
-            nzp, nyp, nxp = b.node_shape
-            pl = nyp * nxp
-            return g[b.off + z * pl: b.off + (z + 1) * pl].reshape(
-                nyp, nxp)
+            """Global node ids of brick b's z-plane, [dA, dB] in the
+            brick's storage order of the two non-z axes (Brick.axes
+            may put an elongated x or y axis outermost)."""
+            zpos = b.axes.index(2)
+            grid = g[b.off: b.off + b.nb].reshape(b.node_shape)
+            return np.take(grid, z, axis=zpos)
+
+        def plane_axes(b):
+            return tuple(a for a in b.axes if a != 2)
 
         explained_pairs = 0
         explained_dn = np.zeros(len(mesh.dn_ids), bool)
@@ -163,6 +180,8 @@ class PlaneReconciler:
                     nzp, nyp, nxp = bi.node_shape
                     za = int((zt >> sh_of[i]) - bi.origin[2])
                     zb = int((zt >> sh_of[j]) - bj.origin[2])
+                    if plane_axes(bi) != plane_axes(bj):
+                        return None   # incompatible in-plane orders
                     ga = plane_gnid(bi, za)
                     gb = plane_gnid(bj, zb)
                     if ga.shape != gb.shape or not (ga == gb).all():
@@ -173,15 +192,21 @@ class PlaneReconciler:
                     if dn_of[ga.ravel()].max() >= 0:
                         return None   # dangling on a conforming plane
                     explained_pairs += ga.size
-                    same.append(_SameLevel(ai=i, bi=j, za=za, zb=zb,
-                                           ny=ga.shape[0],
-                                           nx=ga.shape[1]))
+                    same.append(_SameLevel(
+                        ai=i, bi=j, za=za, zb=zb,
+                        ny=ga.shape[0], nx=ga.shape[1],
+                        nba=bi.nb, dims_a=bi.node_shape,
+                        zpos_a=bi.axes.index(2),
+                        nbb=bj.nb, dims_b=bj.node_shape,
+                        zpos_b=bj.axes.index(2)))
                     continue
                 # hanging: level difference must be exactly 1
                 fi, ci = (i, j) if bi.level > bj.level else (j, i)
                 bf, bc = bricks[fi], bricks[ci]
                 if bf.level != bc.level + 1:
                     return None
+                if plane_axes(bf) != plane_axes(bc):
+                    return None       # incompatible in-plane orders
                 zf = int((zt >> sh_of[fi]) - bf.origin[2])
                 zc = int((zt >> sh_of[ci]) - bc.origin[2])
                 gf = plane_gnid(bf, zf)
@@ -237,9 +262,13 @@ class PlaneReconciler:
                 if not (keyed(anc, wgt) == keyed(have_a, have_w)).all():
                     return None
                 explained_dn[dids] = True
-                hang.append(_Hanging(fi=fi, ci=ci, zf=zf, zc=zc,
-                                     nyf=nyf, nxf=nxf, nyc=nyc,
-                                     nxc=nxc))
+                hang.append(_Hanging(
+                    fi=fi, ci=ci, zf=zf, zc=zc,
+                    nyf=nyf, nxf=nxf, nyc=nyc, nxc=nxc,
+                    nbf=bf.nb, dims_f=bf.node_shape,
+                    zpos_f=bf.axes.index(2),
+                    nbc=bc.nb, dims_c=bc.node_shape,
+                    zpos_c=bc.axes.index(2)))
 
         if not explained_dn.all():
             return None
@@ -351,17 +380,23 @@ class PlaneReconciler:
         return ua + (tot + s.mm * dua) * s.invm
 
     @staticmethod
-    def _plane(arr, z, ny, nx):
-        pl = ny * nx
-        return jax.lax.dynamic_slice_in_dim(
-            arr, z * pl, pl, axis=1).reshape(arr.shape[0], ny, nx)
+    def _plane(arr, nb, dims, zpos, z):
+        """[C, dA, dB] plane at index z along the storage z axis of a
+        (padded) flat brick field [C, >=nb].  zpos = 0 is a contiguous
+        slice; inner z (elongated bricks, Brick.axes) lowers as a dense
+        strided slice."""
+        v = jax.lax.dynamic_slice_in_dim(arr, 0, nb, axis=1)
+        v = v.reshape((arr.shape[0],) + tuple(dims))
+        return jax.lax.index_in_dim(v, z, axis=1 + zpos, keepdims=False)
 
     @staticmethod
-    def _put(arr, vals, z):
-        ny, nx = vals.shape[1:]
+    def _put(arr, vals, nb, dims, zpos, z):
+        v = jax.lax.dynamic_slice_in_dim(arr, 0, nb, axis=1)
+        v = v.reshape((arr.shape[0],) + tuple(dims))
+        v = jax.lax.dynamic_update_index_in_dim(
+            v, vals.astype(arr.dtype), z, axis=1 + zpos)
         return jax.lax.dynamic_update_slice_in_dim(
-            arr, vals.reshape(vals.shape[0], ny * nx).astype(arr.dtype),
-            z * ny * nx, axis=1)
+            arr, v.reshape(arr.shape[0], nb), 0, axis=1)
 
     @staticmethod
     def _upsample(c, nyf, nxf):
@@ -378,24 +413,31 @@ class PlaneReconciler:
         uns = list(uns)
 
         for h in self.hang:
-            ny, nx = h.nyf, h.nxf
-            pf = lambda a: self._plane(a, h.zf, ny, nx).astype(dtype)
-            pc = lambda a: self._plane(a, h.zc, h.nyc, h.nxc).astype(dtype)
+            pf = lambda a: self._plane(a, h.nbf, h.dims_f, h.zpos_f,
+                                       h.zf).astype(dtype)
+            pc = lambda a: self._plane(a, h.nbc, h.dims_c, h.zpos_c,
+                                       h.zc).astype(dtype)
             v2 = self.hanging_algebra(
                 pf(us[h.fi]), pf(ups[h.fi]), pf(uns[h.fi]),
                 pc(us[h.ci]), pc(ups[h.ci]), pc(uns[h.ci]),
                 h, srcf=srcf, src=h.src)
-            uns[h.fi] = self._put(uns[h.fi], v2, h.zf)
-            uns[h.ci] = self._put(uns[h.ci], v2[:, ::2, ::2], h.zc)
+            uns[h.fi] = self._put(uns[h.fi], v2, h.nbf, h.dims_f,
+                                  h.zpos_f, h.zf)
+            uns[h.ci] = self._put(uns[h.ci], v2[:, ::2, ::2], h.nbc,
+                                  h.dims_c, h.zpos_c, h.zc)
 
         for s in self.same:
-            pa = lambda a: self._plane(a, s.za, s.ny, s.nx).astype(dtype)
-            pb = lambda a: self._plane(a, s.zb, s.ny, s.nx).astype(dtype)
+            pa = lambda a: self._plane(a, s.nba, s.dims_a, s.zpos_a,
+                                       s.za).astype(dtype)
+            pb = lambda a: self._plane(a, s.nbb, s.dims_b, s.zpos_b,
+                                       s.zb).astype(dtype)
             unv = self.same_level_algebra(
                 pa(us[s.ai]), pa(ups[s.ai]), pa(uns[s.ai]),
                 pb(us[s.bi]), pb(ups[s.bi]), pb(uns[s.bi]),
                 s, srcf=srcf, src=s.src)
-            uns[s.ai] = self._put(uns[s.ai], unv, s.za)
-            uns[s.bi] = self._put(uns[s.bi], unv, s.zb)
+            uns[s.ai] = self._put(uns[s.ai], unv, s.nba, s.dims_a,
+                                  s.zpos_a, s.za)
+            uns[s.bi] = self._put(uns[s.bi], unv, s.nbb, s.dims_b,
+                                  s.zpos_b, s.zb)
 
         return uns

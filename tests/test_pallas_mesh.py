@@ -195,3 +195,67 @@ def test_plane_reconciler_depth_graded(damping):
     np.testing.assert_allclose(
         samp_m, samp_b, rtol=0,
         atol=5e-12 * max(np.abs(samp_b).max(), 1))
+
+
+def test_reordered_bricks_elongated(monkeypatch, tmp_path):
+    """Elongated bricks (terashake aspect) reorder their storage axes
+    largest-outermost so the fused kernel's stencil reach fits a VMEM
+    tile; the fused mesh path with the axis-aware plane reconciler
+    still matches the unstructured oracle.  HT_PALLAS_TILE shrinks the
+    envelope so a small mesh triggers the reorder."""
+    from hercules_tpu.solver.pallas_mesh import MeshPallasTables
+    from hercules_tpu.solver.step import run_solver
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+
+    monkeypatch.setenv("HT_PALLAS_TILE", "256")
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    db = str(tmp_path / "elong.e")
+    # mesh x maps to north, y to east (psolve.c domain convention)
+    build_layered_cvm(db, 1000.0, 4000.0, 500.0, 250.0,
+                      [[0.0, 6000.0, 3464.0, 2700.0]])
+    cvm = CVM(db)
+    tree = Octree.newtree(4000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = z < (1 << 26)            # top half of the 500 m depth
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    # zero origin: the synthetic CVM covers the mesh domain directly
+    correct_properties(mesh, cvm, p, MeshOrigin())
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh, min_brick_elems=32)
+    assert len(plan.bricks) == 2
+    # mesh-global reorder: every brick shares the permutation
+    assert all(b.axes == plan.bricks[0].axes != (2, 1, 0)
+               for b in plan.bricks), [b.axes for b in plan.bricks]
+    assert len(mesh.dn_ids) > 0
+
+    mt = MeshPallasTables(plan, tables)
+    assert mt.plane_rec is not None     # axis-aware reconciler engages
+
+    T = 30
+    rng = np.random.default_rng(17)
+    dn_anchor = int(mesh.dn_anchors[mesh.dn_weights > 0][0])
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0], dn_anchor],
+                   np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+
+    state_u, _ = run_solver(tables, nid, forces, T, p.delta_t,
+                            dtype=jnp.float64)
+    u_ref = np.asarray(state_u[0])
+
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float64,
+                                 chunk=15, interpret=True)
+    u_m = mesh_u_global(plan, state_m[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_ref, rtol=0, atol=5e-12 * scale)
