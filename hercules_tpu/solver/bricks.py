@@ -178,13 +178,19 @@ def build_plan(mesh: MeshArrays, max_bricks=512,
             f"{len(bricks)} dense bricks exceed the cap {max_bricks}")
 
     # ---- storage axis order (mesh-global; see Brick.axes) -----------
+    # When some brick's xy plane exceeds the fused kernel's VMEM tile,
+    # reorder to (largest xy axis, z, smaller xy axis): o7 becomes
+    # nz1 * min(nx1, ny1) (small for flat production bricks) AND the
+    # interface z-planes stay dense middle-axis slices for the plane
+    # reconciler (an inner z would force full-buffer strided reads).
     import os
     tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
     if any((b.shape[1] + 1) * (b.shape[0] + 1) + b.shape[0] + 130
            > tile for b in bricks):
         ext = [max(int(b.shape[a]) + 1 for b in bricks)
                for a in range(3)]
-        perm = tuple(sorted((2, 1, 0), key=lambda a: -ext[a]))
+        inner = 0 if ext[0] <= ext[1] else 1
+        perm = (1 - inner, 2, inner)
         for b in bricks:
             b._axes = perm
 

@@ -177,11 +177,17 @@ class MeshPallasTables:
         for b in plan.bricks:
             offs = tuple(b.corner_offsets())
             o7 = offs[7]
-            # size the tile to the brick (small bricks need no 32k pad)
+            # size the tile to the brick: big enough for the halo
+            # (o7 + 130) AND to cover a large brick with full tiles
+            # (a tile sized to a small o7 on a multi-million-node
+            # brick spends ~all its streaming on the halo), but no
+            # bigger than the brick needs (small bricks skip the 32k
+            # pad)
             tb = tile
             if tb is None:
-                tb = min(int(os.environ.get("HT_PALLAS_TILE", 32768)),
-                         max(512, 1 << int(np.ceil(np.log2(o7 + 130)))))
+                cap = int(os.environ.get("HT_PALLAS_TILE", 32768))
+                want = max(o7 + 130, min(b.nb, cap), 512)
+                tb = min(cap, 1 << int(np.ceil(np.log2(want))))
             B, T, LEN = pallas_geometry(offs, b.nb, tile=tb)
             self.geo.append((offs, B, o7, T, LEN))
             lo, hi = b.off, b.off + b.nb
