@@ -145,10 +145,15 @@ def terashake_bench():
     cvm = CVM(f"{tmp}/tera.e")
     cache = os.environ.get("BENCH_TERA_CACHE", "")
     t0 = time.time()
+    ckey = f"freq={freq} damping={p.type_of_damping}"
     if cache and os.path.exists(cache):
         import pickle
         with open(cache, "rb") as fh:
-            mesh, tables = pickle.load(fh)
+            ckey_got, mesh, tables = pickle.load(fh)
+        if ckey_got != ckey:
+            raise RuntimeError(
+                f"BENCH_TERA_CACHE built for '{ckey_got}', run wants "
+                f"'{ckey}'; delete {cache}")
         t_mesh = time.time() - t0
     else:
         mesh = generate_mesh(p, cvm)
@@ -157,7 +162,7 @@ def terashake_bench():
         if cache:
             import pickle
             with open(cache + ".tmp", "wb") as fh:
-                pickle.dump((mesh, tables), fh, protocol=4)
+                pickle.dump((ckey, mesh, tables), fh, protocol=4)
             os.replace(cache + ".tmp", cache)
     t0 = time.time()
     plan = build_plan(mesh)

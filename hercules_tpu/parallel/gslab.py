@@ -83,7 +83,8 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
                                        bkt_conv_dtype, bkt_kappa_zero,
                                        pallas_geometry)
 
-    plan = build_plan(mesh, min_brick_elems=min_brick_elems)
+    plan = build_plan(mesh, min_brick_elems=min_brick_elems,
+                      legacy_axes=True)
     if len(plan.bricks) < 2 or len(plan.loose_eidx):
         raise RuntimeError("graded slab needs >=2 dense bricks and no "
                            "loose elements")
@@ -109,11 +110,13 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
     L = len(src_ids) if src_ids is not None else 0
 
     f = lambda x: jnp.asarray(x, dtype)
+    from ..solver.pallas_brick import pallas_fits
     for bi, (b, gm) in enumerate(zip(plan.bricks, metas)):
-        if b.axes != (2, 1, 0):
+        if not pallas_fits(gm.offs):
             raise RuntimeError(
-                f"brick {bi} is not z-major (elongated bricks reorder "
-                f"axes for the fused kernel); graded slab unavailable")
+                f"brick {bi}: xy plane exceeds the fused kernel's "
+                f"VMEM tile under the z-major layout; graded slab "
+                f"unavailable")
         nzp, nyp, nxp = b.node_shape
         nz = nzp - 1
         if nz % n_dev:
@@ -202,12 +205,8 @@ def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
     bkt = st.damping == "bkt"
     n_dev = st.n_dev
     f1e, f2e = spectral_factors()
-    dd = np.zeros((48, 1))
-    for base, ent in ((0, f1e), (24, f2e)):
-        for mo, co, mi, ci, k in ent:
-            if (mo, co) == (mi, ci):
-                dd[base + 3 * mo + co, 0] = -k
-    dd = jnp.asarray(dd, dtype)
+    from ..solver.pallas_brick import diag_dd
+    dd = diag_dd(f1e, f2e, dtype)
 
     calls = []
     for gb in st.bricks:

@@ -225,9 +225,17 @@ def main(argv=None):
     tables = assemble(mesh, params)
     sm = SourceModel.parse(params)
     src_ids, src_forces = sm.compute_forces(mesh, params)
+    # table construction decides the decomposition; only IT may fall
+    # back (a RuntimeError mid-solve must propagate, not be retried)
+    st = gst = None
     try:
         st = build_slab_tables(mesh, tables, len(jax.devices()),
                                src_ids=src_ids)
+    except RuntimeError:
+        from .gslab import build_gslab_tables, gslab_u_global
+        gst = build_gslab_tables(mesh, tables, len(jax.devices()),
+                                 src_ids=src_ids)
+    if st is not None:
         state = run_slab_multihost(st, src_forces, params.total_steps,
                                    params.delta_t)
         u = gather_global(state[0])
@@ -235,20 +243,14 @@ def main(argv=None):
             ug = slab_u_global(st, u, mesh.nnum)
             print(f"[multihost] done: |u|max = {np.abs(ug).max():.6e}")
         return 0
-    except RuntimeError:
-        # graded mesh: stacked-slab path
-        from .gslab import build_gslab_tables, gslab_u_global
-        st = build_gslab_tables(mesh, tables, len(jax.devices()),
-                                src_ids=src_ids)
-        state = run_gslab_multihost(st, src_forces,
-                                    params.total_steps,
-                                    params.delta_t)
-        us = tuple(gather_global(a) for a in state[0])
-        if pid == 0:
-            ug = gslab_u_global(st, us, mesh.nnum)
-            print(f"[multihost] done (graded): "
-                  f"|u|max = {np.abs(ug).max():.6e}")
-        return 0
+    state = run_gslab_multihost(gst, src_forces, params.total_steps,
+                                params.delta_t)
+    us = tuple(gather_global(a) for a in state[0])
+    if pid == 0:
+        ug = gslab_u_global(gst, us, mesh.nnum)
+        print(f"[multihost] done (graded): "
+              f"|u|max = {np.abs(ug).max():.6e}")
+    return 0
 
 
 if __name__ == "__main__":

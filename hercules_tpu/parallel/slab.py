@@ -56,16 +56,14 @@ class SlabTables:
 
 
 def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
-    plan = build_plan(mesh)
+    # z-major layout pinned: the slab decomposition needs contiguous
+    # z-planes, and its XLA step has no VMEM envelope; the fused slab
+    # step checks pallas_fits itself
+    plan = build_plan(mesh, legacy_axes=True)
     if len(plan.bricks) != 1 or len(plan.loose_eidx):
         raise RuntimeError("slab decomposition requires a single "
                            "uniform brick covering the whole mesh")
     b = plan.bricks[0]
-    if b.axes != (2, 1, 0):
-        raise RuntimeError("slab decomposition needs a z-major brick "
-                           "layout (elongated bricks reorder axes for "
-                           "the fused kernel; use the unstructured "
-                           "path)")
     nzp, nyp, nxp = b.node_shape
     nz = nzp - 1
     if nz % n_dev:
@@ -308,9 +306,13 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
     from ..solver.pallas_brick import (_tier_kco, bk_row_names,
                                        bkt_conv_dtype, bkt_kappa_zero,
                                        build_bkt_call, build_call,
-                                       pallas_geometry)
+                                       pallas_fits, pallas_geometry)
 
     offs = st.meta.offs
+    if not pallas_fits(offs):
+        raise RuntimeError(
+            "slab xy plane exceeds the fused kernel's VMEM tile; use "
+            "make_slab_step (the XLA slab path)")
     o7 = offs[7]
     nb = st.tot_local
     B, T, LEN = pallas_geometry(offs, nb)
@@ -349,12 +351,8 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
                           interpret=interpret, tier=tier, kco=kco)
         tdev["cm"] = f(pad_nodes(cm))            # [n_dev, 3, LEN]
-    dd = np.zeros((48, 1))
-    for base, ent in ((0, f1e), (24, f2e)):
-        for mo, co, mi, ci, k in ent:
-            if (mo, co) == (mi, ci):
-                dd[base + 3 * mo + co, 0] = -k
-    dd = f(dd)
+    from ..solver.pallas_brick import diag_dd
+    dd = diag_dd(f1e, f2e, dtype)
     has_src = st.src_lidx is not None
     if has_src:
         tdev["src_lidx"] = jnp.asarray(st.src_lidx, jnp.int32)

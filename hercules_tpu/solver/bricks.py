@@ -161,7 +161,10 @@ class BrickPlan:
 
 
 def build_plan(mesh: MeshArrays, max_bricks=512,
-               min_brick_elems=2048) -> BrickPlan:
+               min_brick_elems=2048, legacy_axes=False) -> BrickPlan:
+    """legacy_axes=True pins the (z, y, x) storage order regardless of
+    brick aspect (the slab/gslab decompositions require contiguous
+    z-planes; their XLA kernels have no VMEM envelope to satisfy)."""
     all_bricks = decompose(mesh, max_bricks=1_000_000)
     bricks = [b for b in all_bricks
               if int(np.prod(b.shape)) >= min_brick_elems]
@@ -185,8 +188,13 @@ def build_plan(mesh: MeshArrays, max_bricks=512,
     # reconciler (an inner z would force full-buffer strided reads).
     import os
     tile = int(os.environ.get("HT_PALLAS_TILE", 32768))
-    if any((b.shape[1] + 1) * (b.shape[0] + 1) + b.shape[0] + 130
-           > tile for b in bricks):
+
+    def legacy_o7(b):
+        nx1, ny1 = int(b.shape[0]) + 1, int(b.shape[1]) + 1
+        return ny1 * nx1 + nx1 + 1
+
+    if (not legacy_axes
+            and any(legacy_o7(b) + 129 > tile for b in bricks)):
         ext = [max(int(b.shape[a]) + 1 for b in bricks)
                for a in range(3)]
         inner = 0 if ext[0] <= ext[1] else 1

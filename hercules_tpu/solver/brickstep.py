@@ -230,40 +230,39 @@ def make_brick_step(t_host, meta, TOT, damping, dtype=jnp.float32):
             # BKT path (memory variables carried per element)
             ue = _elem_field(sl_u, m)       # [24, S]
             upe = _elem_field(sl_up, m)
-            if True:
-                bk = d["bkt"]
+            bk = d["bkt"]
 
-                def bsl(name):
-                    return jax.lax.dynamic_slice_in_dim(
-                        bk[name], m.off, m.S)
+            def bsl(name):
+                return jax.lax.dynamic_slice_in_dim(
+                    bk[name], m.off, m.S)
 
-                s0, s1, k0, k1 = conv[bi]
+            s0, s1, k0, k1 = conv[bi]
 
-                def upd(f0, f1, p):
-                    f0n = (bsl(f"{p}_c2")[None] * ue
-                           + bsl(f"{p}_c1")[None] * upe
-                           + bsl(f"{p}_e0")[None] * f0)
-                    f1n = (bsl(f"{p}_c4")[None] * ue
-                           + bsl(f"{p}_c3")[None] * upe
-                           + bsl(f"{p}_e1")[None] * f1)
-                    return f0n, f1n
+            def upd(f0, f1, p):
+                f0n = (bsl(f"{p}_c2")[None] * ue
+                       + bsl(f"{p}_c1")[None] * upe
+                       + bsl(f"{p}_e0")[None] * f0)
+                f1n = (bsl(f"{p}_c4")[None] * ue
+                       + bsl(f"{p}_c3")[None] * upe
+                       + bsl(f"{p}_e1")[None] * f1)
+                return f0n, f1n
 
-                s0, s1 = upd(s0, s1, "shear")
-                k0, k1 = upd(k0, k1, "kappa")
-                new_conv.append((s0, s1, k0, k1))
-                du = ue - upe
-                dvs = (bsl("shear_coef")[None] * du
-                       - (bsl("a0_shear")[None] * s0
-                          + bsl("a1_shear")[None] * s1) + ue)
-                dvk = (bsl("kappa_coef")[None] * du
-                       - (bsl("a0_kappa")[None] * k0
-                          + bsl("a1_kappa")[None] * k1) + ue)
-                mu_f = jax.lax.dynamic_slice_in_dim(
-                    bk["mu_f"], m.off, m.S)
-                kp_f = jax.lax.dynamic_slice_in_dim(
-                    bk["kappa_f"], m.off, m.S)
-                f = (mu_f[None] * (d["kmu_cat"] @ dvs)
-                     + kp_f[None] * (d["kkappa_cat"] @ dvk))
+            s0, s1 = upd(s0, s1, "shear")
+            k0, k1 = upd(k0, k1, "kappa")
+            new_conv.append((s0, s1, k0, k1))
+            du = ue - upe
+            dvs = (bsl("shear_coef")[None] * du
+                   - (bsl("a0_shear")[None] * s0
+                      + bsl("a1_shear")[None] * s1) + ue)
+            dvk = (bsl("kappa_coef")[None] * du
+                   - (bsl("a0_kappa")[None] * k0
+                      + bsl("a1_kappa")[None] * k1) + ue)
+            mu_f = jax.lax.dynamic_slice_in_dim(
+                bk["mu_f"], m.off, m.S)
+            kp_f = jax.lax.dynamic_slice_in_dim(
+                bk["kappa_f"], m.off, m.S)
+            f = (mu_f[None] * (d["kmu_cat"] @ dvs)
+                 + kp_f[None] * (d["kkappa_cat"] @ dvk))
 
             fb = jnp.zeros((3, m.nb), dtype)
             fb = _scatter_back(fb, f, m)

@@ -60,6 +60,18 @@ def bk_row_names(shear_only: bool):
     return BK_ROWS_SHEAR if shear_only else BK_ROWS
 
 
+def diag_dd(f1e, f2e, dtype=None):
+    """[48, 1] stacked diagonal coefficients of the two spectral
+    stiffness operators (minus folded in) -- the dd table every kernel
+    call streams."""
+    dd = np.zeros((48, 1))
+    for base, ent in ((0, f1e), (24, f2e)):
+        for mo, co, mi, ci, k in ent:
+            if (mo, co) == (mi, ci):
+                dd[base + 3 * mo + co, 0] = -k
+    return dd if dtype is None else jnp.asarray(dd, dtype)
+
+
 def _butterfly(slabs):
     """In-kernel unnormalized 8-point Hadamard over the corner index of
     8 [3, B] slabs (matches kmats.hadamard8_matrix)."""
@@ -707,12 +719,7 @@ class PallasBrickTables:
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
 
         self.f1e, self.f2e = spectral_factors()
-        dd = np.zeros((48, 1))
-        for base, ent in ((0, self.f1e), (24, self.f2e)):
-            for mo, co, mi, ci, k in ent:
-                if (mo, co) == (mi, ci):
-                    dd[base + 3 * mo + co, 0] = -k
-        self.dd = f(dd)
+        self.dd = diag_dd(self.f1e, self.f2e, dtype)
 
         self.src_pos = None
         if src_ids is not None and len(src_ids):

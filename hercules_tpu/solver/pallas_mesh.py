@@ -34,7 +34,7 @@ import numpy as np
 from .bricks import BrickPlan
 from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
                            bkt_kappa_zero, build_bkt_call, build_call,
-                           pallas_fits, pallas_geometry,
+                           diag_dd, pallas_fits, pallas_geometry,
                            spectral_factors)
 
 
@@ -337,13 +337,7 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
     dtype = mt.dtype
     bkt = mt.damping == "bkt"
     f1e, f2e = spectral_factors()
-    import numpy as _np
-    dd = _np.zeros((48, 1))
-    for base, ent in ((0, f1e), (24, f2e)):
-        for mo, co, mi, ci, k in ent:
-            if (mo, co) == (mi, ci):
-                dd[base + 3 * mo + co, 0] = -k
-    dd = jnp.asarray(dd, dtype)
+    dd = diag_dd(f1e, f2e, dtype)
 
     calls = []
     for (offs, B, o7, T, LEN), (tier, kco) in zip(mt.geo, mt.tiers):

@@ -109,11 +109,9 @@ class PlaneReconciler:
     Use build(); returns None unless the plan decomposes into verified
     full z-plane interfaces."""
 
-    def __init__(self, hang, same, src_grp_rows_left):
+    def __init__(self, hang, same):
         self.hang = hang
         self.same = same
-        # source rows not on any interface stay with src_direct
-        self.src_rows_left = src_grp_rows_left
 
     # -- construction -----------------------------------------------------
 
@@ -320,7 +318,7 @@ class PlaneReconciler:
         if sorted(used_rows) != want:
             return None
 
-        return PlaneReconciler(hang, same, [])
+        return PlaneReconciler(hang, same)
 
     # -- device step -------------------------------------------------------
 

@@ -228,3 +228,36 @@ def test_gslab_graded_matches_single(damping):
     scale = np.abs(u_ref).max()
     assert scale > 0
     np.testing.assert_allclose(u, u_ref, rtol=0, atol=5e-12 * scale)
+
+
+def test_slab_unaffected_by_axis_reorder(monkeypatch):
+    """Large-plane meshes trigger the mesh-global axis reorder for the
+    fused kernels, but the slab decomposition pins the legacy z-major
+    layout (its XLA step has no VMEM envelope) and must keep working.
+    HT_PALLAS_TILE shrunk so the small mesh triggers the reorder."""
+    from hercules_tpu.solver.bricks import build_plan
+
+    monkeypatch.setenv("HT_PALLAS_TILE", "256")
+    p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    # the default plan reorders under the shrunken tile...
+    plan = build_plan(mesh)
+    assert plan.bricks[0].axes != (2, 1, 0)
+    # ...but the slab path still builds and matches the oracle
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 20
+    forces = np.zeros((T, 1, 3))
+    forces[:5, 0, :] = 1e8
+    state, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                          dtype=jnp.float64)
+    u_ref = np.asarray(state[0])
+    st = build_slab_tables(mesh, tables, 4, src_ids=src_ids)
+    devs = np.array(jax.devices()[:4])
+    with Mesh(devs, ("d",)) as m:
+        sh = run_slab_solver(st, m, forces, T, p.delta_t,
+                             dtype=jnp.float64, chunk=10)
+    u = slab_u_global(st, sh[0], mesh.nnum)
+    np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
