@@ -226,15 +226,39 @@ def main(argv=None):
     sm = SourceModel.parse(params)
     src_ids, src_forces = sm.compute_forces(mesh, params)
     # table construction decides the decomposition; only IT may fall
-    # back (a RuntimeError mid-solve must propagate, not be retried)
+    # back (a RuntimeError mid-solve must propagate, not be retried).
+    # Fallback chain: slab -> graded gslab -> unstructured sharded
+    # (gslab's own build constraints -- z layers not divisible by the
+    # device count, plane exceeding the VMEM tile -- land on sharded)
     st = gst = None
     try:
         st = build_slab_tables(mesh, tables, len(jax.devices()),
                                src_ids=src_ids)
     except RuntimeError:
         from .gslab import build_gslab_tables, gslab_u_global
-        gst = build_gslab_tables(mesh, tables, len(jax.devices()),
-                                 src_ids=src_ids)
+        try:
+            gst = build_gslab_tables(mesh, tables, len(jax.devices()),
+                                     src_ids=src_ids)
+        except RuntimeError as e:
+            print(f"[multihost] structured decompositions unavailable "
+                  f"({e}); using the unstructured sharded path")
+    if st is None and gst is None:
+        from .partition import shard_tables
+        from .sharded import gather_global as sh_gather, run_sharded
+        if nproc > 1:
+            raise RuntimeError(
+                "unstructured sharded fallback is single-process only "
+                "(its tables are not built shard-locally); re-mesh to "
+                "a slab/gslab-decomposable shape for pod runs")
+        ust = shard_tables(tables, mesh, len(jax.devices()),
+                           src_ids=src_ids)
+        state = run_sharded(ust, global_device_mesh(), src_forces,
+                            params.total_steps, params.delta_t)
+        if pid == 0:
+            ug = sh_gather(ust, state[0], mesh.nnum)
+            print(f"[multihost] done (unstructured): "
+                  f"|u|max = {np.abs(ug).max():.6e}")
+        return 0
     if st is not None:
         state = run_slab_multihost(st, src_forces, params.total_steps,
                                    params.delta_t)

@@ -297,8 +297,14 @@ class SimOutputs:
                     # multi-brick pallas carry: canonicalize the fields
                     # to global [N, 3]; conv stays carry-shaped
                     u0, u1 = slot_global(u0), slot_global(u1)
-                checkpoint_write_async(self.ckpt_dir, done,
-                                       (u0, u1, tail))
+                # record the run's damping model and nonlinear
+                # presence so a restart under different physics fails
+                # loudly instead of misassigning the state arrays
+                checkpoint_write_async(
+                    self.ckpt_dir, done, (u0, u1, tail),
+                    extra={"damping": np.asarray(p.type_of_damping),
+                           "has_nl": np.asarray(
+                               bool(p.include_nonlinear))})
             if inner is not None:
                 inner(done, state)
 
@@ -522,8 +528,27 @@ class Simulation:
             ckin = os.path.join(ckdir, "checkpoint.in")
             if os.path.exists(ckin):
                 from .io.checkpoint import checkpoint_read
-                start_step, u_now, u_prev, ck_conv, _ = \
+                start_step, u_now, u_prev, ck_conv, ck_extras = \
                     checkpoint_read(ckin)
+                # validate the recorded physics against this run's
+                # before slicing ck_conv by position (a non-BKT
+                # nonlinear checkpoint restarted with damping=bkt
+                # would otherwise silently misassign plastic state as
+                # convolution state)
+                if "damping" in ck_extras:
+                    ck_damp = str(ck_extras["damping"])
+                    if ck_damp != p.type_of_damping:
+                        raise RuntimeError(
+                            f"checkpoint was written with damping="
+                            f"{ck_damp}; this run uses "
+                            f"{p.type_of_damping}")
+                if "has_nl" in ck_extras:
+                    ck_nl = bool(ck_extras["has_nl"])
+                    if ck_nl != bool(p.include_nonlinear):
+                        raise RuntimeError(
+                            f"checkpoint nonlinear presence "
+                            f"({ck_nl}) does not match this run "
+                            f"({bool(p.include_nonlinear)})")
                 init_state = (u_now, u_prev)
         self.start_step = start_step
 

@@ -26,8 +26,11 @@ Source injection and station sampling stay in XLA outside the kernel
 few source nodes after the kernel is exact).
 
 Scope: a single uniform brick (no hanging nodes, no reconciliation
-groups), rayleigh/none damping.  Graded meshes use the XLA brick or
-unstructured paths.
+groups).  Damping: rayleigh/mass/none via build_call, and full BKT
+convolutional viscoelasticity via build_bkt_call (damping.c:110-416
+semantics with on-chip memory-variable recursion).  Graded meshes use
+the multi-brick mesh kernel (pallas_mesh.py), the XLA brick path, or
+the unstructured path.
 """
 
 from __future__ import annotations
@@ -756,8 +759,14 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
     scr_f = (24, C + 128) if packed else (8, 128)
     staged = packed and tier in ("ubeta", "umat")
     scr_s = (3, B + o7 + 128) if staged else (8, 128)
+    # the preshift scratch is only read when HT_PALLAS_PRESHIFT=1
+    # (off by default); keep it token-sized otherwise so it doesn't
+    # eat into the 16 MB scoped-VMEM headroom
+    preshift = (staged
+                and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
     nshift = len({o % 128 for o in offs} - {0})
-    scr_sv = (max(3 * nshift, 8), B + o7 + 128) if staged else (8, 128)
+    scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
+              else (8, 128))
     blk = lambda t: (0, t)
     blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
     return pl.pallas_call(

@@ -13,7 +13,6 @@ import numpy as np
 def check_state(state, where="", max_disp=None):
     """Raise if the displacement field contains NaN/Inf (or exceeds
     max_disp, the solver_debug_overflow equivalent)."""
-    import jax.numpy as jnp
     u = np.asarray(state[0])
     if not np.isfinite(u).all():
         bad = np.flatnonzero(~np.isfinite(u).all(axis=-1))[:10]

@@ -134,7 +134,6 @@ def test_golden_mesh_simple(tmp_path):
     assert mesh.nnum == 2601
     assert len(mesh.dn_ids) == 0
 
-    golden = EtreeReader("/tmp/golden_mesh.e") if False else None
     # decode the committed golden mesh
     raw = bz2.decompress(
         open(f"{SIMPLE}/expected-out/mesh.e.bz2", "rb").read())
