@@ -4,6 +4,13 @@ Usage (both reference forms accepted):
   python -m hercules_tpu.cli <parameters.in>
   python -m hercules_tpu.cli <cvmdb> <physics.in> <numerical.in> \
       [mesh.e out.q4d]     (the legacy quake.sh argument order)
+
+Options:
+  --ndev=N|auto|1   device count for the multi-chip pipeline
+                    (default auto: every visible device, like psolve
+                    uses every MPI rank; 1 forces single-device)
+  --mc-path=NAME    force a parallel path (slab, slab_pallas, gslab,
+                    sharded)
 """
 
 from __future__ import annotations
@@ -17,6 +24,17 @@ import numpy as np
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    ndev_opt = "auto"
+    mc_path = None
+    rest = []
+    for a in argv:
+        if a.startswith("--ndev="):
+            ndev_opt = a.split("=", 1)[1]
+        elif a.startswith("--mc-path="):
+            mc_path = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    argv = rest
     if not argv:
         print(__doc__)
         return 2
@@ -136,10 +154,20 @@ def main(argv=None):
     from .sim import SimOutputs
     rundir = rundir0
     outputs = SimOutputs(sim.mesh, p, rundir=rundir)
+    # multi-chip by default: every visible device, as psolve uses
+    # every MPI rank (HT_NDEV / --ndev=1 force single-device)
+    if ndev_opt == "auto":
+        ndev = jax.device_count()
+    else:
+        ndev = int(ndev_opt)
+    if ndev > 1:
+        mon.print(f"multi-chip pipeline: {ndev} devices\n")
     GLOBAL_TIMERS.start("Solver")
     state, samples = sim.run(on_chunk=on_chunk, outputs=outputs,
-                             rundir=rundir)
+                             rundir=rundir, ndev=ndev, mc_path=mc_path)
     GLOBAL_TIMERS.stop("Solver")
+    if getattr(sim, "mc_path_name", None):
+        mon.print(f"multi-chip path: {sim.mc_path_name}\n")
     mon.print(f"solver_run done: {time.time()-t1:.1f} s\n")
 
     if sim.stations is not None:

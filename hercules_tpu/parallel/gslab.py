@@ -197,8 +197,10 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
     return st
 
 
-def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
-                    dtype=jnp.float32, interpret=False):
+def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
+                       interpret=False):
+    """Raw per-step kernel for the graded stacked-slab path: returns
+    (local_step, tdev, state_spec)."""
     from ..physics.kmats import spectral_factors
     from ..solver.pallas_brick import build_bkt_call, build_call
 
@@ -335,6 +337,17 @@ def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
             return (tuple(uns), tuple(us), tuple(new_conv)), None
         return (tuple(uns), tuple(us)), None
 
+    nb_ = len(st.bricks)
+    one = (P(axis),) * nb_
+    sspec = (one, one, one) if bkt else (one, one)
+    return local_step, tdev, sspec
+
+
+def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
+                    dtype=jnp.float32, interpret=False):
+    local_step, tdev, sspec = gslab_step_builder(
+        st, axis=axis, dtype=dtype, interpret=interpret)
+
     def scan_all(t, state, xs):
         t = jax.tree.map(lambda v: v[0], t)
         state = jax.tree.map(lambda v: v[0], state)
@@ -342,9 +355,6 @@ def make_gslab_step(st: GSlabTables, mesh_dev: Mesh, axis="d",
         return jax.tree.map(lambda v: v[None], state)
 
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    nb_ = len(st.bricks)
-    one = (P(axis),) * nb_
-    sspec = (one, one, one) if bkt else (one, one)
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()), out_specs=sspec,
                          check_vma=False)

@@ -43,11 +43,9 @@ def _dev_tables(st, dtype):
     return d
 
 
-def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
-    """Returns (scan_fn, tables_device, init_state).
-
-    scan_fn(state, xs) -> (state, None); xs = per-step global source
-    forces [K, L, 3] (replicated, dt^2-scaled)."""
+def sharded_step_builder(st, axis="d", dtype=jnp.float32):
+    """Raw per-step kernel for the unstructured sharded path: returns
+    (local_step, tdev, state_spec)."""
     m48 = jnp.asarray(st.m48, dtype)
     kmu = jnp.asarray(st.kmu, dtype) if st.kmu is not None else None
     kkappa = (jnp.asarray(st.kkappa, dtype)
@@ -55,7 +53,8 @@ def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
     N_pad = st.N_pad
     damping = st.damping
 
-    def local_step(t, carry, srcf):
+    def local_step(t, carry, x):
+        srcf, _step = x
         u_now, u_prev, conv = carry
         E = t["lnid"].shape[0]
         ue = u_now[t["lnid"]].reshape(E, 24)
@@ -133,6 +132,19 @@ def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
         return (u_next, u_now, conv), None
 
     tdev = _dev_tables(st, dtype)
+    conv_spec = ((P(axis), P(axis), P(axis), P(axis))
+                 if damping == "bkt" else ())
+    state_spec = (P(axis), P(axis), conv_spec)
+    return local_step, tdev, state_spec
+
+
+def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
+    """Returns (scan_fn, tables_device).
+
+    scan_fn(tdev, state, xs) -> state; xs = per-step global source
+    forces [K, L, 3] (replicated, dt^2-scaled)."""
+    local_step, tdev, state_spec = sharded_step_builder(
+        st, axis=axis, dtype=dtype)
 
     def scan_all(tables, state, xs):
         # inside shard_map the stacked per-device axis has local size 1
@@ -144,10 +156,6 @@ def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
 
     # shard_map specs: every per-device table has leading axis d
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    conv_spec = ((P(axis), P(axis), P(axis), P(axis))
-                 if damping == "bkt" else ())
-    state_spec = (P(axis), P(axis), conv_spec)
-
     smap = jax.shard_map(
         scan_all, mesh=mesh,
         in_specs=(tspec, state_spec, P()),
@@ -177,9 +185,10 @@ def run_sharded(st, mesh, src_forces, total_steps, dt,
     while s < total_steps:
         k = min(chunk, total_steps - s)
         if src_forces is not None and src_forces.shape[1]:
-            xs = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
+            sf = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
         else:
-            xs = jnp.zeros((k, 0, 3), dtype)
+            sf = jnp.zeros((k, 0, 3), dtype)
+        xs = (sf, jnp.arange(s, s + k, dtype=jnp.int32))
         state = scan_fn(tdev, state, xs)
         s += k
     return state

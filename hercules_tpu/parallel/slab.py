@@ -133,8 +133,10 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     return st
 
 
-def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
-                   dtype=jnp.float32):
+def slab_step_builder(st: SlabTables, axis="d", dtype=jnp.float32):
+    """Raw per-step kernel for the XLA slab path: returns
+    (local_step, tdev, state_spec) so callers (make_slab_step, the
+    multi-chip driver) can wrap it in their own scan/shard_map."""
     m = st.meta
     plane = st.nyp * st.nxp
     mcat = jnp.asarray(st.m48.T, dtype)
@@ -227,6 +229,16 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
             return (u_next, u, conv), None
         return (u_next, u), None
 
+    sspec = ((P(axis), P(axis), (P(axis),) * 4) if bkt
+             else (P(axis), P(axis)))
+    return local_step, tdev, sspec
+
+
+def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
+                   dtype=jnp.float32):
+    local_step, tdev, sspec = slab_step_builder(st, axis=axis,
+                                                dtype=dtype)
+
     def scan_all(t, state, xs):
         t = jax.tree.map(lambda v: v[0], t)
         state = jax.tree.map(lambda v: v[0], state)
@@ -234,8 +246,6 @@ def make_slab_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return jax.tree.map(lambda v: v[None], state)
 
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    sspec = ((P(axis), P(axis), (P(axis),) * 4) if bkt
-             else (P(axis), P(axis)))
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()), out_specs=sspec)
     return jax.jit(smap), tdev
@@ -300,8 +310,10 @@ def slab_u_global(st: SlabTables, u_sharded, N):
 # ppermute per direction, and applied as u_next += F_neighbor *
 # inv_mass -- so the kernel needs no changes and no force output.
 
-def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
-                          dtype=jnp.float32, interpret=False):
+def slab_pallas_step_builder(st: SlabTables, axis="d",
+                             dtype=jnp.float32, interpret=False):
+    """Raw per-step kernel for the fused-Pallas slab path: returns
+    (local_step, tdev, state_spec, LEN, (conv_rows, conv_dtype))."""
     from ..physics.kmats import spectral_factors
     from ..solver.pallas_brick import (_tier_kco, bk_row_names,
                                        bkt_conv_dtype, bkt_kappa_zero,
@@ -398,6 +410,15 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
             return (un, u, conv), None
         return (un, u), None
 
+    sspec = ((P(axis),) * 3 if bkt else (P(axis),) * 2)
+    return local_step, tdev, sspec, LEN, (conv_rows, conv_dtype)
+
+
+def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
+                          dtype=jnp.float32, interpret=False):
+    local_step, tdev, sspec, LEN, conv_info = slab_pallas_step_builder(
+        st, axis=axis, dtype=dtype, interpret=interpret)
+
     def scan_all(t, state, xs):
         t = jax.tree.map(lambda v: v[0], t)
         state = jax.tree.map(lambda v: v[0], state)
@@ -405,12 +426,11 @@ def make_slab_pallas_step(st: SlabTables, mesh_dev: Mesh, axis="d",
         return jax.tree.map(lambda v: v[None], state)
 
     tspec = jax.tree.map(lambda _: P(axis), tdev)
-    sspec = ((P(axis),) * 3 if bkt else (P(axis),) * 2)
     # check_vma off: pallas_call's out_shape carries no vma annotation
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()), out_specs=sspec,
                          check_vma=False)
-    return jax.jit(smap), tdev, LEN, (conv_rows, conv_dtype)
+    return jax.jit(smap), tdev, LEN, conv_info
 
 
 def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,

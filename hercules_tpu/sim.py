@@ -310,6 +310,65 @@ class SimOutputs:
 
         return hook, (snap_taps if snap_split else None)
 
+    def make_mc_hook(self, path, inner=None, start_step=0):
+        """Multi-chip variant of make_hook: taps receive lazy global
+        [N,3] field getters assembled by the parallel path adapter
+        (parallel/driver.py), and checkpoints save the path-shaped
+        carry tail with enough metadata to validate a resume."""
+        p = self.params
+
+        if start_step == 0:
+            zero = np.zeros((self.mesh.nnum, 3))
+            for kind, w in self.out4d:
+                w.maybe_write(0, zero)
+            if self.planes is not None:
+                self.planes.maybe_write(
+                    0, lambda nodes, phi: np.zeros((len(nodes), 3)))
+
+        def snap_taps(done, uget, upget):
+            for kind, w in self.out4d:
+                if done % w.rate == 0 and done // w.rate < w.out_steps:
+                    if kind == "displacement":
+                        w.maybe_write(done, uget())
+                    else:
+                        w.maybe_write(done,
+                                      (uget() - upget()) / p.delta_t)
+            if (self.planes is not None and done < p.total_steps
+                    and done % p.planes_print_rate == 0):
+                ug = uget()
+
+                def sampler(nodes, phi, _u=ug):
+                    return np.einsum("mk,mkc->mc", phi, _u[nodes])
+
+                self.planes.maybe_write(done, sampler)
+
+        snap_split = self.snap_every > 0
+
+        def hook(done, state):
+            if not snap_split:
+                memo = {}
+                snap_taps(
+                    done,
+                    lambda: memo.setdefault("u", path.u_global(state)),
+                    lambda: memo.setdefault("up",
+                                            path.up_global(state)))
+            if (self.ckpt_dir is not None
+                    and done % p.checkpointing_rate == 0):
+                from .io.checkpoint import checkpoint_write_async
+                u0 = path.u_global(state)
+                u1 = path.up_global(state)
+                checkpoint_write_async(
+                    self.ckpt_dir, done, (u0, u1, path.tail(state)),
+                    extra={"damping": np.asarray(p.type_of_damping),
+                           "has_nl": np.asarray(
+                               bool(p.include_nonlinear)),
+                           "mc_path": np.asarray(path.name),
+                           "mc_ndev": np.asarray(path.n_dev)})
+            if inner is not None:
+                inner(done, state)
+
+        return hook, (snap_taps if snap_split else None)
+
     def close(self):
         if self.ckpt_dir is not None:
             from .io.checkpoint import checkpoint_flush
@@ -417,7 +476,8 @@ class Simulation:
         return sim
 
     def run(self, dtype=None, chunk=None, total_steps=None, on_chunk=None,
-            solver="auto", outputs=None, rundir="."):
+            solver="auto", outputs=None, rundir=".", ndev=None,
+            mc_path=None):
         """solver: 'pallas' (fused single-brick TPU kernel), 'bricks'
         (block-structured XLA path), 'unstructured' (reference-layout
         oracle), or 'auto' (pallas on TPU for uniform rayleigh/none
@@ -426,7 +486,13 @@ class Simulation:
 
         outputs: optional SimOutputs handling 4-D volume / plane /
         checkpoint taps (solver_output_wavefield / solver_output_planes /
-        solver_write_checkpoint, psolve.c:4275-4284)."""
+        solver_write_checkpoint, psolve.c:4275-4284).
+
+        ndev: device count for the multi-chip production pipeline
+        (parallel/driver.py).  None = auto: use every visible device
+        (the reference uses every MPI rank); 1 = force single-device.
+        mc_path: force a parallel path ('slab', 'slab_pallas',
+        'gslab', 'sharded')."""
         import math
 
         import jax
@@ -503,6 +569,25 @@ class Simulation:
                 rundir=rundir)
             fb_ids = ids
             fb_series = series[:, which, :]
+
+        # ---- multi-chip dispatch (the production pipeline) ----------
+        # Library default stays single-device; the CLI auto-detects
+        # the device count and passes ndev (psolve runs on every MPI
+        # rank it is given; hpsolve runs on every chip it is given).
+        if ndev is None:
+            env = os.environ.get("HT_NDEV")
+            ndev = int(env) if env else 0
+        if ndev and ndev > 1:
+            if (nl is not None or drm is not None or drm_rec is not None
+                    or fb_ids is not None):
+                print("WARNING: nonlinear/DRM/fixed-base features are "
+                      "not yet wired into the multi-chip driver; "
+                      "running single-device", file=sys.stderr)
+            else:
+                return self._run_multichip(
+                    ndev, dtype=dtype, chunk=chunk, steps=steps,
+                    on_chunk=on_chunk, outputs=outputs, rundir=rundir,
+                    st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path)
 
         plan = None
         if (solver in ("auto", "bricks", "pallas") and nl is None
@@ -745,4 +830,86 @@ class Simulation:
                         self.nl_tables.cfg.plasticity_type.startswith(
                             "rate_dep"))
             samples = samples[:, :n_st]
+        return state, samples
+
+    def _run_multichip(self, ndev, dtype, chunk, steps, on_chunk,
+                       outputs, rundir, st_nodes, st_phi, prefer=None):
+        """The full production loop sharded over `ndev` devices:
+        stations, 4-D/plane taps, checkpoint write AND restart, and
+        chunked source streaming — the complete solver_run surface
+        (psolve.c:4241-4324) on a jax.sharding.Mesh."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from .parallel.driver import choose_path, run_multichip
+
+        p = self.params
+        devs = np.array(jax.devices()[:ndev])
+        if len(devs) < ndev:
+            raise RuntimeError(
+                f"requested ndev={ndev} but only {len(devs)} devices "
+                f"are visible")
+        path = choose_path(self.mesh, self.tables, ndev,
+                           src_ids=self.src_ids, dtype=dtype,
+                           prefer=prefer)
+        if st_nodes is not None and len(st_nodes):
+            path.attach_stations(np.asarray(st_nodes),
+                                 np.asarray(st_phi), dtype)
+
+        # ---- checkpoint restart (psolve.c:4248-4253) ----------------
+        start_step = 0
+        state = None
+        if p.use_checkpoint == 1:
+            ckdir = p.checkpoint_path or "checkpoints"
+            if not os.path.isabs(ckdir):
+                ckdir = os.path.join(rundir, ckdir)
+            ckin = os.path.join(ckdir, "checkpoint.in")
+            if os.path.exists(ckin):
+                from .io.checkpoint import checkpoint_read
+                start_step, u_now, u_prev, ck_conv, ck_extras = \
+                    checkpoint_read(ckin)
+                if "damping" in ck_extras:
+                    ck_damp = str(ck_extras["damping"])
+                    if ck_damp != p.type_of_damping:
+                        raise RuntimeError(
+                            f"checkpoint was written with damping="
+                            f"{ck_damp}; this run uses "
+                            f"{p.type_of_damping}")
+                tail = list(ck_conv)
+                if tail:
+                    mcp = str(ck_extras.get("mc_path", ""))
+                    mcn = int(ck_extras.get("mc_ndev", 0))
+                    if mcp != path.name or mcn != ndev:
+                        raise RuntimeError(
+                            f"checkpoint carry tail is shaped for "
+                            f"path={mcp or 'single-device'}/"
+                            f"ndev={mcn or 1}; this run uses "
+                            f"{path.name}/ndev={ndev} (only "
+                            f"displacement-only checkpoints are "
+                            f"layout-elastic)")
+                state = path.state_from_global(np.asarray(u_now),
+                                               np.asarray(u_prev),
+                                               tail)
+        self.start_step = start_step
+
+        hook = snap_fn = None
+        snap_every = None
+        if outputs is not None and outputs.active:
+            chunk = outputs.chunk_for(chunk or 1000)
+            hook, snap_fn = outputs.make_mc_hook(
+                path, inner=on_chunk, start_step=start_step)
+            if snap_fn is not None:
+                snap_every = outputs.snap_every
+        else:
+            hook = on_chunk
+
+        mesh_dev = Mesh(devs, (path.axis,))
+        state, samples = run_multichip(
+            path, mesh_dev, self.src_forces, steps, p.delta_t,
+            chunk=chunk, state=state, start_step=start_step,
+            on_chunk=hook, on_snap=snap_fn, snap_every=snap_every)
+        if outputs is not None:
+            outputs.close()
+        self.nl_station_extras = {}
+        self.mc_path_name = path.name
         return state, samples

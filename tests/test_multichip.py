@@ -1,0 +1,193 @@
+"""End-to-end tests of the production multi-chip pipeline
+(parallel/driver.py + Simulation._run_multichip): the full solver_run
+surface — stations, 4-D volume output, planes, checkpoint write AND
+restart (psolve.c:4241-4324) — on the 8-virtual-device CPU mesh,
+equality-checked against the single-device run."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+from hercules_tpu.meshgen import generate_mesh
+from hercules_tpu.sim import Simulation, SimOutputs, setup_stations
+from hercules_tpu.solver.assemble import assemble
+from hercules_tpu.io.output4d import read_4d
+from hercules_tpu.io.planes import read_plane
+
+SIMPLE = "/root/reference/examples/simple"
+
+
+@pytest.fixture(scope="module")
+def simple_setup():
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    p.end_time = 0.2                       # 200 steps
+    p.output_displacement = 1
+    p.output_velocity = 1
+    p.output_rate = 10
+    p.number_output_planes = 1
+    p.planes_print_rate = 20
+    p.planes = np.array([[500.0, 500.0, 0.0, 100.0, 5, 100.0, 3,
+                          0.0, 90.0]])
+    p.use_checkpoint = 1
+    p.checkpointing_rate = 100
+    p.finalize()
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    from hercules_tpu.source.model import SourceModel
+    src = SourceModel.parse(p)
+    src_ids, src_forces = src.compute_forces(mesh, p)
+    return p, cvm, mesh, tables, src, src_ids, src_forces
+
+
+def _make_sim(simple_setup):
+    p, cvm, mesh, tables, src, src_ids, src_forces = simple_setup
+    return Simulation(params=p, cvm=cvm, mesh=mesh, tables=tables,
+                      source=src, src_ids=src_ids,
+                      src_forces=src_forces,
+                      stations=setup_stations(mesh, p))
+
+
+def _run(sim, rundir, ndev=None, prefer=None, with_outputs=True):
+    p = sim.params
+    p.output_displacement_file = os.path.join(rundir, "disp.h4d")
+    p.output_velocity_file = os.path.join(rundir, "vel.h4d")
+    p.planes_dir = os.path.join(rundir, "planes")
+    p.checkpoint_path = os.path.join(rundir, "ckpt")
+    outputs = SimOutputs(sim.mesh, p, rundir=rundir) \
+        if with_outputs else None
+    return sim.run(dtype=jnp.float64, outputs=outputs, rundir=rundir,
+                   ndev=ndev, mc_path=prefer)
+
+
+@pytest.fixture(scope="module")
+def single_run(simple_setup, tmp_path_factory):
+    """Single-device oracle with full outputs."""
+    rundir = str(tmp_path_factory.mktemp("single"))
+    sim = _make_sim(simple_setup)
+    state, samples = _run(sim, rundir)
+    return rundir, samples
+
+
+@pytest.mark.parametrize("prefer", ["slab", "sharded"])
+def test_mc_full_pipeline_matches_single(simple_setup, single_run,
+                                         tmp_path, prefer):
+    """hpsolve on 8 virtual devices: stations + 4-D + planes +
+    checkpoints, equal to the single-device run."""
+    ref_dir, ref_samples = single_run
+    rundir = str(tmp_path)
+    sim = _make_sim(simple_setup)
+    state, samples = _run(sim, rundir, ndev=8, prefer=prefer)
+    assert sim.mc_path_name == prefer
+
+    # all five station seismograms match to 1e-9 (f64, different
+    # summation order only)
+    assert samples.shape == ref_samples.shape
+    scale = np.abs(ref_samples).max()
+    np.testing.assert_allclose(samples, ref_samples,
+                               atol=1e-9 * scale, rtol=1e-9)
+
+    # 4-D volume files match
+    _, ref_d = read_4d(os.path.join(ref_dir, "disp.h4d"))
+    _, mc_d = read_4d(os.path.join(rundir, "disp.h4d"))
+    np.testing.assert_allclose(mc_d, ref_d, atol=1e-9 * scale,
+                               rtol=1e-9)
+    _, ref_v = read_4d(os.path.join(ref_dir, "vel.h4d"))
+    _, mc_v = read_4d(os.path.join(rundir, "vel.h4d"))
+    vs = max(np.abs(ref_v).max(), 1e-30)
+    np.testing.assert_allclose(mc_v, ref_v, atol=1e-8 * vs, rtol=1e-8)
+
+    # plane files match
+    ref_p = read_plane(os.path.join(ref_dir, "planes",
+                                    "planedisplacements.0"), 5, 3)
+    mc_p = read_plane(os.path.join(rundir, "planes",
+                                   "planedisplacements.0"), 5, 3)
+    np.testing.assert_allclose(mc_p, ref_p, atol=1e-9 * scale,
+                               rtol=1e-9)
+
+    # checkpoints were written
+    outs = sorted(os.listdir(os.path.join(rundir, "ckpt")))
+    assert "checkpoint.out0" in outs
+
+
+def test_mc_checkpoint_restart(simple_setup, single_run, tmp_path):
+    """Restart a multi-chip run from its own checkpoint: the resumed
+    station tail matches the uninterrupted run to 1e-9."""
+    ref_dir, ref_samples = single_run
+    rundir = str(tmp_path)
+    sim = _make_sim(simple_setup)
+    p = sim.params
+    state_a, samples_a = _run(sim, rundir, ndev=8, prefer="slab")
+
+    # pick the checkpoint written at step 100 (rate 100, 200 steps:
+    # slots alternate; find the one whose step == 100)
+    from hercules_tpu.io.checkpoint import checkpoint_read
+    ckdir = os.path.join(rundir, "ckpt")
+    chosen = None
+    for w in (0, 1):
+        f = os.path.join(ckdir, f"checkpoint.out{w}")
+        if os.path.exists(f) and checkpoint_read(f)[0] == 100:
+            chosen = f
+    assert chosen is not None
+    shutil.copy(chosen, os.path.join(ckdir, "checkpoint.in"))
+
+    sim_b = _make_sim(simple_setup)
+    sim_b.params = p
+    state_b, samples_b = _run(sim_b, rundir, ndev=8, prefer="slab")
+    assert sim_b.start_step == 100
+    assert samples_b.shape[0] == 100
+
+    scale = np.abs(ref_samples).max()
+    np.testing.assert_allclose(samples_b, ref_samples[100:],
+                               atol=1e-9 * scale, rtol=1e-9)
+    # and the restart is bit-exact vs the uninterrupted mc run
+    np.testing.assert_array_equal(np.asarray(state_b[0]),
+                                  np.asarray(state_a[0]))
+    os.remove(os.path.join(ckdir, "checkpoint.in"))
+
+
+def test_mc_restart_rejects_wrong_physics(simple_setup, tmp_path):
+    """A checkpoint written under a different damping model is
+    rejected loudly (ADVICE round 1)."""
+    rundir = str(tmp_path)
+    sim = _make_sim(simple_setup)
+    p = sim.params
+    _run(sim, rundir, ndev=8, prefer="slab")
+    ckdir = os.path.join(rundir, "ckpt")
+    src = os.path.join(ckdir, "checkpoint.out0")
+    shutil.copy(src, os.path.join(ckdir, "checkpoint.in"))
+
+    import numpy.lib.npyio
+    # tamper the damping record
+    with np.load(os.path.join(ckdir, "checkpoint.in")) as z:
+        d = {k: z[k] for k in z.files}
+    d["damping"] = np.asarray("bkt")
+    np.savez(os.path.join(ckdir, "checkpoint.in"), **d)
+    # np.savez appends .npz when the name has no extension
+    if os.path.exists(os.path.join(ckdir, "checkpoint.in.npz")):
+        os.replace(os.path.join(ckdir, "checkpoint.in.npz"),
+                   os.path.join(ckdir, "checkpoint.in"))
+
+    sim_b = _make_sim(simple_setup)
+    with pytest.raises(RuntimeError, match="damping"):
+        _run(sim_b, rundir, ndev=8, prefer="slab")
+    os.remove(os.path.join(ckdir, "checkpoint.in"))
+
+
+def test_mc_no_outputs_station_only(simple_setup, single_run, tmp_path):
+    """ndev path without SimOutputs still samples stations correctly
+    (pure solver + stations, large chunks)."""
+    _, ref_samples = single_run
+    sim = _make_sim(simple_setup)
+    state, samples = _run(sim, str(tmp_path), ndev=8, prefer="slab",
+                          with_outputs=False)
+    scale = np.abs(ref_samples).max()
+    np.testing.assert_allclose(samples, ref_samples,
+                               atol=1e-9 * scale, rtol=1e-9)
