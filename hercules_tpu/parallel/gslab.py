@@ -45,8 +45,9 @@ from ..solver.planerec import PlaneReconciler
 class _GBrick:
     offs: tuple
     plane: int            # nyp * nxp
-    ez: int               # element layers per device
-    nb: int               # local node count (ez+1 planes)
+    ez: int               # max element layers per device (buffer)
+    nb: int               # local node count ((ez+1) planes, padded)
+    ez_of: object = None  # [n_dev] owned layer counts (uneven splits)
     B: int = 0
     T: int = 0
     LEN: int = 0
@@ -119,44 +120,56 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
                 f"unavailable")
         nzp, nyp, nxp = b.node_shape
         nz = nzp - 1
-        if nz % n_dev:
+        if nz < n_dev:
             raise RuntimeError(
-                f"brick {bi}: {nz} element layers not divisible by "
-                f"{n_dev} devices")
-        ez = nz // n_dev
+                f"brick {bi}: {nz} element layers cannot feed "
+                f"{n_dev} devices (each needs >= 1)")
+        # uneven split: extras to the first nz%n_dev devices; every
+        # fragment padded to the static (ez_hi+1)-plane buffer with
+        # zeroed element coefficients
+        ez_lo, rr = divmod(nz, n_dev)
+        ez = ez_lo + (1 if rr else 0)
+        ez_of = np.array([ez_lo + (1 if d < rr else 0)
+                          for d in range(n_dev)], np.int32)
         plane = nyp * nxp
         nb = (ez + 1) * plane
         B, T, LEN = pallas_geometry(gm.offs, nb)
         gb = _GBrick(offs=gm.offs, plane=plane, ez=ez, nb=nb,
-                     B=B, T=T, LEN=LEN, gnid_local=[])
+                     ez_of=ez_of, B=B, T=T, LEN=LEN, gnid_local=[])
 
         def pad(x):
             w = [(0, 0)] * (x.ndim - 1) + [(0, LEN - x.shape[-1])]
             return np.pad(x, w)
 
+        def pad_nb(x):
+            w = [(0, 0)] * (x.ndim - 1) + [(0, nb - x.shape[-1])]
+            return np.pad(x, w)
+
         cms, bks, mms, invs = [], [], [], []
         srcl, srcm = [], []
         for d in range(n_dev):
-            n0 = b.off + d * ez * plane
-            n1 = n0 + nb
+            ez_d = int(ez_of[d])
+            n0 = b.off + (d * ez_lo + min(d, rr)) * plane
+            real = (ez_d + 1) * plane
+            n1 = n0 + real
             sel = slice(n0, n1)
             if bkt:
                 rows = np.stack([t_host["bkt"][k][sel].copy()
                                  for k in bknames])
-                rows[:, ez * plane:] = 0.0     # ghost-plane elements
-                bks.append(rows)
+                rows[:, ez_d * plane:] = 0.0   # ghost-plane elements
+                bks.append(pad_nb(rows))
             else:
                 c1 = t_host["c1"][sel].copy()
                 c2 = t_host["c2"][sel].copy()
                 c3 = t_host["c3"][sel].copy()
-                c1[ez * plane:] = 0.0
-                c2[ez * plane:] = 0.0
-                c3[ez * plane:] = 0.0
+                c1[ez_d * plane:] = 0.0
+                c2[ez_d * plane:] = 0.0
+                c3[ez_d * plane:] = 0.0
                 beta = np.divide(c3, c1, out=np.zeros_like(c1),
                                  where=c1 != 0)
-                cms.append(np.stack([c1, c2, beta]))
-            mms.append(t_host["mass_minusaM"][:, sel])
-            invs.append(t_host["inv_mass"][sel])
+                cms.append(pad_nb(np.stack([c1, c2, beta])))
+            mms.append(pad_nb(t_host["mass_minusaM"][:, sel]))
+            invs.append(pad_nb(t_host["inv_mass"][sel]))
             gb.gnid_local.append(plan.gnid_cat[sel])
             if L:
                 pos = src_pos.astype(np.int64)
@@ -182,9 +195,12 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
         st.bricks.append(gb)
 
     def owner(z_plane, brick):
-        """(device, local plane) of a brick-end plane."""
+        """(device, local plane) of a brick-end plane.  The last
+        device always owns ez_of[-1] layers (extras go to the FIRST
+        devices), so its end plane index is static."""
         gb = st.bricks[brick]
-        return (0, 0) if z_plane == 0 else (n_dev - 1, gb.ez)
+        return ((0, 0) if z_plane == 0
+                else (n_dev - 1, int(gb.ez_of[-1])))
 
     for h in rec.hang:
         df, lzf = owner(h.zf, h.fi)
@@ -265,23 +281,37 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
                     sf.T * iv[t[f"sl{bi}"]][None, :])
 
             # within-brick fragment halo: shared-plane force recovery
-            # + ppermute (identical to slab.py's fused path)
+            # + ppermute (identical to slab.py's fused path).  The
+            # bottom shared plane sits at the per-device dynamic
+            # offset ez_of[idx]*plane (uneven splits pad the tail).
             plane, nb = gb.plane, gb.nb
             m1 = t[f"mm{bi}"]
+            zb = jnp.asarray(gb.ez_of, jnp.int32)[idx] * plane
+            z0 = jnp.zeros((), zb.dtype)
 
-            def plane_force(sl):
-                return ((un[:, sl] - u[:, sl]) / iv[sl][None, :]
-                        - m1[:, sl] * (u[:, sl] - up[:, sl]))
+            def dslice(a, off, rows):
+                return jax.lax.dynamic_slice(a, (z0, off),
+                                             (rows, plane))
 
-            f_top = plane_force(slice(0, plane))
-            f_bot = plane_force(slice(nb - plane, nb))
+            def plane_force(pl):
+                unp, upl, uppl, ivp, m1p = pl
+                return (unp - upl) / ivp - m1p * (upl - uppl)
+
+            f_top = plane_force((un[:, :plane], u[:, :plane],
+                                 up[:, :plane], iv[None, :plane],
+                                 m1[:, :plane]))
+            f_bot = plane_force((dslice(un, zb, 3), dslice(u, zb, 3),
+                                 dslice(up, zb, 3),
+                                 dslice(iv[None, :], zb, 1),
+                                 dslice(m1, zb, 3)))
             down = jax.lax.ppermute(f_bot, axis, ring_dn)
             up_ = jax.lax.ppermute(f_top, axis, ring_up)
             wtop = jnp.where(idx > 0, 1.0, 0.0)
             wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
             un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
-            un = un.at[:, nb - plane:nb].add(
-                wbot * up_ * iv[nb - plane:nb][None, :])
+            bot_add = wbot * up_ * dslice(iv[None, :], zb, 1)
+            un = jax.lax.dynamic_update_slice(
+                un, dslice(un, zb, 3) + bot_add, (z0, zb))
             uns.append(un)
 
         # cross-brick interface reconciliation
@@ -393,5 +423,6 @@ def gslab_u_global(st: GSlabTables, us, N):
     for gb, arr in zip(st.bricks, us):
         a = np.asarray(arr)               # [n_dev, 3, LEN]
         for d in range(st.n_dev):
-            u[gb.gnid_local[d]] = a[d, :, :gb.nb].T
+            g = gb.gnid_local[d]
+            u[g] = a[d, :, : len(g)].T
     return u

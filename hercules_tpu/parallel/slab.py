@@ -37,12 +37,18 @@ class SlabTables:
     nzp: int            # global node planes
     nyp: int
     nxp: int
-    ez_per: int         # element layers per device
+    ez_per: int         # max element layers per device (buffer size)
     tot_local: int      # local node count (incl. both shared planes)
     meta: BrickMeta
     dt: float
     damping: str
     m48: np.ndarray
+    # uneven split: per-device owned layer counts (ez_lo or ez_lo+1,
+    # extras on the first `nz % n_dev` devices); fragments are padded
+    # to the static (ez_per+1)-plane buffer with zeroed coefficients,
+    # and the bottom shared plane sits at the dynamic per-device
+    # offset ez_of[idx]*plane
+    ez_of: np.ndarray = None
     # stacked per-device arrays [n_dev, ...]
     c: dict = None
     inv_mass: np.ndarray = None
@@ -55,23 +61,32 @@ class SlabTables:
     kkappa: np.ndarray = None
 
 
-def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
-    # z-major layout pinned: the slab decomposition needs contiguous
-    # z-planes, and its XLA step has no VMEM envelope; the fused slab
-    # step checks pallas_fits itself
-    plan = build_plan(mesh, legacy_axes=True)
+def build_slab_tables(mesh, tables, n_dev, src_ids=None,
+                      legacy_axes=True) -> SlabTables:
+    """Split the single uniform brick into per-device fragments along
+    the OUTER storage axis (z under the legacy layout; the largest xy
+    extent when legacy_axes=False triggers build_plan's axis reorder,
+    which is what lets flat production bricks keep the fused kernel's
+    VMEM envelope).  Uneven splits are supported: devices own ez_lo or
+    ez_lo+1 layers (extras to the first nz%n_dev devices), every
+    fragment padded to the static (ez_hi+1)-plane buffer with zeroed
+    element coefficients."""
+    plan = build_plan(mesh, legacy_axes=legacy_axes)
     if len(plan.bricks) != 1 or len(plan.loose_eidx):
         raise RuntimeError("slab decomposition requires a single "
                            "uniform brick covering the whole mesh")
     b = plan.bricks[0]
     nzp, nyp, nxp = b.node_shape
     nz = nzp - 1
-    if nz % n_dev:
-        raise RuntimeError(f"element layers {nz} not divisible by "
-                           f"{n_dev} devices")
-    ez = nz // n_dev
+    if nz < n_dev:
+        raise RuntimeError(f"{nz} element layers cannot feed "
+                           f"{n_dev} devices (each needs >= 1)")
+    ez_lo, r = divmod(nz, n_dev)
+    ez_hi = ez_lo + (1 if r else 0)
+    ez_of = np.array([ez_lo + (1 if d < r else 0)
+                      for d in range(n_dev)], np.int32)
     plane = nyp * nxp
-    tot_local = (ez + 1) * plane
+    tot_local = (ez_hi + 1) * plane
 
     # global brick tables (node-grid order)
     t_host, metas, TOT = assemble_brick_tables(plan, tables,
@@ -81,9 +96,9 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
                            S=tot_local - gm.offs[7], offs=gm.offs)
 
     st = SlabTables(
-        n_dev=n_dev, nzp=nzp, nyp=nyp, nxp=nxp, ez_per=ez,
+        n_dev=n_dev, nzp=nzp, nyp=nyp, nxp=nxp, ez_per=ez_hi,
         tot_local=tot_local, meta=local_meta, dt=tables.dt,
-        damping=tables.damping, m48=tables.m48)
+        damping=tables.damping, m48=tables.m48, ez_of=ez_of)
 
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
     bks = ({k: [] for k in t_host["bkt"]}
@@ -92,21 +107,31 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None) -> SlabTables:
     srcl, srcm = [], []
     gnids = []
     L = len(src_ids) if src_ids is not None else 0
+
+    def padded(v, real):
+        """Zero-pad the last axis from `real` to tot_local."""
+        if v.shape[-1] == tot_local:
+            return v
+        w = [(0, 0)] * (v.ndim - 1) + [(0, tot_local - v.shape[-1])]
+        return np.pad(v, w)
+
     for d in range(n_dev):
-        n0 = d * ez * plane            # first local node (plane z0)
-        n1 = n0 + tot_local
+        ez_d = int(ez_of[d])
+        n0 = (d * ez_lo + min(d, r)) * plane   # first local node
+        real = (ez_d + 1) * plane
+        n1 = n0 + real
         for k in cs:
             v = t_host[k][n0:n1].copy()
             # elements of the last local plane belong to the next slab
-            v[ez * plane :] = 0.0
-            cs[k].append(v)
+            v[ez_d * plane :] = 0.0
+            cs[k].append(padded(v, real))
         if bks is not None:
             for k in bks:
                 v = t_host["bkt"][k][n0:n1].copy()
-                v[ez * plane :] = 0.0
-                bks[k].append(v)
-        invm.append(t_host["inv_mass"][n0:n1])
-        m1.append(t_host["mass_minusaM"][:, n0:n1])
+                v[ez_d * plane :] = 0.0
+                bks[k].append(padded(v, real))
+        invm.append(padded(t_host["inv_mass"][n0:n1], real))
+        m1.append(padded(t_host["mass_minusaM"][:, n0:n1], real))
         gnids.append(plan.gnid_cat[n0:n1])
         if L:
             pos = t_host["src_pos"].astype(np.int64)
@@ -157,6 +182,7 @@ def slab_step_builder(st: SlabTables, axis="d", dtype=jnp.float32):
         kmu = jnp.asarray(st.kmu, dtype)
         kkappa = jnp.asarray(st.kkappa, dtype)
     n_dev = st.n_dev
+    ez_of = jnp.asarray(st.ez_of, jnp.int32)
 
     def local_step(t, carry, x):
         srcf, _step = x
@@ -208,19 +234,23 @@ def slab_step_builder(st: SlabTables, axis="d", dtype=jnp.float32):
             sf = jnp.where(t["src_mask"][:, None], srcf, 0)
             force = force.at[:, t["src_lidx"]].add(sf.T)
 
-        # halo exchange on the two shared node planes (pure slices)
+        # halo exchange on the two shared node planes; the bottom
+        # shared plane sits at the per-device dynamic offset
+        # ez_of[idx]*plane (uneven splits pad the fragment tail)
         idx = jax.lax.axis_index(axis)
-        down = jax.lax.ppermute(force[:, -plane:], axis,
+        zb = ez_of[idx] * plane
+        z0 = jnp.zeros((), zb.dtype)
+        f_bot = jax.lax.dynamic_slice(force, (z0, zb), (3, plane))
+        down = jax.lax.ppermute(f_bot, axis,
                                 [(i, (i + 1) % n_dev)
                                  for i in range(n_dev)])
         up_ = jax.lax.ppermute(force[:, :plane], axis,
                                [(i, (i - 1) % n_dev)
                                 for i in range(n_dev)])
+        bot = f_bot + jnp.where(idx < n_dev - 1, 1.0, 0.0) * up_
+        force = jax.lax.dynamic_update_slice(force, bot, (z0, zb))
         top = force[:, :plane] + jnp.where(idx > 0, 1.0, 0.0) * down
-        bot = force[:, -plane:] + jnp.where(idx < n_dev - 1, 1.0,
-                                            0.0) * up_
-        force = jnp.concatenate([top, force[:, plane:-plane], bot],
-                                axis=1)
+        force = jnp.concatenate([top, force[:, plane:]], axis=1)
 
         # increment form (see solver/step.py): better f32 conditioning
         u_next = u + (force + t["mass_minusaM"] * (u - up)) \
@@ -296,7 +326,8 @@ def slab_u_global(st: SlabTables, u_sharded, N):
     arr = np.asarray(u_sharded)          # [n_dev, 3, tot_local]
     u = np.zeros((N, 3), arr.dtype)
     for d in range(st.n_dev):
-        u[st.gnid_local[d]] = arr[d].T
+        g = st.gnid_local[d]
+        u[g] = arr[d][:, : len(g)].T
     return u
 
 
@@ -370,6 +401,7 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         tdev["src_lidx"] = jnp.asarray(st.src_lidx, jnp.int32)
         tdev["src_mask"] = jnp.asarray(st.src_mask)
     n_dev = st.n_dev
+    ez_of = jnp.asarray(st.ez_of, jnp.int32)
 
     def local_step(t, carry, x):
         srcf, _step = x
@@ -389,14 +421,26 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         # un = u + (F + m*(u - up)) * iv  =>  F = (un - u)/iv - m*(u-up)
         iv = t["invm"][0]
         m1 = t["mm"]
-
-        def plane_force(sl):
-            return ((un[:, sl] - u[:, sl]) / iv[sl][None, :]
-                    - m1[:, sl] * (u[:, sl] - up[:, sl]))
-
-        f_top = plane_force(slice(0, plane))
-        f_bot = plane_force(slice(nb - plane, nb))
         idx = jax.lax.axis_index(axis)
+        zb = ez_of[idx] * plane           # bottom shared plane offset
+
+        def plane_force(pl):
+            """pl: [3/1, plane] slices of un/u/up/iv/m1."""
+            unp, upl, uppl, ivp, m1p = pl
+            return (unp - upl) / ivp - m1p * (upl - uppl)
+
+        z0 = jnp.zeros((), zb.dtype)
+
+        def dslice(a, off, rows):
+            return jax.lax.dynamic_slice(a, (z0, off), (rows, plane))
+
+        f_top = plane_force((un[:, :plane], u[:, :plane],
+                             up[:, :plane], iv[None, :plane],
+                             m1[:, :plane]))
+        f_bot = plane_force((dslice(un, zb, 3), dslice(u, zb, 3),
+                             dslice(up, zb, 3),
+                             dslice(iv[None, :], zb, 1),
+                             dslice(m1, zb, 3)))
         down = jax.lax.ppermute(f_bot, axis, [(i, (i + 1) % n_dev)
                                               for i in range(n_dev)])
         up_ = jax.lax.ppermute(f_top, axis, [(i, (i - 1) % n_dev)
@@ -404,8 +448,9 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         wtop = jnp.where(idx > 0, 1.0, 0.0)
         wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
         un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
-        un = un.at[:, nb - plane:nb].add(
-            wbot * up_ * iv[nb - plane:nb][None, :])
+        bot_add = wbot * up_ * dslice(iv[None, :], zb, 1)
+        un = jax.lax.dynamic_update_slice(
+            un, dslice(un, zb, 3) + bot_add, (z0, zb))
         if bkt:
             return (un, u, conv), None
         return (un, u), None
@@ -463,5 +508,6 @@ def slab_pallas_u_global(st: SlabTables, u_sharded, N):
     arr = np.asarray(u_sharded)[:, :, :st.tot_local]
     u = np.zeros((N, 3), arr.dtype)
     for d in range(st.n_dev):
-        u[st.gnid_local[d]] = arr[d].T
+        g = st.gnid_local[d]
+        u[g] = arr[d][:, : len(g)].T
     return u

@@ -16,13 +16,13 @@ from hercules_tpu.solver.step import run_solver
 SIMPLE = "/root/reference/examples/simple"
 
 
-@pytest.mark.parametrize("ndev", [4, 8])
+@pytest.mark.parametrize("ndev", [3, 4, 5, 8])
 def test_slab_matches_single(ndev):
+    """16x16x8-element mesh: ndev 3 and 5 exercise the UNEVEN z-split
+    (8 = 3+3+2 and 2+2+2+1+1) with dynamic bottom-plane offsets."""
     p = load_params(f"{SIMPLE}/in/physics.in", f"{SIMPLE}/in/numerical.in")
     cvm = CVM(f"{SIMPLE}/simple_case.e")
-    mesh = generate_mesh(p, cvm)   # 16x16x8 elements: 8 % ndev needs 8|
-    if 8 % ndev:
-        pytest.skip("layer count not divisible")
+    mesh = generate_mesh(p, cvm)
     tables = assemble(mesh, p)
     nid = mesh.elem_lnid[mesh.lenum // 2, 0]
     src_ids = np.array([nid], np.int32)
@@ -185,12 +185,15 @@ def _depth_graded(damping="rayleigh"):
     return p, mesh, assemble(mesh, p)
 
 
-@pytest.mark.parametrize("damping", ["rayleigh", "bkt"])
-def test_gslab_graded_matches_single(damping):
+@pytest.mark.parametrize("damping,ndev", [("rayleigh", 4),
+                                          ("bkt", 4),
+                                          ("rayleigh", 3)])
+def test_gslab_graded_matches_single(damping, ndev):
     """Graded multi-chip path (parallel/gslab.py): every brick z-sharded
     over the device axis, fused kernels + within-brick force-plane
     halos + ppermute'd dense 2:1 interface reconciliation; matches the
-    single-device brick solver."""
+    single-device brick solver.  ndev=3 exercises UNEVEN per-brick
+    layer splits (fine 8 = 3+3+2, coarse 4 = 2+1+1)."""
     import os
     from hercules_tpu.parallel.gslab import (build_gslab_tables,
                                              gslab_u_global,
@@ -217,9 +220,9 @@ def test_gslab_graded_matches_single(damping):
                                   chunk=12)
     u_ref = brick_u_global(plan, state_b[0], mesh.nnum)
 
-    st = build_gslab_tables(mesh, tables, 4, src_ids=nid,
+    st = build_gslab_tables(mesh, tables, ndev, src_ids=nid,
                             dtype=jnp.float64, min_brick_elems=512)
-    devs = np.array(jax.devices()[:4])
+    devs = np.array(jax.devices()[:ndev])
     with Mesh(devs, ("d",)) as m:
         sh = run_gslab_solver(st, m, forces, T, p.delta_t,
                               dtype=jnp.float64, chunk=12,
