@@ -357,15 +357,18 @@ class ShardedPath(_PathBase):
 
     name = "sharded"
 
-    def __init__(self, st, mesh, axis="d", dtype=jnp.float32):
+    def __init__(self, st, mesh, axis="d", dtype=jnp.float32,
+                 nl=None, drm=None):
         from .sharded import sharded_step_builder
         self.st = st
         self.mesh = mesh
         self.axis = axis
         self.n_dev = st.n_dev
         self.dtype = dtype
+        self.nl = nl
         self.local_step, self.tdev, self.state_spec = \
-            sharded_step_builder(st, axis=axis, dtype=dtype)
+            sharded_step_builder(st, axis=axis, dtype=dtype, nl=nl,
+                                 drm=drm)
         self._has_st = False
 
     def attach_stations(self, st_nodes, st_phi, dtype):
@@ -411,18 +414,28 @@ class ShardedPath(_PathBase):
 
     def init_state(self):
         from .sharded import init_sharded_state
-        return init_sharded_state(self.st, self.dtype)
+        return init_sharded_state(self.st, self.dtype, nl=self.nl)
 
     def state_from_global(self, u, up, tail_flat):
         base = (self._u_stack(u), self._u_stack(up))
+        nconv = 4 if self.st.damping == "bkt" else 0
+        nnl = 0
+        if self.nl is not None:
+            nnl = 4 if self.nl["geostatic"] else 3
         if not tail_flat:
-            return base + (self._default_conv(),)
-        if self.st.damping == "bkt":
-            assert len(tail_flat) == 4, \
-                "sharded BKT tail must be 4 arrays"
-            return base + (tuple(jnp.asarray(a, self.dtype)
-                                 for a in tail_flat),)
-        raise RuntimeError("unexpected checkpoint tail for sharded path")
+            init = self.init_state()
+            return base + init[2:]
+        if len(tail_flat) != nconv + nnl:
+            raise RuntimeError(
+                f"sharded checkpoint tail has {len(tail_flat)} "
+                f"arrays; this run needs {nconv + nnl}")
+        conv = tuple(jnp.asarray(a, self.dtype)
+                     for a in tail_flat[:nconv])
+        out = base + (conv,)
+        if nnl:
+            out = out + (tuple(jnp.asarray(a, self.dtype)
+                               for a in tail_flat[nconv:]),)
+        return out
 
 
 # ---------------------------------------------------------------------------

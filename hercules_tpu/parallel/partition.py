@@ -231,3 +231,163 @@ def shard_tables(tables, mesh, n_dev, src_ids=None) -> ShardedTables:
     st.owned_local = owned_l
     st.local_globals = loc_g
     return st
+
+
+def shard_nonlinear(st: ShardedTables, tables, mesh, params,
+                    nl_tables, n_dev):
+    """Per-device nonlinear bundle for the sharded path
+    (nonlinear.c:1671-1823 runs on every MPI rank in the reference;
+    the plastic state is per-element, so it shards with the element
+    partition).  Returns a host dict of stacked arrays; padding rows
+    use neutral material constants (k=1, h=1, the rest 0) whose
+    plastic update is exactly zero, and scatter to the trash node."""
+    from ..nonlinear import smooth_rise_factor
+
+    t = nl_tables
+    E = tables.E
+    N = mesh.nnum
+    lo, hi = _block_bounds(E, n_dev)
+    trash = st.N_pad - 1
+    dt = params.delta_t
+    dt2 = dt * dt
+
+    # rows of t.eidx per device
+    dev_rows = [np.flatnonzero((t.eidx >= lo[d]) & (t.eidx < hi[d]))
+                for d in range(n_dev)]
+    NLpad = max(1, max(len(r) for r in dev_rows))
+
+    geostatic = t.cfg.geostatic_loading_t > 0
+    consts = ("mu", "lam", "alpha", "k", "hard", "strainrate",
+              "sensitivity", "h")
+    neutral = {"k": 1.0, "h": 1.0, "sensitivity": 1.0}
+
+    out = {
+        "n_dev": n_dev, "NLpad": NLpad, "dt": dt, "dt2": dt2,
+        "model": t.cfg.material_model,
+        "rate_dep": t.cfg.plasticity_type.startswith("rate_dep"),
+        "geostatic": geostatic,
+        "n_rows": [len(r) for r in dev_rows],
+    }
+    cs = {k: [] for k in consts}
+    lnid_s, perm_s, seg_s = [], [], []
+    if geostatic:
+        final = t.cfg.geostatic_final_step(dt)
+        out["final_step"] = final
+        ngeo = int(t.cfg.geostatic_loading_t / dt)
+        out["rise"] = smooth_rise_factor(np.arange(final + 2), ngeo)
+        bot_global = np.unique(mesh.elem_lnid[t.bot_eidx][:, 4:])
+        dev_bot = [np.intersect1d(t.bot_eidx,
+                                  np.arange(lo[d], hi[d]))
+                   for d in range(n_dev)]
+        EBpad = max(1, max(len(b) for b in dev_bot))
+        out["EBpad"] = EBpad
+        gw_s, gperm_s, gseg_s = [], [], []
+        bl_s, bc1_s, bc2_s, bw_s, bperm_s, bseg_s = \
+            [], [], [], [], [], []
+        bn_s, bnm_s = [], []
+
+    for d in range(n_dev):
+        nodes = st.local_globals[d]
+        g2l = np.full(N, trash, np.int64)
+        g2l[nodes] = np.arange(len(nodes))
+        rows = dev_rows[d]
+        nr = len(rows)
+
+        for k in cs:
+            v = np.full(NLpad, neutral.get(k, 0.0))
+            v[:nr] = getattr(t, k)[rows]
+            cs[k].append(v)
+        ln = np.full((NLpad, 8), trash, np.int32)
+        ln[:nr] = g2l[mesh.elem_lnid[t.eidx[rows]]]
+        lnid_s.append(ln)
+        seg = ln.ravel()
+        perm = np.argsort(seg, kind="stable").astype(np.int32)
+        perm_s.append(perm)
+        seg_s.append(seg[perm].astype(np.int32))
+
+        if geostatic:
+            el = np.arange(lo[d], hi[d])
+            gw = np.zeros(st.E_pad * 8)
+            gw[: len(el) * 8] = np.repeat(t.grav_W[el] * dt2, 8)
+            gseg = np.full((st.E_pad, 8), trash, np.int32)
+            gseg[: len(el)] = g2l[mesh.elem_lnid[el]]
+            gseg = gseg.ravel()
+            gperm = np.argsort(gseg, kind="stable").astype(np.int32)
+            gw_s.append(gw)
+            gperm_s.append(gperm)
+            gseg_s.append(gseg[gperm].astype(np.int32))
+
+            be = dev_bot[d]
+            nb_ = len(be)
+            bl = np.full((EBpad, 8), trash, np.int32)
+            bc1 = np.zeros(EBpad)
+            bc2 = np.zeros(EBpad)
+            bw = np.zeros(EBpad)
+            if nb_:
+                bl[:nb_] = g2l[mesh.elem_lnid[be]]
+                bc1[:nb_] = tables.c1[be]
+                bc2[:nb_] = tables.c2[be]
+                bw[:nb_] = (mesh.props["rho"][be]
+                            * mesh.edge_m[be] ** 3 * 9.8 * 0.125 * dt2)
+            bl_s.append(bl)
+            bc1_s.append(bc1)
+            bc2_s.append(bc2)
+            bw_s.append(bw)
+            bseg = bl[:, 4:].ravel()
+            bperm = np.argsort(bseg, kind="stable").astype(np.int32)
+            bperm_s.append(bperm)
+            bseg_s.append(bseg[bperm].astype(np.int32))
+            # z-fix applies to EVERY local replica of a bottom node
+            present = bot_global[np.isin(bot_global, nodes)]
+            bn = np.full(len(bot_global), trash, np.int32)
+            bn[: len(present)] = g2l[present]
+            bn_s.append(bn)
+            bnm_s.append(np.arange(len(bot_global)) < len(present))
+
+        # zero the linear stiffness coefficients of nonlinear elements
+        # in the already-stacked sharded tables (stiffness.c:46-105)
+        if nr:
+            st.c["c1"][d][t.eidx[rows] - lo[d]] = 0.0
+            st.c["c2"][d][t.eidx[rows] - lo[d]] = 0.0
+
+    out["consts"] = {k: np.stack(v) for k, v in cs.items()}
+    out["lnid"] = np.stack(lnid_s)
+    out["scat_perm"] = np.stack(perm_s)
+    out["scat_seg"] = np.stack(seg_s)
+    if geostatic:
+        out["grav_W"] = np.stack(gw_s)
+        out["gscat_perm"] = np.stack(gperm_s)
+        out["gscat_seg"] = np.stack(gseg_s)
+        out["bot_lnid"] = np.stack(bl_s)
+        out["bc1"] = np.stack(bc1_s)
+        out["bc2"] = np.stack(bc2_s)
+        out["bot_W"] = np.stack(bw_s)
+        out["bscat_perm"] = np.stack(bperm_s)
+        out["bscat_seg"] = np.stack(bseg_s)
+        out["bot_nodes"] = np.stack(bn_s)
+        out["bot_nodes_mask"] = np.stack(bnm_s)
+    return out
+
+
+def shard_drm(st: ShardedTables, drm, n_dev):
+    """Per-device DRM PART2 bundle: the precomputed effective-force
+    records are replicated; each record row is applied once, by the
+    device owning the node (drm.c:2316-2437)."""
+    ids = np.asarray(drm["ids"])
+    trash = st.N_pad - 1
+    lidx = np.full((n_dev, len(ids)), trash, np.int32)
+    mask = np.zeros((n_dev, len(ids)), bool)
+    assigned = np.zeros(len(ids), bool)
+    for d in range(n_dev):
+        nodes = st.local_globals[d]
+        srt = np.sort(nodes)
+        order = np.argsort(nodes, kind="stable")
+        pos = np.clip(np.searchsorted(srt, ids), 0, len(srt) - 1)
+        ok = (srt[pos] == ids) & ~assigned
+        lidx[d][ok] = order[pos[ok]]
+        mask[d][ok] = True
+        assigned |= ok
+    if not assigned.all():
+        raise RuntimeError("DRM boundary node not local to any device")
+    return {"lidx": lidx, "mask": mask, "F": np.asarray(drm["F"]),
+            "aux": drm["aux"]}

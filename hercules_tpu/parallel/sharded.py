@@ -43,19 +43,39 @@ def _dev_tables(st, dtype):
     return d
 
 
-def sharded_step_builder(st, axis="d", dtype=jnp.float32):
+def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
+                         drm=None):
     """Raw per-step kernel for the unstructured sharded path: returns
-    (local_step, tdev, state_spec)."""
+    (local_step, tdev, state_spec).
+
+    nl: stacked nonlinear bundle from partition.shard_nonlinear —
+    the per-element plastic state rides the carry, sharded with the
+    element partition exactly as nonlinear.c:1671-1823 runs on every
+    MPI rank.  drm: stacked PART2 bundle from partition.shard_drm
+    (effective forces lerped in-step, drm.c:2316-2437)."""
     m48 = jnp.asarray(st.m48, dtype)
     kmu = jnp.asarray(st.kmu, dtype) if st.kmu is not None else None
     kkappa = (jnp.asarray(st.kkappa, dtype)
               if st.kkappa is not None else None)
     N_pad = st.N_pad
     damping = st.damping
+    geostatic = bool(nl and nl["geostatic"])
+    if nl is not None:
+        from ..nonlinear import force_operator, strain_operator
+        nl_S = jnp.asarray(strain_operator().reshape(48, 24), dtype)
+        nl_F = jnp.asarray(
+            force_operator().transpose(1, 0, 2).reshape(24, 48), dtype)
+        if geostatic:
+            nl_rise = jnp.asarray(nl["rise"], dtype)
+    if drm is not None:
+        drm_F = jnp.asarray(drm["F"], dtype)
 
     def local_step(t, carry, x):
-        srcf, _step = x
-        u_now, u_prev, conv = carry
+        srcf, step_idx = x
+        if nl is not None:
+            u_now, u_prev, conv, nlstate = carry
+        else:
+            u_now, u_prev, conv = carry
         E = t["lnid"].shape[0]
         ue = u_now[t["lnid"]].reshape(E, 24)
         upe = u_prev[t["lnid"]].reshape(E, 24)
@@ -94,15 +114,71 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32):
                       * (dvk.reshape(E, 24) @ kkappa))
             conv = (s0, s1, k0, k1)
 
+        # nonlinear state update first (solver_nonlinear_state,
+        # psolve.c:4287); per-element, shard-local
+        if nl is not None:
+            from ..nonlinear import nl_state_update
+            Enl = t["nl_lnid"].shape[0]
+            ue_nl = u_now[t["nl_lnid"]].reshape(Enl, 24)
+            d_nl = {"S": nl_S, "F": nl_F, "model": nl["model"],
+                    "rate_dep": nl["rate_dep"]}
+            for k in ("mu", "lam", "alpha", "k", "hard", "strainrate",
+                      "sensitivity", "h"):
+                d_nl[k] = t[f"nl_{k}"]
+            nlstate = nl_state_update(d_nl, ue_nl, nlstate[:3],
+                                      nl["dt"]) + nlstate[3:]
+
         # partial force: source (owner only) + element scatter
         force = jnp.zeros((N_pad, 3), dtype)
         if "src_lidx" in t:
             sf = jnp.where(t["src_mask"][:, None], srcf, 0)
             force = force.at[t["src_lidx"]].add(sf)
+        if drm is not None:
+            # DRM effective force lerp (drm.c:2316-2437); owner only
+            k_ = jnp.minimum(step_idx // drm["aux"],
+                             drm_F.shape[0] - 2)
+            frac = ((step_idx % drm["aux"]).astype(dtype)
+                    / drm["aux"])
+            fd = (1.0 - frac) * drm_F[k_] + frac * drm_F[k_ + 1]
+            fd = jnp.where(t["drm_mask"][:, None], fd, 0)
+            force = force.at[t["drm_lidx"]].add(fd)
         flat = f_elem.reshape(-1, 3)[t["scat_perm"]]
         force = force + jax.ops.segment_sum(
             flat, t["scat_seg"], num_segments=N_pad,
             indices_are_sorted=True)
+
+        if nl is not None:
+            from ..nonlinear import nl_force
+            fnl = nl_force(d_nl, nlstate[:3], nl["dt2"])   # [Enl, 24]
+            flat_nl = fnl.reshape(-1, 3)[t["nl_scat_perm"]]
+            force = force + jax.ops.segment_sum(
+                flat_nl, t["nl_scat_seg"], num_segments=N_pad,
+                indices_are_sorted=True)
+            if geostatic:
+                sig, pstr, ep, reactions = nlstate
+                rise = nl_rise[jnp.minimum(step_idx,
+                                           nl_rise.shape[0] - 1)]
+                gw = t["nl_grav_W"] * rise
+                force = force.at[:, 2].add(jax.ops.segment_sum(
+                    gw[t["nl_gscat_perm"]], t["nl_gscat_seg"],
+                    num_segments=N_pad, indices_are_sorted=True))
+                # bottom reactions captured at the geostatic final
+                # step (per-element => shard-local, psum-safe)
+                Eb = t["nl_bot_lnid"].shape[0]
+                ub = u_now[t["nl_bot_lnid"]].reshape(Eb, 24)
+                a_ = t["nl_bc1"][:, None] * ub
+                b_ = t["nl_bc2"][:, None] * ub
+                kf = (jnp.concatenate([a_, b_], 1)
+                      @ m48).reshape(Eb, 8, 3)
+                new_r = kf[:, 4:, 2] - t["nl_bot_W"][:, None]
+                reactions = jnp.where(
+                    step_idx == nl["final_step"], new_r, reactions)
+                add = jnp.where(step_idx > nl["final_step"], 1.0, 0.0)
+                force = force.at[:, 2].add(add * jax.ops.segment_sum(
+                    reactions.reshape(-1)[t["nl_bscat_perm"]],
+                    t["nl_bscat_seg"], num_segments=N_pad,
+                    indices_are_sorted=True))
+                nlstate = (sig, pstr, ep, reactions)
 
         # distribute dangling partials to anchors (linear => psum-safe)
         contrib = (force[t["dn_ids"]][:, None, :]
@@ -120,6 +196,13 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32):
         # increment form (see solver/step.py): better f32 conditioning
         u_next = u_now + (force + t["mass_minusaM"]
                           * (u_now - u_prev)) * t["inv_mass"][:, None]
+        if geostatic:
+            # geostatic_displacements_fix: bottom z pinned during
+            # loading; every device fixes its local replicas
+            fix = (step_idx <= nl["final_step"])
+            bz = u_next[t["nl_bot_nodes"], 2]
+            u_next = u_next.at[t["nl_bot_nodes"], 2].set(
+                jnp.where(fix & t["nl_bot_nodes_mask"], 0.0, bz))
         # dangling assignment (local anchors, consistent replicas)
         vals = (u_next[t["dn_anchors"]]
                 * t["dn_weights"][:, :, None]).sum(1)
@@ -129,12 +212,37 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32):
         # keep the trash slot zeroed
         u_next = u_next.at[N_pad - 1].set(0.0)
 
+        if nl is not None:
+            return (u_next, u_now, conv, nlstate), None
         return (u_next, u_now, conv), None
 
     tdev = _dev_tables(st, dtype)
+    if nl is not None:
+        f = lambda x: jnp.asarray(x, dtype)
+        i = lambda x: jnp.asarray(x, jnp.int32)
+        for k in ("mu", "lam", "alpha", "k", "hard", "strainrate",
+                  "sensitivity", "h"):
+            tdev[f"nl_{k}"] = f(nl["consts"][k])
+        tdev["nl_lnid"] = i(nl["lnid"])
+        tdev["nl_scat_perm"] = i(nl["scat_perm"])
+        tdev["nl_scat_seg"] = i(nl["scat_seg"])
+        if geostatic:
+            for k in ("grav_W", "bc1", "bc2", "bot_W"):
+                tdev[f"nl_{k}"] = f(nl[k])
+            for k in ("gscat_perm", "gscat_seg", "bot_lnid",
+                      "bscat_perm", "bscat_seg", "bot_nodes"):
+                tdev[f"nl_{k}"] = i(nl[k])
+            tdev["nl_bot_nodes_mask"] = jnp.asarray(
+                nl["bot_nodes_mask"])
+    if drm is not None:
+        tdev["drm_lidx"] = jnp.asarray(drm["lidx"], jnp.int32)
+        tdev["drm_mask"] = jnp.asarray(drm["mask"])
     conv_spec = ((P(axis), P(axis), P(axis), P(axis))
                  if damping == "bkt" else ())
     state_spec = (P(axis), P(axis), conv_spec)
+    if nl is not None:
+        nl_spec = (P(axis),) * (4 if geostatic else 3)
+        state_spec = state_spec + (nl_spec,)
     return local_step, tdev, state_spec
 
 
@@ -163,13 +271,21 @@ def make_sharded_step(st, mesh: Mesh, axis="d", dtype=jnp.float32):
     return jax.jit(smap), tdev
 
 
-def init_sharded_state(st, dtype=jnp.float32):
+def init_sharded_state(st, dtype=jnp.float32, nl=None):
     u = jnp.zeros((st.n_dev, st.N_pad, 3), dtype)
     conv = ()
     if st.damping == "bkt":
         z = jnp.zeros((st.n_dev, st.E_pad, 8, 3), dtype)
         conv = (z, z, z, z)
-    return (u, u, conv)
+    if nl is None:
+        return (u, u, conv)
+    z6 = jnp.zeros((st.n_dev, nl["NLpad"], 8, 6), dtype)
+    z8 = jnp.zeros((st.n_dev, nl["NLpad"], 8), dtype)
+    nlstate = (z6, z6, z8)
+    if nl["geostatic"]:
+        nlstate = nlstate + (jnp.zeros((st.n_dev, nl["EBpad"], 4),
+                                       dtype),)
+    return (u, u, conv, nlstate)
 
 
 def run_sharded(st, mesh, src_forces, total_steps, dt,

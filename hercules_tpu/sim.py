@@ -578,16 +578,19 @@ class Simulation:
             env = os.environ.get("HT_NDEV")
             ndev = int(env) if env else 0
         if ndev and ndev > 1:
-            if (nl is not None or drm is not None or drm_rec is not None
-                    or fb_ids is not None):
-                print("WARNING: nonlinear/DRM/fixed-base features are "
-                      "not yet wired into the multi-chip driver; "
-                      "running single-device", file=sys.stderr)
+            if drm_rec is not None or fb_ids is not None:
+                print("WARNING: DRM part1 recording / fixed-base "
+                      "buildings are not wired into the multi-chip "
+                      "driver; running single-device", file=sys.stderr)
             else:
-                return self._run_multichip(
+                state, samples = self._run_multichip(
                     ndev, dtype=dtype, chunk=chunk, steps=steps,
                     on_chunk=on_chunk, outputs=outputs, rundir=rundir,
-                    st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path)
+                    st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path,
+                    drm=drm)
+                samples = self._replay_nl_stations(samples, nl_st_rows,
+                                                   n_st, st)
+                return state, samples
 
         plan = None
         if (solver in ("auto", "bricks", "pallas") and nl is None
@@ -812,8 +815,15 @@ class Simulation:
         if outputs is not None:
             outputs.close()
 
-        # replay the per-station plastic recursion from the sampled
-        # corner displacements (print_nonlinear_stations)
+        samples = self._replay_nl_stations(samples, nl_st_rows, n_st,
+                                           st)
+        return state, samples
+
+    def _replay_nl_stations(self, samples, nl_st_rows, n_st, st):
+        """Replay the per-station plastic recursion from the sampled
+        one-hot corner displacements (print_nonlinear_stations,
+        nonlinear.c:1947-2228) and strip the extra sampling rows."""
+        p = self.params
         self.nl_station_extras = {}
         if nl_st_rows:
             from .nonlinear import (nonlinear_station_series,
@@ -830,10 +840,11 @@ class Simulation:
                         self.nl_tables.cfg.plasticity_type.startswith(
                             "rate_dep"))
             samples = samples[:, :n_st]
-        return state, samples
+        return samples
 
     def _run_multichip(self, ndev, dtype, chunk, steps, on_chunk,
-                       outputs, rundir, st_nodes, st_phi, prefer=None):
+                       outputs, rundir, st_nodes, st_phi, prefer=None,
+                       drm=None):
         """The full production loop sharded over `ndev` devices:
         stations, 4-D/plane taps, checkpoint write AND restart, and
         chunked source streaming — the complete solver_run surface
@@ -849,9 +860,32 @@ class Simulation:
             raise RuntimeError(
                 f"requested ndev={ndev} but only {len(devs)} devices "
                 f"are visible")
-        path = choose_path(self.mesh, self.tables, ndev,
-                           src_ids=self.src_ids, dtype=dtype,
-                           prefer=prefer)
+        if self.nl_tables is not None or drm is not None:
+            # nonlinear state and DRM effective forces are per-element
+            # / per-node — they shard with the unstructured partition
+            # (nonlinear.c:1671 and drm.c:2316 run on every MPI rank)
+            from .parallel.driver import ShardedPath
+            from .parallel.partition import (shard_drm,
+                                             shard_nonlinear,
+                                             shard_tables)
+            if prefer not in (None, "sharded"):
+                raise RuntimeError(
+                    f"nonlinear/DRM multi-chip runs use the sharded "
+                    f"path; cannot force mc_path={prefer}")
+            ust = shard_tables(self.tables, self.mesh, ndev,
+                               src_ids=self.src_ids)
+            nl_b = None
+            if self.nl_tables is not None:
+                nl_b = shard_nonlinear(ust, self.tables, self.mesh,
+                                       p, self.nl_tables, ndev)
+            drm_b = shard_drm(ust, drm, ndev) if drm is not None \
+                else None
+            path = ShardedPath(ust, self.mesh, dtype=dtype, nl=nl_b,
+                               drm=drm_b)
+        else:
+            path = choose_path(self.mesh, self.tables, ndev,
+                               src_ids=self.src_ids, dtype=dtype,
+                               prefer=prefer)
         if st_nodes is not None and len(st_nodes):
             path.attach_stations(np.asarray(st_nodes),
                                  np.asarray(st_phi), dtype)
