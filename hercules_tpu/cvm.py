@@ -101,7 +101,7 @@ class CVM:
         ok, idx = self.db.search_points(
             x.astype(np.uint32), y.astype(np.uint32), z.astype(np.uint32))
         ok = ok & inb
-        rec = self.db.payload[idx]
+        rec = self.db.records(idx)
         nan = np.where(ok, 1.0, np.nan)
         fields = self.db.schema.names
         vp = rec[fields[0]].astype(np.float64) * nan

@@ -26,6 +26,7 @@ Keys are 13 bytes for 3-D etrees: level|0x80 byte then 96-bit Morton code
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -74,22 +75,44 @@ class Schema:
 
 
 class EtreeReader:
-    """Loads every leaf record of an etree database into sorted arrays and
-    answers vectorized point/ancestor queries.
+    """Answers vectorized point/ancestor queries over an etree database.
 
-    The solver only ever queries the CVM read-only at mesh time
-    (SURVEY.md section 2.1), so an in-memory load + binary search replaces
-    the reference's LRU page cache entirely.
+    Two modes (the solver only ever queries the CVM read-only at mesh
+    time, SURVEY.md section 2.1):
+
+    - in-memory (default for small DBs): every leaf record is loaded
+      into sorted arrays; queries are pure binary search.
+    - out-of-core (DBs larger than HT_ETREE_MEM_LIMIT, default 256 MB,
+      or HT_ETREE_MMAP=1): the file is memory-mapped and only a
+      per-page index (first key, offset, count) is held in RAM.  The
+      OS page cache plus a small decoded-page LRU stand in for the
+      reference's buffer pool (etree/buffer.c:21-116), so tens-of-GB
+      SCEC CVMs are served without loading the DB.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, out_of_core: bool = None):
         self.path = path
-        with open(path, "rb") as f:
-            raw = f.read()
-        self._parse_headers(raw)
-        self._load_leaves(raw)
+        size = os.path.getsize(path)
+        if out_of_core is None:
+            limit = int(os.environ.get("HT_ETREE_MEM_LIMIT", 1 << 28))
+            out_of_core = (os.environ.get("HT_ETREE_MMAP", "") == "1"
+                           or size > limit)
+        self.out_of_core = bool(out_of_core)
+        if not self.out_of_core:
+            with open(path, "rb") as f:
+                raw = f.read()
+            self._parse_headers(raw)
+            self._load_leaves(raw)
+            return
+        self._mm = np.memmap(path, np.uint8, mode="r")
+        head = bytes(self._mm[: min(size, 1 << 20)])
+        self._parse_headers(head, appmeta_src=self._mm)
+        self._build_page_index()
+        self._page_cache = {}
+        self._page_cache_cap = int(os.environ.get("HT_ETREE_PAGE_CACHE",
+                                                  1024))
 
-    def _parse_headers(self, raw: bytes):
+    def _parse_headers(self, raw: bytes, appmeta_src=None):
         if raw[0:1] not in (b"L", b"B"):
             raise ValueError("bad etree endian byte")
         self.endian = "<" if raw[0:1] == b"L" else ">"
@@ -114,8 +137,10 @@ class EtreeReader:
         end = self.pagesize * (self.rootpagenum + self.pagecount)
         self.appmeta = None
         if self.appmetasize:
-            self.appmeta = (
-                raw[end : end + self.appmetasize].rstrip(b"\x00").decode())
+            src = raw if appmeta_src is None else appmeta_src
+            self.appmeta = bytes(
+                src[end : end + self.appmetasize]).rstrip(
+                    b"\x00").decode()
 
     def _load_leaves(self, raw: bytes):
         """Walk all pages; collect leaf entries, then Z-order sort."""
@@ -159,12 +184,133 @@ class EtreeReader:
             self.payload = raw_payload
         self.n = len(order)
 
+    # ---- out-of-core machinery ---------------------------------------
+    def _build_page_index(self):
+        """One pass over the page headers: (first key, file offset,
+        record count) per leaf page, sorted by first key.  Memory is
+        O(pagecount); the leaf bytes stay on disk."""
+        ps, ks, vs = self.pagesize, self.keysize, self.valuesize
+        entsize = ks + vs
+        cap = (ps - _PAGE_HDR) // entsize
+        size = len(self._mm)
+        pnums = np.arange(self.rootpagenum,
+                          self.rootpagenum + self.pagecount + 1,
+                          dtype=np.int64)
+        offs = pnums * ps
+        pnums = pnums[offs + _PAGE_HDR <= size]
+        offs = offs[offs + _PAGE_HDR <= size]
+        hdr_cols = offs[:, None] + np.arange(16, 25)
+        hdr = np.asarray(self._mm[hdr_cols])
+        counts = hdr[:, 0:4].copy().view("<i4").ravel()
+        types = hdr[:, 8]
+        leaf = (types == ord("l")) & (counts > 0) & (counts <= cap)
+        offs = offs[leaf]
+        counts = counts[leaf].astype(np.int64)
+        kb = np.asarray(self._mm[offs[:, None]
+                                 + (_PAGE_HDR + np.arange(ks))])
+        hi, lo, lbyte = morton.bytes_to_key(kb)
+        order = np.lexsort((lo, hi))
+        self.pg_hi = hi[order]
+        self.pg_lo = lo[order]
+        self.pg_off = offs[order]
+        self.pg_count = counts[order]
+        self.pg_base = np.concatenate(
+            [[0], np.cumsum(self.pg_count)])
+        self.n = int(self.pg_base[-1])
+        self._rec_dtype = (self.schema.dtype()
+                           if self.schema is not None else None)
+
+    def _decode_page(self, pi: int):
+        """(hi, lo, level, payload) arrays of leaf page pi (cached)."""
+        got = self._page_cache.get(pi)
+        if got is not None:
+            return got
+        ks, vs = self.keysize, self.valuesize
+        entsize = ks + vs
+        off = int(self.pg_off[pi])
+        count = int(self.pg_count[pi])
+        page = np.asarray(self._mm[off + _PAGE_HDR:
+                                   off + _PAGE_HDR + count * entsize]
+                          ).reshape(count, entsize)
+        hi, lo, lbyte = morton.bytes_to_key(page[:, :ks].copy())
+        vals = page[:, ks:].copy()
+        if self._rec_dtype is not None:
+            vals = vals.reshape(-1).view(self._rec_dtype).reshape(count)
+        got = (hi, lo, (lbyte & 0x7F).astype(np.uint8), vals)
+        if len(self._page_cache) >= self._page_cache_cap:
+            self._page_cache.pop(next(iter(self._page_cache)))
+        self._page_cache[pi] = got
+        return got
+
+    def _search_points_ooc(self, x, y, z):
+        qhi, qlo = morton.interleave3(x, y, z)
+        qhi = np.atleast_1d(qhi)
+        qlo = np.atleast_1d(qlo)
+        nq = len(qhi)
+        # floor page: last page whose first key <= query
+        pidx = floor_indices(self.pg_hi, self.pg_lo, qhi, qlo)
+        ok = pidx >= 0
+        idx = np.zeros(nq, np.int64)
+        lvl = np.zeros(nq, np.uint8)
+        rhi = np.zeros(nq, np.uint64)
+        rlo = np.zeros(nq, np.uint64)
+        for pi in np.unique(pidx[ok]):
+            sel = np.flatnonzero(pidx == pi)
+            hi, lo, level, _ = self._decode_page(int(pi))
+            li = floor_indices(hi, lo, qhi[sel], qlo[sel])
+            # first key <= query, so the floor exists in this page
+            li = np.maximum(li, 0)
+            idx[sel] = self.pg_base[pi] + li
+            lvl[sel] = level[li]
+            rhi[sel] = hi[li]
+            rlo[sel] = lo[li]
+        anc = morton.is_ancestor(rhi, rlo, lvl, qhi, qlo,
+                                 np.full(qhi.shape, 31, np.int64))
+        return ok & anc, idx
+
+    def records(self, idx):
+        """Leaf payload records at global indices idx (both modes)."""
+        if not self.out_of_core:
+            return self.payload[idx]
+        idx = np.atleast_1d(np.asarray(idx, np.int64))
+        pis = np.searchsorted(self.pg_base, idx, side="right") - 1
+        out = None
+        for pi in np.unique(pis):
+            sel = np.flatnonzero(pis == pi)
+            _, _, _, vals = self._decode_page(int(pi))
+            got = vals[idx[sel] - self.pg_base[pi]]
+            if out is None:
+                out = np.zeros(len(idx), got.dtype)
+            out[sel] = got
+        if out is None:
+            out = np.zeros(
+                0, self._rec_dtype if self._rec_dtype is not None
+                else np.uint8)
+        return out
+
     # ------------------------------------------------------------------
     def total_count(self) -> int:
         return self.n
 
     def octants(self):
-        """All leaf octants as (x, y, z, level, payload) arrays."""
+        """All leaf octants as (x, y, z, level, payload) arrays.
+        Out-of-core readers materialize (tools only — scancvm/dumpcvm
+        semantics require a full scan anyway)."""
+        if self.out_of_core:
+            his, los, lvls, vals = [], [], [], []
+            for pi in range(len(self.pg_off)):
+                hi, lo, level, v = self._decode_page(pi)
+                his.append(hi)
+                los.append(lo)
+                lvls.append(level)
+                vals.append(v)
+            hi = np.concatenate(his)
+            lo = np.concatenate(los)
+            level = np.concatenate(lvls)
+            payload = np.concatenate(vals)
+            order = morton.zorder_argsort(hi, lo, level)
+            x, y, z = morton.deinterleave3(hi[order], lo[order])
+            return x, y, z, level[order], payload[order]
         x, y, z = morton.deinterleave3(self.hi, self.lo)
         return x, y, z, self.level, self.payload
 
@@ -175,6 +321,8 @@ class EtreeReader:
         Classic linear-octree lookup (etree.c:563-615): Morton key of the
         query point, floor search, hit iff the floor record is an ancestor.
         """
+        if self.out_of_core:
+            return self._search_points_ooc(x, y, z)
         if len(np.atleast_1d(x)) >= 1 << 12:
             from .. import native
             idx = native.etree_search(self.hi, self.lo, self.level,

@@ -133,3 +133,73 @@ def test_writer_multipage(tmp_path):
     assert ok.all()
     # every record found exactly once
     assert len(np.unique(idx)) == n
+
+
+def test_out_of_core_reader_matches_inmemory(tmp_path):
+    """Out-of-core (mmap + page-index) mode serves the same records and
+    point queries as the in-memory reader without loading the leaves —
+    the reference LRU buffer pool equivalent (etree/buffer.c:21-116)
+    for CVM DBs larger than RAM."""
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+    from hercules_tpu.etree.reader import EtreeReader
+
+    path = str(tmp_path / "layered.e")
+    layers = [[0.0, 1200.0, 500.0, 2000.0],
+              [250.0, 3500.0, 1800.0, 2400.0],
+              [600.0, 6000.0, 3464.0, 2700.0]]
+    build_layered_cvm(path, 1000.0, 1000.0, 1000.0, 62.5, layers)
+
+    mem = EtreeReader(path, out_of_core=False)
+    ooc = EtreeReader(path, out_of_core=True)
+    assert ooc.out_of_core and not hasattr(ooc, "payload")
+    assert ooc.total_count() == mem.total_count()
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    far = mem_endpoint = 1 << 31
+    x = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    y = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    z = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    ok_m, idx_m = mem.search_points(x, y, z)
+    ok_o, idx_o = ooc.search_points(x, y, z)
+    np.testing.assert_array_equal(ok_o, ok_m)
+    rec_m = mem.payload[idx_m[ok_m]]
+    rec_o = ooc.records(idx_o[ok_o])
+    for name in mem.schema.names:
+        np.testing.assert_array_equal(rec_o[name], rec_m[name])
+
+    # octants() materializes identically (Z-order)
+    xm, ym, zm, lm, pm = mem.octants()
+    xo, yo, zo, lo_, po = ooc.octants()
+    np.testing.assert_array_equal(xo, xm)
+    np.testing.assert_array_equal(lo_, lm)
+    for name in mem.schema.names:
+        np.testing.assert_array_equal(po[name], pm[name])
+
+
+def test_out_of_core_cvm_query(tmp_path, monkeypatch):
+    """CVM forced out-of-core (HT_ETREE_MMAP=1) answers identical
+    material queries, end to end through cvm_query."""
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+
+    path = str(tmp_path / "l2.e")
+    layers = [[0.0, 2000.0, 1000.0, 2100.0],
+              [500.0, 6000.0, 3464.0, 2700.0]]
+    build_layered_cvm(path, 2000.0, 2000.0, 1000.0, 125.0, layers)
+
+    c_mem = CVM(path)
+    monkeypatch.setenv("HT_ETREE_MMAP", "1")
+    c_ooc = CVM(path)
+    assert c_ooc.db.out_of_core
+
+    rng = np.random.default_rng(7)
+    e = rng.uniform(0, 2000, 4000)
+    nn = rng.uniform(0, 2000, 4000)
+    d = rng.uniform(0, 1000, 4000)
+    ok1, vp1, vs1, rho1 = c_mem.query(e, nn, d)
+    ok2, vp2, vs2, rho2 = c_ooc.query(e, nn, d)
+    np.testing.assert_array_equal(ok2, ok1)
+    np.testing.assert_array_equal(vp2[ok1], vp1[ok1])
+    np.testing.assert_array_equal(vs2[ok1], vs1[ok1])
+    np.testing.assert_array_equal(rho2[ok1], rho1[ok1])
