@@ -232,6 +232,83 @@ def terashake_bench():
     }))
 
 
+def mesh_scale_bench():
+    """BENCH_CONFIG=meshscale: reference-design-scale meshing demo
+    (octor meshed O(1e9) elements across thousands of ranks, Tu et al.
+    2006; SURVEY.md section 6).  Runs the host meshing pipeline —
+    progressive refinement (factor-of-2 steps, psolve.c:2002-2090),
+    2-to-1 balance, extraction with dangling classification — at
+    >= 1e8 elements on one host using the native kernels
+    (cpp/meshkernels.cpp), and reports element throughput + peak RSS.
+
+    Material assignment (mesh_correct_properties' 27-point CVM
+    averaging) is benchmarked separately per 1e6 queries — it is
+    embarrassingly parallel across hosts in production and would
+    otherwise dominate a single-core demo."""
+    import resource
+
+    from hercules_tpu.mesh import Octree, extract_mesh
+
+    target = int(os.environ.get("BENCH_MESH_ELEMS", 134_217_728))
+    L = int(np.ceil(np.log2(target) / 3.0))       # cube: 8**L elems
+    t0 = time.time()
+    tree = Octree.newtree(1000.0, 1000.0, 1000.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    phases = {}
+    # progressive meshing: refine one level at a time, balancing after
+    # each step (use_progressive_meshing semantics)
+    for step_lv in range(1, L + 1):
+        def toexpand(tr, hi, lo, lv, rec, _sl=step_lv):
+            return np.full(np.shape(hi), lv < _sl)
+
+        t1 = time.time()
+        tree.refine(setrec, toexpand)
+        phases[f"refine->L{step_lv}"] = time.time() - t1
+        t1 = time.time()
+        tree.balance()
+        phases[f"balance L{step_lv}"] = time.time() - t1
+    t1 = time.time()
+    mesh = extract_mesh(tree)
+    phases["extract"] = time.time() - t1
+    dt = time.time() - t0
+    E = mesh.lenum
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    for k, v in phases.items():
+        print(f"# {k}: {v:.1f}s", file=sys.stderr)
+    print(f"# meshscale: {E} elements, {mesh.nnum} nodes, "
+          f"{len(mesh.dn_ids)} dangling in {dt:.1f}s "
+          f"({E/dt:.3e} elem/s), peak RSS {rss:.1f} GB",
+          file=sys.stderr)
+    # CVM query throughput (the per-element material pass, measured
+    # separately at 1e6 queries against a layered CVM)
+    import tempfile
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+    tmp = tempfile.mkdtemp(prefix="ht_meshscale_")
+    build_layered_cvm(f"{tmp}/l.e", 1000.0, 1000.0, 1000.0, 62.5,
+                      [[0.0, 2000.0, 1000.0, 2100.0],
+                       [500.0, 6000.0, 3464.0, 2700.0]])
+    cvm = CVM(f"{tmp}/l.e")
+    rng = np.random.default_rng(0)
+    q = rng.uniform(0, 1000.0, (3, 1_000_000))
+    t1 = time.time()
+    ok, vp, vs, rho = cvm.query(q[0], q[1], q[2])
+    qps = 1_000_000 / (time.time() - t1)
+    print(f"# cvm_query: {qps:.3e} queries/s "
+          f"(27/elem -> {qps/27:.3e} elem/s material pass)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "mesh-elements/sec (1-core host meshing at "
+                  f"{E} elements)",
+        "value": E / dt,
+        "unit": "elem/s",
+        "vs_baseline": E / dt / 1e6,
+    }))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -249,6 +326,9 @@ def main():
         return
     if os.environ.get("BENCH_CONFIG") == "terashake":
         terashake_bench()
+        return
+    if os.environ.get("BENCH_CONFIG") == "meshscale":
+        mesh_scale_bench()
         return
 
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))

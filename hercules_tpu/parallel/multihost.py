@@ -79,6 +79,26 @@ def make_global(arr, mesh: Mesh, spec) -> jax.Array:
                                         lambda idx: arr[idx])
 
 
+def make_global_shards(arr_local, d0, mesh: Mesh, axis="d") -> jax.Array:
+    """Global [n_dev, ...] array from a host-LOCAL stacked slice
+    [n_local, ...] whose first row is global device d0: each process
+    holds host memory only for its own devices' table rows
+    (build_slab_tables dev_slice) — no host materializes the pod's
+    full tables."""
+    arr_local = np.asarray(arr_local)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    sh = NamedSharding(mesh, P(axis))
+    shape = (n_dev,) + arr_local.shape[1:]
+
+    def cb(idx):
+        s = idx[0]
+        start = 0 if s.start is None else s.start
+        stop = shape[0] if s.stop is None else s.stop
+        return arr_local[start - d0 : stop - d0]
+
+    return jax.make_array_from_callback(shape, sh, cb)
+
+
 def gather_global(x) -> np.ndarray:
     """Full host copy of a (possibly process-spanning) global array."""
     if jax.process_count() == 1:
@@ -86,6 +106,54 @@ def gather_global(x) -> np.ndarray:
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(
         x, tiled=True))
+
+
+def correct_properties_multihost(mesh, cvm, params, origin=None,
+                                 buildings=None):
+    """mesh_correct_properties sharded over processes: each host runs
+    the 27-point CVM averaging (the mesh-time hot loop,
+    psolve.c:7104-7331) for its contiguous element block only, then
+    the per-element property columns are allgathered.  This removes
+    the host-0 serial bottleneck the reference avoided by meshing on
+    every rank (octor.c:4904)."""
+    from ..material import MeshOrigin, correct_properties
+
+    if origin is None:
+        origin = MeshOrigin.from_params(params, cvm.ctl)
+    nproc, pid = jax.process_count(), jax.process_index()
+    if nproc == 1:
+        correct_properties(mesh, cvm, params, origin,
+                           buildings=buildings)
+        return mesh
+    import copy
+    E = mesh.lenum
+    lo = pid * E // nproc
+    hi = (pid + 1) * E // nproc
+    sub = copy.copy(mesh)
+    sub.elem_x = mesh.elem_x[lo:hi]
+    sub.elem_y = mesh.elem_y[lo:hi]
+    sub.elem_z = mesh.elem_z[lo:hi]
+    sub.elem_level = mesh.elem_level[lo:hi]
+    sub.elem_lnid = mesh.elem_lnid[lo:hi]
+    sub.edge_m = mesh.edge_m[lo:hi]
+    sub.props = {}
+    correct_properties(sub, cvm, params, origin, buildings=buildings)
+    # allgather the property columns (tiled over the element axis)
+    from jax.experimental import multihost_utils
+    pad = (E + nproc - 1) // nproc      # equal per-process chunk
+    mesh.props = {}
+    for k, v in sub.props.items():
+        buf = np.zeros(pad, v.dtype)
+        buf[: hi - lo] = v
+        full = np.asarray(multihost_utils.process_allgather(buf))
+        # rows are per-process [nproc, pad]; reassemble exact blocks
+        out = np.empty(E, v.dtype)
+        for q in range(nproc):
+            ql = q * E // nproc
+            qh = (q + 1) * E // nproc
+            out[ql:qh] = full[q, : qh - ql]
+        mesh.props[k] = out
+    return mesh
 
 
 def run_slab_multihost(st, src_forces, total_steps, dt,
@@ -115,7 +183,16 @@ def run_slab_multihost(st, src_forces, total_steps, dt,
     npdt = np.dtype(jnp.zeros((), dtype).dtype)
     sharded = lambda a: make_global(a, mesh_dev, P(axis))
     repl = lambda a: make_global(a, mesh_dev, P())
-    tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
+    local_rows = int(np.asarray(st.c["c1"] if st.c else
+                                st.inv_mass).shape[0])
+    if local_rows != n_dev:
+        # per-host table build (build_slab_tables dev_slice): stacked
+        # rows cover only this host's devices, starting at st.dev0
+        tdev = jax.tree.map(
+            lambda a: make_global_shards(a, st.dev0, mesh_dev, axis),
+            tdev)
+    else:
+        tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
 
     nn = LEN if pallas else st.tot_local
     u = np.zeros((n_dev, 3, nn), npdt)

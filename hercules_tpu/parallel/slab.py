@@ -49,6 +49,10 @@ class SlabTables:
     # and the bottom shared plane sits at the dynamic per-device
     # offset ez_of[idx]*plane
     ez_of: np.ndarray = None
+    # multi-host: global device index of the first stacked table row
+    # (build_slab_tables dev_slice); stacked arrays then hold only
+    # this host's devices
+    dev0: int = 0
     # stacked per-device arrays [n_dev, ...]
     c: dict = None
     inv_mass: np.ndarray = None
@@ -62,7 +66,7 @@ class SlabTables:
 
 
 def build_slab_tables(mesh, tables, n_dev, src_ids=None,
-                      legacy_axes=True) -> SlabTables:
+                      legacy_axes=True, dev_slice=None) -> SlabTables:
     """Split the single uniform brick into per-device fragments along
     the OUTER storage axis (z under the legacy layout; the largest xy
     extent when legacy_axes=False triggers build_plan's axis reorder,
@@ -70,7 +74,13 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
     VMEM envelope).  Uneven splits are supported: devices own ez_lo or
     ez_lo+1 layers (extras to the first nz%n_dev devices), every
     fragment padded to the static (ez_hi+1)-plane buffer with zeroed
-    element coefficients."""
+    element coefficients.
+
+    dev_slice: optional (d0, d1) — build the stacked per-device
+    coefficient/mass/source tables ONLY for devices [d0, d1) (a host's
+    addressable devices in a multi-host pod), so no host materializes
+    the whole pod's tables; gnid_local stays global (it is the gather
+    map).  The returned SlabTables carries d0 in .dev0."""
     plan = build_plan(mesh, legacy_axes=legacy_axes)
     if len(plan.bricks) != 1 or len(plan.loose_eidx):
         raise RuntimeError("slab decomposition requires a single "
@@ -95,10 +105,12 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
     local_meta = BrickMeta(off=0, nb=tot_local,
                            S=tot_local - gm.offs[7], offs=gm.offs)
 
+    d0, d1 = dev_slice if dev_slice is not None else (0, n_dev)
     st = SlabTables(
         n_dev=n_dev, nzp=nzp, nyp=nyp, nxp=nxp, ez_per=ez_hi,
         tot_local=tot_local, meta=local_meta, dt=tables.dt,
         damping=tables.damping, m48=tables.m48, ez_of=ez_of)
+    st.dev0 = d0
 
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
     bks = ({k: [] for k in t_host["bkt"]}
@@ -115,7 +127,7 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
         w = [(0, 0)] * (v.ndim - 1) + [(0, tot_local - v.shape[-1])]
         return np.pad(v, w)
 
-    for d in range(n_dev):
+    for d in range(d0, d1):
         ez_d = int(ez_of[d])
         n0 = (d * ez_lo + min(d, r)) * plane   # first local node
         real = (ez_d + 1) * plane
@@ -132,7 +144,6 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
                 bks[k].append(padded(v, real))
         invm.append(padded(t_host["inv_mass"][n0:n1], real))
         m1.append(padded(t_host["mass_minusaM"][:, n0:n1], real))
-        gnids.append(plan.gnid_cat[n0:n1])
         if L:
             pos = t_host["src_pos"].astype(np.int64)
             mine = (pos >= n0) & (pos < n1)
@@ -147,6 +158,11 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
     st.c = {k: np.stack(v) for k, v in cs.items()}
     st.inv_mass = np.stack(invm)
     st.mass_minusaM = np.stack(m1)
+    # gather maps for ALL devices (zero-copy views of gnid_cat)
+    for d in range(n_dev):
+        g0 = (d * ez_lo + min(d, r)) * plane
+        gnids.append(
+            plan.gnid_cat[g0 : g0 + (int(ez_of[d]) + 1) * plane])
     st.gnid_local = gnids
     if L:
         st.src_lidx = np.stack(srcl)

@@ -173,7 +173,14 @@ def detect_tier(c1, c2, beta, valid):
 
 
 def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
-                 interpret=False, tier="general", kco=None):
+                 interpret=False, tier="general", kco=None,
+                 packed_state=False):
+    """packed_state: the [8, LEN] state/const layout (build_call_packed)
+    — TPU HBM stores rank-2 f32 arrays in (8, 128) tiles, so the legacy
+    separate (3, LEN) u/up/cm/mm and (1, LEN) invm streams each move
+    8 physical rows for 3 (or 1) useful ones.  Packing u+up into one
+    8-row state array and c1,c2,beta,mm,invm into one 8-row const
+    array exactly halves the physical HBM traffic per step."""
     C, packed = _kernel_mode(B, chunk)
     W0 = C + 128                        # gather region width
     # lane-shift classes: o mod 128 (= corner popcount when the brick's
@@ -219,8 +226,18 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             U = _bf24_stage(U, k)
         return U
 
-    def kernel(ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
-               scr_s, scr_sv, scr_w, scr_f):
+    def kernel(*refs):
+        if packed_state:
+            # S rows 0:3 = u, 3:6 = up; K rows 0:3 = (c1, c2, beta),
+            # 3:6 = mass_minusaM, 6 = inv_mass
+            (Sa, Sb, K, dd, out, tail, nf,
+             scr_s, scr_sv, scr_w, scr_f) = refs
+            ua, upa = Sa.at[0:3], Sa.at[3:6]
+            ub, upb = Sb.at[0:3], Sb.at[3:6]
+            cm, mm, invm = K.at[0:3], K.at[3:6], K.at[6:7]
+        else:
+            (ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
+             scr_s, scr_sv, scr_w, scr_f) = refs
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -313,7 +330,16 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         # node_masses), so the update needs only mass_minusaM:
         #   u+ = (F + m2*u - m*up)/ms = u + (F + m*(u - up))/ms
         ut = ua[...]
-        out[...] = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
+        un = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
+        if packed_state:
+            # the output IS the next step's packed state: rows 3:6
+            # get the u -> up shift for free inside the same 8-row
+            # physical write
+            out[0:3] = un
+            out[3:6] = ut
+            out[6:8] = Sa[6:8]
+        else:
+            out[...] = un
 
     def _chunk_packed(region, cmv, ddv, c0, scr_s, scr_sv, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
@@ -792,6 +818,47 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
     )
 
 
+def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                      interpret=False, tier="general", kco=None):
+    """Packed-state pallas_call: (S, S(t+1), K, dd) -> S_next, with
+    S [8, LEN] = (u 0:3, up 3:6) and K [8, LEN] = (c1, c2, beta,
+    mass_minusaM, inv_mass).  Halves the physical HBM traffic of
+    build_call (see _make_kernel packed_state)."""
+    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                          interpret=interpret, tier=tier, kco=kco,
+                          packed_state=True)
+    C, packed = _kernel_mode(B)
+    scr_w = (24, C) if packed else (8, 128)
+    scr_f = (24, C + 128) if packed else (8, 128)
+    staged = packed and tier in ("ubeta", "umat")
+    scr_s = (3, B + o7 + 128) if staged else (8, 128)
+    preshift = (staged
+                and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
+    nshift = len({o % 128 for o in offs} - {0})
+    scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
+              else (8, 128))
+    blk = lambda t: (0, t)
+    blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, B), blk), pl.BlockSpec((8, B), blk1),
+            pl.BlockSpec((8, B), blk),
+            pl.BlockSpec((48, 1), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, B), blk),
+        out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM(scr_s, dtype),
+                        pltpu.VMEM(scr_sv, dtype),
+                        pltpu.VMEM(scr_w, dtype),
+                        pltpu.VMEM(scr_f, dtype)],
+        interpret=interpret,
+    )
+
+
 def pallas_geometry(offs, nb, tile=None):
     """(B, T, LEN) padded tiling for a brick with nb nodes."""
     import os
@@ -852,6 +919,46 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
         return out, sample
 
     return step, consts
+
+
+def make_packed_pallas_step(pt: PallasBrickTables, interpret=False):
+    """Packed-state variant of make_pallas_step (non-BKT): carry =
+    (S,) with S [8, LEN] = (u 0:3, up 3:6).  Same physics, half the
+    physical HBM bytes per step (see _make_kernel packed_state)."""
+    assert pt.damping != "bkt", "packed state is for the elastic kernel"
+    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
+    dtype = pt.dtype
+    K = jnp.concatenate([pt.cm, pt.mm, pt.invm,
+                         jnp.zeros((1, LEN), dtype)], axis=0)
+    call = build_call_packed(pt.offs, B, o7, T, LEN, pt.f1e, pt.f2e,
+                             dtype, interpret=interpret, tier=pt.tier,
+                             kco=pt.kco)
+    consts = {"K": K}
+
+    def step(cd, carry, x):
+        srcf, _step = x
+        S = carry[0]
+        if pt.st_pos is not None:
+            sample = jnp.einsum("sn,csn->sc", pt.st_phi,
+                                S[0:3][:, pt.st_pos])
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+        Sn = call(S, S, cd["K"], pt.dd)
+        if pt.src_pos is not None:
+            Sn = Sn.at[0:3, pt.src_pos].add(
+                srcf.T * cd["K"][6][pt.src_pos][None, :])
+        return (Sn,), sample
+
+    return step, consts
+
+
+def init_packed_state(pt: PallasBrickTables):
+    return (jnp.zeros((8, pt.LEN), pt.dtype),)
+
+
+def packed_snap_of(carry):
+    """(u, up) views of the packed carry for snapshot taps."""
+    return (carry[0][0:3], carry[0][3:6])
 
 
 def init_pallas_state(pt: PallasBrickTables):

@@ -89,8 +89,9 @@ import numpy as np
 import jax.numpy as jnp
 from hercules_tpu.config import load_params
 from hercules_tpu.cvm import CVM
-from hercules_tpu.meshgen import generate_mesh
+from hercules_tpu.mesh import Octree, extract_mesh
 from hercules_tpu.parallel.multihost import (broadcast_from_host0,
+                                             correct_properties_multihost,
                                              gather_global,
                                              run_slab_multihost)
 from hercules_tpu.parallel.slab import build_slab_tables, slab_u_global
@@ -98,15 +99,31 @@ from hercules_tpu.solver.assemble import assemble
 
 S = "/root/reference/examples/simple"
 p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
-# host-0 meshing + broadcast (the PE0 pattern, psolve.c:367-483)
-mesh = generate_mesh(p, CVM(f"{S}/simple_case.e")) if pid == 0 else None
+cvm = CVM(f"{S}/simple_case.e")
+# host-0 tree build + broadcast (the shared-tree pattern); the
+# material pass and the slab tables are then built PER HOST for this
+# host's element block / devices only
+if pid == 0:
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+    tree.refine(lambda tr, hi, lo, lv: {"lv": lv},
+                lambda tr, hi, lo, lv, rec: np.full(np.shape(hi),
+                                                    lv < 4))
+    tree.balance()
+    mesh = extract_mesh(tree)
+else:
+    mesh = None
 mesh = broadcast_from_host0(mesh)
+# sharded 27-point CVM material pass + allgather
+correct_properties_multihost(mesh, cvm, p)
 tables = assemble(mesh, p)
 nid = mesh.elem_lnid[mesh.lenum // 2, 0]
 src_ids = np.array([nid], np.int32)
 T = 60
 forces = np.zeros((T, 1, 3)); forces[:10, 0, :] = 1e8
-st = build_slab_tables(mesh, tables, 2, src_ids=src_ids)
+# per-host table build: only this process's device rows
+st = build_slab_tables(mesh, tables, 2, src_ids=src_ids,
+                       dev_slice=(pid, pid + 1))
+assert st.c["c1"].shape[0] == 1 and st.dev0 == pid
 state = run_slab_multihost(st, forces, T, p.delta_t,
                            dtype=jnp.float64, chunk=30)
 u = slab_u_global(st, gather_global(state[0]), mesh.nnum)
