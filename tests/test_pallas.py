@@ -123,3 +123,49 @@ def test_pallas_tiers_agree(problem, monkeypatch):
     for tier in ("ubeta", "umat"):
         np.testing.assert_allclose(results[tier], results["general"],
                                    rtol=0, atol=5e-13 * scale)
+
+
+def test_packed_state_kernel_matches_unpacked(problem):
+    """build_call_packed ([8,LEN] state/const layout, half the physical
+    HBM bytes) is operator-identical to the legacy build_call path
+    (f64 interpret mode vs the unstructured oracle)."""
+    from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
+                                                  init_packed_state,
+                                                  make_packed_pallas_step)
+    from hercules_tpu.solver.step import run_solver
+
+    p, mesh, tables, plan = problem
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 60
+    forces = np.zeros((T, 1, 3))
+    forces[:10, 0, :] = 1e8
+    state_ref, samp_ref = run_solver(
+        tables, src_ids, forces, T, p.delta_t,
+        st_nodes=mesh.elem_lnid[:2], st_phi=np.full((2, 8), 0.125),
+        dtype=jnp.float64)
+    u_ref = np.asarray(state_ref[0])
+
+    pt = PallasBrickTables(plan, tables, src_ids=src_ids,
+                           st_nodes=mesh.elem_lnid[:2],
+                           st_phi=np.full((2, 8), 0.125),
+                           dtype=jnp.float64)
+    step, consts = make_packed_pallas_step(pt, interpret=True)
+    state = init_packed_state(pt)
+    import jax
+    dt2 = p.delta_t ** 2
+    xs = (jnp.asarray(forces * dt2, jnp.float64),
+          jnp.arange(T, dtype=jnp.int32))
+    scan = jax.jit(lambda c, s, x: jax.lax.scan(
+        lambda cr, xx: step(c, cr, xx), s, x))
+    state, samples = scan(consts, state, xs)
+    S = np.asarray(state[0])
+    from hercules_tpu.solver.pallas_brick import pallas_u_global
+    u = pallas_u_global(plan, S[0:3], mesh.nnum)
+    up = pallas_u_global(plan, S[3:6], mesh.nnum)
+    u_prev_ref = np.asarray(state_ref[1])
+    np.testing.assert_allclose(u, u_ref, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(up, u_prev_ref, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(samples),
+                               np.asarray(samp_ref), rtol=1e-12,
+                               atol=1e-18)
