@@ -330,6 +330,24 @@ def main():
     if os.environ.get("BENCH_CONFIG") == "meshscale":
         mesh_scale_bench()
         return
+    if os.environ.get("BENCH_CONFIG") == "tpulane":
+        # the real-chip correctness lane (tpu_tests/): one command,
+        # result as a JSON line the driver can record
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tpu_tests", "-q",
+             "--tb=line"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True)
+        tail = (r.stdout or "").strip().splitlines()
+        summary = tail[-1] if tail else ""
+        print("\n".join(tail[-5:]), file=sys.stderr)
+        ok = r.returncode == 0
+        print(json.dumps({"metric": "tpu-lane",
+                          "value": 1.0 if ok else 0.0,
+                          "unit": summary[:120],
+                          "vs_baseline": 1.0 if ok else 0.0}))
+        return
 
     target = int(os.environ.get("BENCH_ELEMS", 1_000_000))
     steps = int(os.environ.get("BENCH_STEPS", 800))
@@ -368,13 +386,20 @@ def main():
         """(scan, state) for one solver path."""
         if which == "pallas-unpacked":
             os.environ["HT_PALLAS_PACKED"] = "0"
-        elif which == "pallas":
+        elif which.startswith("pallas"):
             os.environ["HT_PALLAS_PACKED"] = "1"
         consts = None
         if which == "mesh":
             mt = MeshPallasTables(plan, tables, src_ids=src_ids)
             step, consts = make_mesh_step(mt)
             state = init_mesh_state(mt)
+        elif which == "packed":
+            from hercules_tpu.solver.pallas_brick import (
+                PallasBrickTables, init_packed_state,
+                make_packed_pallas_step)
+            pt = PallasBrickTables(plan, tables, src_ids=src_ids)
+            step, consts = make_packed_pallas_step(pt)
+            state = init_packed_state(pt)
         elif which.startswith("pallas"):
             pt = PallasBrickTables(plan, tables, src_ids=src_ids)
             step, consts = make_pallas_step(pt)
@@ -403,6 +428,7 @@ def main():
     # fallback chain: a toolchain regression (e.g. a Mosaic lowering
     # gap) must degrade the number, never zero it
     chains = {"pallas": ["pallas", "pallas-unpacked", "brick"],
+              "packed": ["packed", "pallas", "brick"],
               "pallas-unpacked": ["pallas-unpacked", "brick"],
               "mesh": ["mesh", "brick"],
               "brick": ["brick"]}
@@ -443,6 +469,21 @@ def main():
     eups = E * steps / dt
     print(f"# {steps} steps in {dt:.3f}s -> {eups:.3e} "
           f"element-updates/s", file=sys.stderr)
+
+    # roofline: PHYSICAL HBM bytes per step.  Rank-2 f32 arrays live
+    # in (8, 128) tiles, so a (3, LEN) stream moves 8 rows; the fused
+    # paths' traffic is exactly countable (VERDICT round-1 item 2)
+    LEN = ((plan.bricks[0].nb + 32767) // 32768 + 1) * 32768
+    rows = {"packed": 32,        # S + S(t+1) + K reads, S write
+            "pallas": 64,        # 4x u/up blocks + cm/mm/invm + out
+            "pallas-unpacked": 64}.get(which)
+    if rows is not None:
+        bytes_step = rows * LEN * 4
+        gbs = bytes_step * steps / dt / 1e9
+        print(f"# physical HBM traffic {bytes_step/1e6:.1f} MB/step "
+              f"-> {gbs:.0f} GB/s achieved "
+              f"(measured streaming ceiling ~535 GB/s, "
+              f"HBM peak ~819 GB/s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "element-updates/sec/chip",

@@ -714,7 +714,10 @@ class Simulation:
                 try:
                     state, samples = _mesh()
                 except Exception as e:
-                    if solver == "pallas" or interpret:
+                    # HT_STRICT (the TPU test lane): a performance
+                    # degradation must fail loudly, not print one line
+                    if (solver == "pallas" or interpret
+                            or os.environ.get("HT_STRICT")):
                         raise
                     print(f"WARNING: multi-brick pallas path failed "
                           f"({type(e).__name__}); falling back to the "
@@ -747,7 +750,8 @@ class Simulation:
                 try:
                     state, samples = _pallas()
                 except Exception as e:
-                    if solver == "pallas" or interpret:
+                    if (solver == "pallas" or interpret
+                            or os.environ.get("HT_STRICT")):
                         raise
                     print(f"WARNING: fused pallas path failed to "
                           f"compile ({type(e).__name__}); falling back",

@@ -229,12 +229,15 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     def kernel(*refs):
         if packed_state:
             # S rows 0:3 = u, 3:6 = up; K rows 0:3 = (c1, c2, beta),
-            # 3:6 = mass_minusaM, 6 = inv_mass
+            # 3:6 = mass_minusaM, 6 = inv_mass.  Loaded as VALUES
+            # (Mosaic memref views must be sublane-aligned; row
+            # slices of loaded blocks lower fine)
             (Sa, Sb, K, dd, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
-            ua, upa = Sa.at[0:3], Sa.at[3:6]
-            ub, upb = Sb.at[0:3], Sb.at[3:6]
-            cm, mm, invm = K.at[0:3], K.at[3:6], K.at[6:7]
+            Sv, Sbv, Kv = Sa[...], Sb[...], K[...]
+            ua, upa = Sv[0:3], Sv[3:6]
+            ub, upb = Sbv[0:3], Sbv[3:6]
+            cm, mm, invm = Kv[0:3], Kv[3:6], Kv[6:7]
         else:
             (ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
@@ -335,9 +338,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             # the output IS the next step's packed state: rows 3:6
             # get the u -> up shift for free inside the same 8-row
             # physical write
-            out[0:3] = un
-            out[3:6] = ut
-            out[6:8] = Sa[6:8]
+            out[...] = jnp.concatenate([un, ut, Sv[6:8]], axis=0)
         else:
             out[...] = un
 
