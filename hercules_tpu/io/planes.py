@@ -4,11 +4,16 @@ of sample points, trilinear-interpolated each print step.
 Per plane N: ``planedisplacements.N`` holds raw little-endian float64
 records [print_steps, n_strike, n_downdip, 3] in the reference's grid
 order (strike outer, down-dip inner, io_planes.c:497-545);
-``planecoords.N`` lists the grid point domain coordinates.  Points
-outside the mesh are written as zeros (the reference skips them from
-its strips; zero-fill keeps the record layout rectangular, which the
-reference also guarantees by construction when the plane is inside the
-domain).
+``planecoords.N`` lists the grid point domain coordinates.
+
+Out-of-mesh points: the reference fwrites the FULL rectangular
+nstrike x ndip x 3 buffer every print step
+(Old_print_plane_displacements, io_planes.c:253-268) with only the
+in-mesh "strips" memcpy'd into their offsets (io_planes.c:214-236),
+so out-of-mesh slots hold uninitialized malloc memory
+(io_planes.c:457).  This writer keeps the identical rectangular
+record layout and defines those slots as exact zeros — a strict
+superset of the reference's undefined bytes.
 
 The reference's two MPI paths (PE0-collect and dedicated IO-pool
 server PEs, io_planes.c:151,1145) collapse to device-side batched

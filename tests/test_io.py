@@ -249,3 +249,47 @@ def test_sim_run_checkpoint_restart_nonlinear(tmp_path, small_sim):
     for a, b in zip(state_a[3], state_b[3]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(samples_b, samples_a[100:])
+
+
+def test_plane_out_of_mesh_layout(tmp_path, small_sim):
+    """A plane that extends beyond the mesh keeps the reference's
+    rectangular record layout (io_planes.c:253-268 fwrites the full
+    nstrike x ndip x 3 buffer every print step): file size exact,
+    in-mesh points equal direct interpolation, out-of-mesh points are
+    defined zeros (the reference leaves them uninitialized)."""
+    import copy
+    from hercules_tpu.io.planes import PlaneSet, read_plane
+
+    p0, cvm, mesh = small_sim
+    p = copy.deepcopy(p0)
+    p.use_checkpoint = 0
+    p.output_displacement = 0
+    p.output_velocity = 0
+    p.number_output_planes = 1
+    p.planes_print_rate = 20
+    # strike line starting inside at (800, 800), running 800 m along
+    # strike: points beyond x=1000 leave the 1 km domain (the simple
+    # case's domain_surface_corners span [0, 1000] in lon/lat units)
+    p.planes = np.array([[800.0, 800.0, 0.0, 100.0, 9, 100.0, 2, 0.0,
+                          90.0]])
+    ps = PlaneSet(mesh, p, str(tmp_path))
+    pl = ps.planes[0]
+    found = pl["found"]
+    assert found.any() and not found.all()
+
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal((mesh.nnum, 3))
+
+    def sampler(nodes, phi):
+        return np.einsum("mk,mkc->mc", phi, u[nodes])
+
+    ps.maybe_write(0, sampler)
+    ps.close()
+    path = os.path.join(str(tmp_path), "planedisplacements.0")
+    data = read_plane(path, 9, 2)
+    assert data.shape == (1, 9, 2, 3)
+    assert os.path.getsize(path) == 9 * 2 * 3 * 8
+    flat = data.reshape(-1, 3)
+    ref = np.einsum("mk,mkc->mc", ps.all_phi, u[ps.all_nodes])
+    np.testing.assert_allclose(flat[found], ref[found], rtol=1e-12)
+    np.testing.assert_array_equal(flat[~found], 0.0)
