@@ -367,7 +367,9 @@ def main():
     src_ids = np.array([nid], np.int32)
 
     from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
+                                                  init_packed_state,
                                                   init_pallas_state,
+                                                  make_packed_pallas_step,
                                                   make_pallas_step,
                                                   plan_applies)
     from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
@@ -376,7 +378,9 @@ def main():
                                                  mesh_plan_applies)
     if path == "auto":
         if plan_applies(plan, tables.damping):
-            path = "pallas"
+            # packed state for the elastic kernel (half the physical
+            # bytes); BKT carries its own conv layout
+            path = "packed" if tables.damping != "bkt" else "pallas"
         elif mesh_plan_applies(plan, tables.damping):
             path = "mesh"
         else:
@@ -394,9 +398,6 @@ def main():
             step, consts = make_mesh_step(mt)
             state = init_mesh_state(mt)
         elif which == "packed":
-            from hercules_tpu.solver.pallas_brick import (
-                PallasBrickTables, init_packed_state,
-                make_packed_pallas_step)
             pt = PallasBrickTables(plan, tables, src_ids=src_ids)
             step, consts = make_packed_pallas_step(pt)
             state = init_packed_state(pt)
@@ -472,13 +473,34 @@ def main():
 
     # roofline: PHYSICAL HBM bytes per step.  Rank-2 f32 arrays live
     # in (8, 128) tiles, so a (3, LEN) stream moves 8 rows; the fused
-    # paths' traffic is exactly countable (VERDICT round-1 item 2)
+    # paths' traffic is exactly countable (VERDICT round-1 item 2).
+    # The +1-tile halo operand is narrowed to _halo_block(B, o7) lanes
+    # (pallas_brick.py), so it counts at hb/B of a full block.
+    from hercules_tpu.solver.pallas_brick import _halo_block
     LEN = ((plan.bricks[0].nb + 32767) // 32768 + 1) * 32768
-    rows = {"packed": 32,        # S + S(t+1) + K reads, S write
-            "pallas": 64,        # 4x u/up blocks + cm/mm/invm + out
-            "pallas-unpacked": 64}.get(which)
+    Btile = 32768
+    hb = _halo_block(Btile, int(plan.bricks[0].corner_offsets()[7]))
+    Ttile = LEN // Btile
+    if tables.damping == "bkt" and which.startswith("pallas"):
+        # BKT: u/up/mm/invm/out f32 (8 phys rows each) + bk rows
+        # (padded to 8-row f32 tiles) + conv state r/w in bf16
+        from hercules_tpu.solver.pallas_brick import (bk_row_names,
+                                                      bkt_kappa_zero)
+        shear_only = bkt_kappa_zero(tables.bkt)
+        R = 48 if shear_only else 96
+        RBp = -(-len(bk_row_names(shear_only)) // 8) * 8
+        rows, halo_rows = 40 + RBp, 16
+        conv_bytes = 2 * R * LEN * 2
+    else:
+        rows = {"packed": 24,        # S + K reads, S' write
+                "pallas": 48,        # u/up/cm/mm/invm reads + out
+                "pallas-unpacked": 48}.get(which)
+        halo_rows = {"packed": 8, "pallas": 16,
+                     "pallas-unpacked": 16}.get(which, 0)
+        conv_bytes = 0
     if rows is not None:
-        bytes_step = rows * LEN * 4
+        bytes_step = (rows * LEN + halo_rows * hb * Ttile) * 4 \
+            + conv_bytes
         gbs = bytes_step * steps / dt / 1e9
         print(f"# physical HBM traffic {bytes_step/1e6:.1f} MB/step "
               f"-> {gbs:.0f} GB/s achieved "

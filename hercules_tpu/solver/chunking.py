@@ -24,7 +24,7 @@ import numpy as np
 
 def run_chunked(step, state, make_xs, total_steps, start_step=0,
                 chunk=1000, on_chunk=None, on_snap=None,
-                snap_every=None, consts=None):
+                snap_every=None, consts=None, snap_of=None):
     """Drive `step` over [start_step, total_steps).
 
     step: scan-able (carry, x) -> (carry, sample); with `consts`, the
@@ -36,9 +36,13 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
     on_chunk(done, state): fires at every chunk boundary
     on_snap(done, (u, up)): fires every `snap_every` steps (host-side,
         with numpy copies of the first two carry slots)
+    snap_of(carry): (u, up) views of a carry whose layout is not
+        (u, up, ...) -- e.g. the packed-state kernel's (S,) carry
 
     Returns (state, samples [T, ...]).
     """
+    if snap_of is None:
+        snap_of = lambda carry: (carry[0], carry[1])
     if consts is not None:
         raw_step = step
         plain_scan = jax.jit(
@@ -51,7 +55,7 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
             def superstep(c, carry, xs):
                 carry, samples = jax.lax.scan(partial(raw_step, c),
                                               carry, xs)
-                return carry, (samples, (carry[0], carry[1]))
+                return carry, (samples, snap_of(carry))
 
             nested = jax.jit(
                 lambda c, s0, xs: jax.lax.scan(partial(superstep, c),
@@ -59,7 +63,7 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
         else:
             def superstep(carry, xs):
                 carry, samples = jax.lax.scan(step, carry, xs)
-                return carry, (samples, (carry[0], carry[1]))
+                return carry, (samples, snap_of(carry))
 
             nested = jax.jit(partial(jax.lax.scan, superstep))
         chunk = max(snap_every, chunk // snap_every * snap_every)
@@ -96,8 +100,9 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
             samples = np.asarray(samples)
             if (on_snap is not None and snap_every
                     and (s + k) % snap_every == 0):
-                on_snap(s + k, (jax.tree.map(np.asarray, state[0]),
-                                jax.tree.map(np.asarray, state[1])))
+                su, sp = snap_of(state)
+                on_snap(s + k, (jax.tree.map(np.asarray, su),
+                                jax.tree.map(np.asarray, sp)))
         outs.append(samples)
         if on_chunk is not None:
             on_chunk(s + k, state)

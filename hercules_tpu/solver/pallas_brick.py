@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..physics.kmats import (hadamard8_stages, spectral_bkt_factors,
-                             spectral_factors)
+from ..physics.kmats import (hadamard8_stages, spectral_factors,
+                             stiffness_matrices_24)
 
 # row order of the packed BKT coefficient table streamed to the kernel
 BK_ROWS = ("shear_c1", "shear_c2", "shear_c3", "shear_c4",
@@ -116,15 +116,26 @@ def _bf24_stage(U, k):
     return jnp.concatenate(parts, axis=0)
 
 
-def _bf24_stage48(U, k):
-    """_bf24_stage applied to two stacked 24-row blocks at once."""
-    w = 3 << k
-    parts = []
-    for a in range(0, 48, 2 * w):
-        lo, hi = U[a:a + w], U[a + w:a + 2 * w]
-        parts.append(lo + hi)
-        parts.append(lo - hi)
-    return jnp.concatenate(parts, axis=0)
+def _halo_block(B, o7):
+    """Lane width of the +1-tile halo operand: the smallest power-of-2
+    divisor of B that covers the stencil reach o7 + 129.  The halo
+    operand only needs the first o7 + 128 columns of the next tile;
+    streaming a full (rows, B) block doubles the state read traffic
+    for nothing (~17 MB/step at the 1M-element bench shape)."""
+    hb = 128
+    while hb < o7 + 129:
+        hb *= 2
+    assert B % hb == 0 or hb >= B
+    return min(hb, B)
+
+
+def _use_mxu() -> bool:
+    """Route the 24x24 element operator through the MXU (one
+    [48,24]@[24,C] constant matmul) instead of the VPU butterfly +
+    sparse path.  The kernel is VPU-bound with the MXU idle, so this
+    removes ~60% of the vector work per chunk; precision=HIGHEST keeps
+    f32 accuracy (bf16x6 passes)."""
+    return os.environ.get("HT_PALLAS_MXU", "1") != "0"
 
 
 def _kernel_mode(B, chunk=None):
@@ -221,6 +232,22 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         offu = ([(ro, ri, k * c1s) for ro, ri, k in off1]
                 + [(ro, ri, k * c2s) for ro, ri, k in off2])
 
+    # MXU path: the element force is F = c1*(A1 @ W) + c2*(A2 @ W)
+    # with A_i = -M_i the node-major stiffness operators (column
+    # scaling by the per-element c1/c2 commutes with the row-mixing
+    # matmul), so the whole butterfly + diag + sparse VPU pipeline
+    # collapses into one constant [48,24] @ [24,C] MXU matmul (umat:
+    # a single folded [24,24] in rows 0:24).  The matrix is streamed
+    # as a tiny (48, 24) operand (Pallas kernels cannot capture array
+    # constants).
+    use_mxu = _use_mxu() and packed
+    M1d, M2d = stiffness_matrices_24()
+    if tier == "umat":
+        am_np = np.zeros((48, 24))
+        am_np[:24] = -(c1s * M1d + c2s * M2d)
+    else:
+        am_np = np.concatenate([-M1d, -M2d])
+
     def bf24(U):
         for k in range(3):
             U = _bf24_stage(U, k)
@@ -232,15 +259,16 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             # 3:6 = mass_minusaM, 6 = inv_mass.  Loaded as VALUES
             # (Mosaic memref views must be sublane-aligned; row
             # slices of loaded blocks lower fine)
-            (Sa, Sb, K, dd, out, tail, nf,
+            (Sa, Sb, K, dd, am, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
             Sv, Sbv, Kv = Sa[...], Sb[...], K[...]
             ua, upa = Sv[0:3], Sv[3:6]
             ub, upb = Sbv[0:3], Sbv[3:6]
             cm, mm, invm = Kv[0:3], Kv[3:6], Kv[6:7]
         else:
-            (ua, ub, upa, upb, cm, mm, invm, dd, out, tail, nf,
+            (ua, ub, upa, upb, cm, mm, invm, dd, am, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
+        amv = am[...] if use_mxu else None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -288,7 +316,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         # dataflow blows the 16 MB scoped-vmem budget)
         for c0 in range(0, B, C):
             if packed:
-                f24 = _chunk_packed(region, cmv, ddv, c0, scr_s,
+                f24 = _chunk_packed(region, cmv, ddv, amv, c0, scr_s,
                                     scr_sv, scr_w)
                 F = f24
                 # scatter through a zero-padded scratch + one roll per
@@ -342,7 +370,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         else:
             out[...] = un
 
-    def _chunk_packed(region, cmv, ddv, c0, scr_s, scr_sv, scr_w):
+    def _chunk_packed(region, cmv, ddv, amv, c0, scr_s, scr_sv, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
         (a [3, C] slab wastes 5/8 of every vector register).
 
@@ -398,6 +426,16 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 r = regs[key]
                 scr_w[3 * j:3 * j + 3] = r[0:3, :C] + bt * r[3:6, :C]
 
+        if use_mxu:
+            Wv = scr_w[...]
+            if tier == "umat":
+                F = jax.lax.dot(amv[:24], Wv,
+                                precision=jax.lax.Precision.HIGHEST)
+                return F * (c1 != 0.0).astype(dtype)
+            Y = jax.lax.dot(amv, Wv,
+                            precision=jax.lax.Precision.HIGHEST)
+            return Y[:24] * c1 + Y[24:] * c2
+
         Z = bf24(scr_w[...])
         zero = jnp.zeros((1, C), dtype)
         if tier == "umat":
@@ -449,7 +487,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         return _butterfly(y)   # H symmetric -> inverse = forward
         # (the 1/8 Hadamard normalization is in the coefficients)
 
-    return kernel
+    return kernel, am_np
 
 
 def bkt_kappa_zero(bkt) -> bool:
@@ -474,7 +512,7 @@ def bkt_conv_dtype(dtype):
     return dtype
 
 
-def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
+def _make_bkt_kernel(offs, B, o7, T, C, dtype,
                      shear_only=False, conv_dtype=None,
                      interpret=False):
     """Fused BKT (constant-Q viscoelastic) step kernel
@@ -483,35 +521,25 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
     Grid is (T, NC): tiles x C-wide column blocks, so the 96-row
     convolution state streams through VMEM in (96, C) blocks instead of
     a whole (96, B) tile (which would blow the scoped-vmem budget).
-    The memory variables are carried in the kernel's Hadamard corner
-    basis: the recursion
+    The memory variables are carried in the NODAL corner basis: the
+    recursion
         s0' = c2*u + c1*up + e0*s0          (calc_conv, damping.c:110)
-    is elementwise-linear per element, so it commutes with the corner
-    transform and the state never needs transforming back -- the
-    viscoelastic force is
-        f24 = bf24(mu_f * Fmu(Zdvs) + kappa_f * Fk(Zdvk))
-    with Zdvs/Zdvk formed directly in the spectral basis."""
+    has per-element (column-scalar) coefficients, so it holds verbatim
+    in any fixed row basis; keeping the state nodal makes the whole
+    viscoelastic force one constant matmul
+        f24 = FM_mu @ (mu_f * dvs) + FM_kappa @ (kappa_f * dvk)
+         (= FM [24,48] @ X [48,C] on the MXU)
+    with FM_* = bkt_matrices_24() node-major operators -- no Hadamard
+    butterflies at all, which removes ~60% of the VPU work of the
+    previous spectral-basis kernel (the kernel streams ~350 MB/step at
+    1M elements, so freed VPU time goes straight into DMA overlap)."""
+    from ..physics.kmats import bkt_matrices_24
+
     NC = B // C
     W0 = C + 128
     NR = sorted({o % 128 for o in offs} - {0})
-
-    offd = []
-    dd = np.zeros((48, 1))
-    dense = []
-    for base, ent in ((0, fmue), (24, fke)):
-        rows = []
-        M = np.zeros((24, 24))
-        for mo, co, mi, ci, k in ent:
-            ro, ri = 3 * mo + co, 3 * mi + ci
-            M[ro, ri] = k
-            if ro == ri:
-                dd[base + ro, 0] = k
-            else:
-                rows.append((ro, ri, k))
-        offd.append(rows)
-        dense.append(M)
-    offd_mu, offd_k = offd
-    use_mxu = os.environ.get("HT_BKT_MXU", "0") != "0"
+    kmu, kk = bkt_matrices_24()
+    fm_np = np.concatenate([kmu, kk], axis=1)   # [24, 48]
     if conv_dtype is None:
         conv_dtype = dtype
 
@@ -520,21 +548,7 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
             return jnp.roll(x, shift, axis=1)
         return pltpu.roll(x, jnp.int32(shift), 1)
 
-    def bf24(U):
-        for k in range(3):
-            U = _bf24_stage(U, k)
-        return U
-
-    def offdiag(e, entries):
-        rows = [None] * 24
-        for ro, ri, k in entries:
-            r = k * e[ri:ri + 1]
-            rows[ro] = r if rows[ro] is None else rows[ro] + r
-        zero = jnp.zeros((1, C), dtype)
-        return jnp.concatenate([r if r is not None else zero
-                                for r in rows], axis=0)
-
-    def kernel(ua, ub, upa, upb, bk, mm, invm, ddv, fm, conv, out,
+    def kernel(ua, ub, upa, upb, bk, mm, invm, fm, conv, out,
                conv_out, tail, nf, scr_u, scr_p, scr_w, scr_f):
         t = pl.program_id(0)
         c = pl.program_id(1)
@@ -573,45 +587,44 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
             scr_w[3 * j:3 * j + 3] = r[0:3, :C]
             scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
 
-        # one 48-row butterfly: _bf24_stage's block structure never
-        # crosses the 24-row boundary (2*w <= 24 divides 24), so the
-        # stacked (u; du) transform runs as one wide VPU pass
-        Z48 = scr_w[...]
-        for k in range(3):
-            Z48 = _bf24_stage48(Z48, k)
-        Zu, Zdu = Z48[0:24], Z48[24:48]
-        Zup = Zu - Zdu
+        # nodal-basis recursion + force: no corner transform needed
+        U48 = scr_w[...]
+        u24, du24 = U48[0:24], U48[24:48]
+        up24 = u24 - du24
         bkv = bk[...]
 
         cv = conv[...].astype(dtype)
         s0, s1 = cv[0:24, :], cv[24:48, :]
-        s0n = bkv[1:2] * Zu + bkv[0:1] * Zup + bkv[4:5] * s0
-        s1n = bkv[3:4] * Zu + bkv[2:3] * Zup + bkv[5:6] * s1
+        s0n = bkv[1:2] * u24 + bkv[0:1] * up24 + bkv[4:5] * s0
+        s1n = bkv[3:4] * u24 + bkv[2:3] * up24 + bkv[5:6] * s1
         if shear_only:
             conv_out[...] = jnp.concatenate(
                 [s0n, s1n], axis=0).astype(conv_dtype)
-            Zdvk = Zu
+            dvk = u24
         else:
             k0, k1 = cv[48:72, :], cv[72:96, :]
-            k0n = bkv[10:11] * Zu + bkv[9:10] * Zup + bkv[13:14] * k0
-            k1n = bkv[12:13] * Zu + bkv[11:12] * Zup + bkv[14:15] * k1
+            k0n = bkv[10:11] * u24 + bkv[9:10] * up24 + bkv[13:14] * k0
+            k1n = bkv[12:13] * u24 + bkv[11:12] * up24 + bkv[14:15] * k1
             conv_out[...] = jnp.concatenate(
                 [s0n, s1n, k0n, k1n], axis=0).astype(conv_dtype)
-            Zdvk = (bkv[17:18] * Zdu + Zu - bkv[15:16] * k0n
-                    - bkv[16:17] * k1n)
+            dvk = (bkv[17:18] * du24 + u24 - bkv[15:16] * k0n
+                   - bkv[16:17] * k1n)
 
-        Zdvs = bkv[8:9] * Zdu + Zu - bkv[6:7] * s0n - bkv[7:8] * s1n
-        if use_mxu:
-            fmv = fm[...]
-            ys = jax.lax.dot(fmv[0:24], Zdvs,
-                             precision=jax.lax.Precision.HIGHEST)
-            yk = jax.lax.dot(fmv[24:48], Zdvk,
-                             precision=jax.lax.Precision.HIGHEST)
-        else:
-            ys = Zdvs * ddv[0:24] + offdiag(Zdvs, offd_mu)
-            yk = Zdvk * ddv[24:48] + offdiag(Zdvk, offd_k)
+        dvs = bkv[8:9] * du24 + u24 - bkv[6:7] * s0n - bkv[7:8] * s1n
         imf = 9 if shear_only else 18   # mu_f/kappa_f rows (bk_row_names)
-        F = bf24(ys * bkv[imf:imf + 1] + yk * bkv[imf + 1:imf + 2])
+        prec = (jax.lax.Precision.HIGHEST
+                if os.environ.get("HT_MXU_PREC", "highest") == "highest"
+                else jax.lax.Precision.DEFAULT)
+        fmv = fm[...]
+        if os.environ.get("HT_BKT_OP", "dot48") == "dot48":
+            X = jnp.concatenate([dvs * bkv[imf:imf + 1],
+                                 dvk * bkv[imf + 1:imf + 2]], axis=0)
+            F = jax.lax.dot(fmv, X, precision=prec)
+        else:
+            F = (jax.lax.dot(fmv[:, 0:24], dvs * bkv[imf:imf + 1],
+                             precision=prec)
+                 + jax.lax.dot(fmv[:, 24:48], dvk * bkv[imf + 1:imf + 2],
+                               precision=prec))
 
         # scatter through the zero-padded roll scratch (see _make_kernel)
         scr_f[:, :C] = F
@@ -635,15 +648,15 @@ def _make_bkt_kernel(offs, B, o7, T, C, fmue, fke, dtype,
             out[...] = ut + (force + mm[...] * (ut - upa[...])) \
                 * invm[...]
 
-    return kernel, jnp.asarray(dd, dtype), \
-        jnp.asarray(np.concatenate(dense), dtype)
+    return kernel, jnp.asarray(fm_np, dtype)
 
 
 def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
                    shear_only=False, conv_dtype=None, interpret=False):
-    """pallas_call for one BKT brick: (u, u, up, up, bk, mm, invm, dd,
+    """pallas_call for one BKT brick: (u, u, up, up, bk, mm, invm,
     conv) -> (u_next [3, LEN], conv_next [R, LEN]) with R = 48
-    (shear-only, infinite Qk) or 96."""
+    (shear-only, infinite Qk) or 96; conv is in the nodal corner
+    basis."""
     if chunk is None:
         # same throughput as 4096 but ~5x faster Mosaic compile, and
         # the (R, C) conv blocks stay well inside VMEM
@@ -654,25 +667,26 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         conv_dtype = dtype
     R = 48 if shear_only else 96
     RB = len(bk_row_names(shear_only))
-    fmue, fke = spectral_bkt_factors()
-    kernel, dd, fm = _make_bkt_kernel(offs, B, o7, T, C, fmue, fke,
-                                      dtype, shear_only=shear_only,
-                                      conv_dtype=conv_dtype,
-                                      interpret=interpret)
+    kernel, fm = _make_bkt_kernel(offs, B, o7, T, C, dtype,
+                                  shear_only=shear_only,
+                                  conv_dtype=conv_dtype,
+                                  interpret=interpret)
     blk = lambda t, c: (0, t)
-    blk1 = lambda t, c: (0, jnp.minimum(t + 1, T - 1))
+    # halo operand narrowed to the stencil reach (see build_call)
+    hb = _halo_block(B, o7)
+    nh = B // hb
+    blk1 = lambda t, c: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
     blkc = lambda t, c: (0, t * NC + c)
     call = pl.pallas_call(
         kernel,
         grid=(T, NC),
         in_specs=[
-            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
-            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, hb), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, hb), blk1),
             pl.BlockSpec((RB, C), blkc),
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
-            pl.BlockSpec((48, 1), lambda t, c: (0, 0)),
-            pl.BlockSpec((48, 24), lambda t, c: (0, 0)),
+            pl.BlockSpec((24, 48), lambda t, c: (0, 0)),
             pl.BlockSpec((R, C), blkc),
         ],
         out_specs=[pl.BlockSpec((3, B), blk),
@@ -688,7 +702,7 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         interpret=interpret,
     )
     return lambda u, ub, up, upb, bk, mm, invm, conv: call(
-        u, ub, up, upb, bk, mm, invm, dd, fm, conv)
+        u, ub, up, upb, bk, mm, invm, fm, conv)
 
 
 class PallasBrickTables:
@@ -779,8 +793,9 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
                tier="general", kco=None):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
     -> u_next [3, LEN].  tier/kco: see detect_tier."""
-    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                          interpret=interpret, tier=tier, kco=kco)
+    kernel, am_np = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                                 interpret=interpret, tier=tier, kco=kco)
+    am = jnp.asarray(am_np, dtype)
     C, packed = _kernel_mode(B)
     scr_w = (24, C) if packed else (8, 128)    # unpacked: token-sized
     scr_f = (24, C + 128) if packed else (8, 128)
@@ -795,17 +810,22 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
     scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
               else (8, 128))
     blk = lambda t: (0, t)
-    blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
-    return pl.pallas_call(
+    # the +1-tile halo operand streams only the first hb columns of
+    # the next tile (the stencil reach), not a full B-wide block
+    hb = _halo_block(B, o7)
+    nh = B // hb
+    blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    call = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
-            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, B), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, hb), blk1),
+            pl.BlockSpec((3, B), blk), pl.BlockSpec((3, hb), blk1),
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
+            pl.BlockSpec((48, 24), lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((3, B), blk),
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
@@ -817,6 +837,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
     )
+    return lambda *args: call(*args, am)
 
 
 def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
@@ -825,9 +846,10 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     S [8, LEN] = (u 0:3, up 3:6) and K [8, LEN] = (c1, c2, beta,
     mass_minusaM, inv_mass).  Halves the physical HBM traffic of
     build_call (see _make_kernel packed_state)."""
-    kernel = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                          interpret=interpret, tier=tier, kco=kco,
-                          packed_state=True)
+    kernel, am_np = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                                 interpret=interpret, tier=tier, kco=kco,
+                                 packed_state=True)
+    am = jnp.asarray(am_np, dtype)
     C, packed = _kernel_mode(B)
     scr_w = (24, C) if packed else (8, 128)
     scr_f = (24, C + 128) if packed else (8, 128)
@@ -839,14 +861,18 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
               else (8, 128))
     blk = lambda t: (0, t)
-    blk1 = lambda t: (0, jnp.minimum(t + 1, T - 1))
-    return pl.pallas_call(
+    # halo operand narrowed to the stencil reach (see build_call)
+    hb = _halo_block(B, o7)
+    nh = B // hb
+    blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    call = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((8, B), blk), pl.BlockSpec((8, B), blk1),
+            pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
             pl.BlockSpec((8, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
+            pl.BlockSpec((48, 24), lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((8, B), blk),
         out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
@@ -858,6 +884,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
     )
+    return lambda *args: call(*args, am)
 
 
 def pallas_geometry(offs, nb, tile=None):
@@ -879,7 +906,7 @@ def pallas_geometry(offs, nb, tile=None):
 def make_pallas_step(pt: PallasBrickTables, interpret=False):
     """scan-able step with the same carry/x contract as the XLA brick
     step: carry = (u, up) (elastic) or (u, up, conv) (BKT, conv in the
-    spectral basis [96, LEN]), x = (srcf [L,3] dt^2-scaled, step_idx).
+    nodal corner basis [96, LEN]), x = (srcf [L,3] dt^2-scaled, step_idx).
 
     Returns (step, consts): step(consts, carry, x) takes the node-scale
     device tables as an explicit argument so they lower as program
@@ -979,18 +1006,42 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
 
     pt = PallasBrickTables(plan, tables, src_ids=src_ids,
                            st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
-    step, consts = make_pallas_step(pt, interpret=interpret)
-    if state is None:
-        state = init_pallas_state(pt)
-    elif state[0].shape[1] != pt.LEN:   # resume from an unpadded field
-        pad = pt.LEN - state[0].shape[1]
-        conv = state[2:]
-        state = tuple(jnp.pad(jnp.asarray(x, dtype), ((0, 0), (0, pad)))
-                      for x in state[:2])
-        if tables.damping == "bkt":
-            state = state + (conv[0] if conv else
-                             jnp.zeros((pt.conv_rows, pt.LEN),
-                                       pt.conv_dtype),)
+    packed = (tables.damping != "bkt"
+              and os.environ.get("HT_PALLAS_STATE", "packed")
+              != "legacy")
+    snap_of = None
+    if packed:
+        # packed [8, LEN] state: half the physical HBM bytes per step
+        step, consts = make_packed_pallas_step(pt, interpret=interpret)
+        if state is None:
+            state = init_packed_state(pt)
+        else:
+            # resume: pack (u, up) fields (padded or not) into S
+            u = jnp.asarray(state[0], dtype)
+            up = jnp.asarray(state[1], dtype)
+            S = jnp.zeros((8, pt.LEN), dtype)
+            S = S.at[0:3, :u.shape[1]].set(u)
+            S = S.at[3:6, :up.shape[1]].set(up)
+            state = (S,)
+        snap_of = packed_snap_of
+        if on_chunk is not None:
+            inner_chunk = on_chunk
+            on_chunk = lambda done, st: inner_chunk(done,
+                                                    packed_snap_of(st))
+    else:
+        step, consts = make_pallas_step(pt, interpret=interpret)
+        if state is None:
+            state = init_pallas_state(pt)
+        elif state[0].shape[1] != pt.LEN:  # resume, unpadded field
+            pad = pt.LEN - state[0].shape[1]
+            conv = state[2:]
+            state = tuple(jnp.pad(jnp.asarray(x, dtype),
+                                  ((0, 0), (0, pad)))
+                          for x in state[:2])
+            if tables.damping == "bkt":
+                state = state + (conv[0] if conv else
+                                 jnp.zeros((pt.conv_rows, pt.LEN),
+                                           pt.conv_dtype),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt
@@ -999,10 +1050,14 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
         return (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
                 jnp.arange(s, s + k, dtype=jnp.int32))
 
-    return run_chunked(step, state, make_xs, total_steps,
-                       start_step=start_step, chunk=chunk,
-                       on_chunk=on_chunk, on_snap=on_snap,
-                       snap_every=snap_every, consts=consts)
+    state, samples = run_chunked(step, state, make_xs, total_steps,
+                                 start_step=start_step, chunk=chunk,
+                                 on_chunk=on_chunk, on_snap=on_snap,
+                                 snap_every=snap_every, consts=consts,
+                                 snap_of=snap_of)
+    if packed:
+        state = packed_snap_of(state)
+    return state, samples
 
 
 def pallas_u_global(plan, u_pad, N):
