@@ -330,7 +330,8 @@ class MeshPallasTables:
 def make_mesh_step(mt: MeshPallasTables, interpret=False):
     """scan-able multi-brick step.  carry = (us, ups, conv) with us/ups
     tuples of [3, LEN_b] per brick + [3, NL] loose; conv = per-brick
-    spectral [96, LEN_b] + loose ([El,8,3] x4) for BKT, else ().
+    nodal-corner-basis [96, LEN_b] + loose ([El,8,3] x4) for BKT,
+    else ().
 
     Returns (step, consts): step(consts, carry, x) takes the node-scale
     device tables as an explicit argument (see make_pallas_step)."""
