@@ -384,9 +384,10 @@ def main():
                                                  mesh_plan_applies)
     if path == "auto":
         if plan_applies(plan, tables.damping):
-            # packed state for the elastic kernel (half the physical
-            # bytes); BKT carries its own conv layout
-            path = "packed" if tables.damping != "bkt" else "pallas"
+            # packed state (elastic, or uniform-Q BKT node-basis conv);
+            # non-uniform BKT falls back to the corner-basis kernel
+            # through the chain below
+            path = "packed"
         elif mesh_plan_applies(plan, tables.damping):
             path = "mesh"
         else:
@@ -487,7 +488,15 @@ def main():
     Btile = 32768
     hb = _halo_block(Btile, int(plan.bricks[0].corner_offsets()[7]))
     Ttile = LEN // Btile
-    if tables.damping == "bkt" and which.startswith("pallas"):
+    if tables.damping == "bkt" and which == "packed":
+        # uniform-Q node-basis BKT: S r/w + K (8 phys rows each) +
+        # conv r/w (shear-only: 8 f32 rows; full: 16 bf16 rows = 8
+        # f32-equivalents each way, +halo on S and conv)
+        from hercules_tpu.solver.pallas_brick import bkt_kappa_zero
+        shear_only = bkt_kappa_zero(tables.bkt)
+        rows, halo_rows = 24 + 16, 16
+        conv_bytes = 0
+    elif tables.damping == "bkt" and which.startswith("pallas"):
         # BKT: u/up/mm/invm/out f32 (8 phys rows each) + bk rows
         # (padded to 8-row f32 tiles) + conv state r/w in bf16
         from hercules_tpu.solver.pallas_brick import (bk_row_names,

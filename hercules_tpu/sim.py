@@ -733,6 +733,12 @@ class Simulation:
                 if init_state is not None:
                     state = tuple(jnp.asarray(np.asarray(x), dtype)
                                   for x in init_state)
+                    # BKT: thread the checkpointed convolution state
+                    # into the carry (run_pallas_solver fits it to the
+                    # kernel's basis); dropping it would silently
+                    # resume with zeroed memory variables
+                    if self.tables.damping == "bkt" and ck_conv:
+                        state = state + (np.asarray(ck_conv[0]),)
 
                 def _pallas():
                     return run_pallas_solver(

@@ -241,6 +241,18 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # as a tiny (48, 24) operand (Pallas kernels cannot capture array
     # constants).
     use_mxu = _use_mxu() and packed
+    # perf ablations (measurement only — WRONG PHYSICS): "stream"
+    # skips the element pass (pure state/const streaming + node
+    # update), "nogather"/"noroll" skip/unshift the corner gather,
+    # "noop" skips the element operator, "noscatter" collapses the
+    # class-rolled scatter to one aligned add.  Used to attribute
+    # kernel time (see bench.py roofline notes).
+    ablate = os.environ.get("HT_PALLAS_ABLATE", "")
+    # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32);
+    # "default" single-pass bf16 trades ~3 decimal digits for MXU time
+    mxu_prec = (jax.lax.Precision.HIGHEST
+                if os.environ.get("HT_MXU_PREC", "highest") == "highest"
+                else jax.lax.Precision.DEFAULT)
     M1d, M2d = stiffness_matrices_24()
     if tier == "umat":
         am_np = np.zeros((48, 24))
@@ -314,11 +326,14 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
 
         # compute in C-wide sub-chunks to bound live VMEM (the full-B
         # dataflow blows the 16 MB scoped-vmem budget)
-        for c0 in range(0, B, C):
+        for c0 in ([] if ablate == "stream" else range(0, B, C)):
             if packed:
                 f24 = _chunk_packed(region, cmv, ddv, amv, c0, scr_s,
                                     scr_sv, scr_w)
                 F = f24
+                if ablate == "noscatter":
+                    nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + F[0:3]
+                    continue
                 # scatter through a zero-padded scratch + one roll per
                 # shift class: all nf updates are lane-aligned (a
                 # direct misaligned slice store costs a relayout per
@@ -406,14 +421,21 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                     scr_w[3 * j:3 * j + 3] = \
                         scr_sv[k:k + 3, pl.ds(start, C)]
         elif staged:
-            for j, o in enumerate(offs):
-                s = o % 128
-                start = c0 + (o - s)
-                key = (o - s, s)
-                if key not in regs:
-                    g = scr_s[:, pl.ds(start, W0)]
-                    regs[key] = g if s == 0 else roll(g, W0 - s)
-                scr_w[3 * j:3 * j + 3] = regs[key][:, :C]
+            if ablate == "nogather":
+                pass
+            elif ablate == "noroll":
+                g = scr_s[:, pl.ds(c0, C)]
+                for j in range(8):
+                    scr_w[3 * j:3 * j + 3] = g
+            else:
+                for j, o in enumerate(offs):
+                    s = o % 128
+                    start = c0 + (o - s)
+                    key = (o - s, s)
+                    if key not in regs:
+                        g = scr_s[:, pl.ds(start, W0)]
+                        regs[key] = g if s == 0 else roll(g, W0 - s)
+                    scr_w[3 * j:3 * j + 3] = regs[key][:, :C]
         else:
             bt = cmv[2, c0:c0 + C]
             for j, o in enumerate(offs):
@@ -428,12 +450,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
 
         if use_mxu:
             Wv = scr_w[...]
+            if ablate == "noop":
+                return Wv * (c1 != 0.0).astype(dtype)
             if tier == "umat":
-                F = jax.lax.dot(amv[:24], Wv,
-                                precision=jax.lax.Precision.HIGHEST)
+                F = jax.lax.dot(amv[:24], Wv, precision=mxu_prec)
                 return F * (c1 != 0.0).astype(dtype)
-            Y = jax.lax.dot(amv, Wv,
-                            precision=jax.lax.Precision.HIGHEST)
+            Y = jax.lax.dot(amv, Wv, precision=mxu_prec)
             return Y[:24] * c1 + Y[24:] * c2
 
         Z = bf24(scr_w[...])
@@ -705,6 +727,225 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         u, ub, up, upb, bk, mm, invm, fm, conv)
 
 
+def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
+                             shear_only=False, conv_dtype=None,
+                             chunk=None, interpret=False):
+    """Uniform-Q BKT kernel: node-basis memory variables.
+
+    The memory-variable recursion (calc_conv, damping.c:110-222)
+        s0' = c2*u_n + c1*u_n(t-1) + e0*s0
+    is driven purely by the NODE displacement with per-element
+    coefficients.  When every element shares one coefficient set
+    (homogeneous-Q region: one material, or one Q bin after the
+    Qs(Vs) fit), the variable for (element, corner) depends only on
+    the corner's node — so the state collapses from the corner basis
+    (8 corners x 3 comps x 4 vars = 96 rows/element,
+    build_bkt_call) to 4 vars x 3 comps = 12 rows/NODE (6 shear-only),
+    an 8x cut of the dominant HBM stream.  The damping vectors
+        dvs = coef*du + u - a0*s0' - a1*s1'
+    become node fields, staged once per tile (+halo) and gathered at
+    the 8 corners exactly like the elastic kernel's W — same
+    aligned-slice + lane-roll pipeline, one [24,48] @ [48,C] MXU
+    matmul with mu_f/kappa_f folded into the operator.  Packed state:
+    carry = (S [8, LEN], conv [R2s, LEN]).
+    """
+    from ..physics.kmats import bkt_matrices_24
+
+    if chunk is None:
+        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
+    C = min(chunk, B)
+    W0 = C + 128
+    H = o7 + 128
+    NR = sorted({o % 128 for o in offs} - {0})
+    CLASSES = {}
+    for j, o in enumerate(offs):
+        CLASSES.setdefault(o % 128, []).append(j)
+    if conv_dtype is None:
+        conv_dtype = dtype
+    R2 = 6 if shear_only else 12         # meaningful conv rows
+    R2s = 8 if shear_only else 16        # padded to the physical tile
+
+    kmu, kk = bkt_matrices_24()
+    fm_np = np.concatenate([scal["mu_f"] * kmu, scal["kappa_f"] * kk],
+                           axis=1)       # [24, 48]
+
+    # python-float coefficients fold into the trace as weak-typed
+    # scalars (no dtype promotion)
+    s = {k: float(v) for k, v in scal.items()}
+
+    def roll(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, jnp.int32(shift), 1)
+
+    def rec(u3, up3, cv):
+        """(conv_next [R2, W], dvs [3, W], dvk [3, W]) node fields."""
+        du = u3 - up3
+        s0, s1 = cv[0:3], cv[3:6]
+        s0n = s["shear_c2"] * u3 + s["shear_c1"] * up3 \
+            + s["shear_e0"] * s0
+        s1n = s["shear_c4"] * u3 + s["shear_c3"] * up3 \
+            + s["shear_e1"] * s1
+        dvs = (s["shear_coef"] * du + u3
+               - s["a0_shear"] * s0n - s["a1_shear"] * s1n)
+        if shear_only:
+            return jnp.concatenate([s0n, s1n], axis=0), dvs, u3
+        k0, k1 = cv[6:9], cv[9:12]
+        k0n = s["kappa_c2"] * u3 + s["kappa_c1"] * up3 \
+            + s["kappa_e0"] * k0
+        k1n = s["kappa_c4"] * u3 + s["kappa_c3"] * up3 \
+            + s["kappa_e1"] * k1
+        dvk = (s["kappa_coef"] * du + u3
+               - s["a0_kappa"] * k0n - s["a1_kappa"] * k1n)
+        return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
+
+    def kernel(Sa, Sb, K, cva, cvb, fm, out, conv_out, tail, nf,
+               scr_v, scr_w, scr_f):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            tail[...] = jnp.zeros_like(tail)
+
+        nf[...] = jnp.zeros_like(nf)
+        Sv = Sa[...]
+        u, up = Sv[0:3], Sv[3:6]
+        Kv = K[...]
+        Sbv = Sb[...]
+
+        # node-basis recursion on tile + halo; only tile rows persist
+        cn_t, dvs_t, dvk_t = rec(u, up, cva[...][:R2].astype(dtype))
+        cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
+                                 cvb[...][:R2, :H].astype(dtype))
+        pad = jnp.zeros((R2s - R2, B), dtype)
+        conv_out[...] = jnp.concatenate([cn_t, pad],
+                                        axis=0).astype(conv_dtype)
+        scr_v[0:3, :B] = dvs_t
+        scr_v[0:3, B:] = dvs_h
+        scr_v[3:6, :B] = dvk_t
+        scr_v[3:6, B:] = dvk_h
+
+        valid = Kv[4:5]
+        for c0 in range(0, B, C):
+            regs = {}
+            for j, o in enumerate(offs):
+                sh = o % 128
+                start = c0 + (o - sh)
+                key = (o - sh, sh)
+                if key not in regs:
+                    g = scr_v[:, pl.ds(start, W0)]
+                    regs[key] = g if sh == 0 else roll(g, W0 - sh)
+                r = regs[key]
+                scr_w[3 * j:3 * j + 3] = r[0:3, :C]
+                scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
+            F = jax.lax.dot(fm[...], scr_w[...],
+                            precision=jax.lax.Precision.HIGHEST)
+            F = F * valid[:, c0:c0 + C]
+            scr_f[:, :C] = F
+            scr_f[:, C:] = jnp.zeros((24, 128), dtype)
+            Fv = scr_f[...]
+            for sh, js in CLASSES.items():
+                if sh == 0:
+                    for j in js:
+                        a = c0 + offs[j]
+                        nf[:, a:a + W0] = (nf[:, a:a + W0]
+                                           + Fv[3 * j:3 * j + 3])
+                    continue
+                sel = (Fv[3 * js[0]:3 * js[0] + 3] if len(js) == 1
+                       else jnp.concatenate(
+                           [Fv[3 * j:3 * j + 3] for j in js], axis=0))
+                Rv = roll(sel, sh)
+                for i, j in enumerate(js):
+                    a = c0 + (offs[j] - sh)
+                    nf[:, a:a + W0] = (nf[:, a:a + W0]
+                                       + Rv[3 * i:3 * i + 3])
+
+        force = jnp.concatenate(
+            [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
+        tail[...] = nf[:, B:B + o7]
+        un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
+        out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
+
+    return kernel, jnp.asarray(fm_np, dtype), R2s
+
+
+def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
+                           shear_only=False, conv_dtype=None,
+                           interpret=False):
+    """pallas_call for the uniform-Q node-basis BKT kernel:
+    (S, S_halo, K, conv, conv_halo) -> (S_next [8, LEN],
+    conv_next [R2s, LEN]).  K rows: mass_minusaM 0:3, inv_mass 3,
+    valid 4."""
+    kernel, fm, R2s = _make_bkt_uniform_kernel(
+        offs, B, o7, T, dtype, scal, shear_only=shear_only,
+        conv_dtype=conv_dtype, interpret=interpret)
+    if conv_dtype is None:
+        conv_dtype = dtype
+    C = min(int(os.environ.get("HT_PALLAS_CHUNK", 4096)), B)
+    blk = lambda t: (0, t)
+    hb = _halo_block(B, o7)
+    nh = B // hb
+    blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    call = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
+            pl.BlockSpec((8, B), blk),
+            pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
+            pl.BlockSpec((24, 48), lambda t: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((8, B), blk),
+                   pl.BlockSpec((R2s, B), blk)],
+        out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                   jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM((6, B + o7 + 128), dtype),
+                        pltpu.VMEM((48, C), dtype),
+                        pltpu.VMEM((24, C + 128), dtype)],
+        interpret=interpret,
+    )
+    return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
+
+
+def conv_corner_to_node(offs, evalid, conv_corner):
+    """Corner-basis conv [R, LEN] -> node-basis [R2, LEN] (uniform Q).
+
+    Under one coefficient set the (element, corner-j) variable equals
+    the node field at column e + offs[j]; all corners of all valid
+    elements agree, so any one determines the node value."""
+    conv_corner = np.asarray(conv_corner, np.float64)
+    R, LEN = conv_corner.shape
+    nvar = R // 24
+    out = np.zeros((3 * nvar, LEN))
+    seen = np.zeros(LEN, bool)
+    e = np.flatnonzero(np.asarray(evalid))
+    for j, o in enumerate(offs):
+        cols = e + o
+        take = ~seen[cols]
+        for v in range(nvar):
+            out[3 * v:3 * v + 3, cols[take]] = \
+                conv_corner[24 * v + 3 * j:24 * v + 3 * j + 3,
+                            e[take]]
+        seen[cols[take]] = True
+    return out
+
+
+def conv_node_to_corner(offs, evalid, conv_node, R):
+    """Node-basis conv [>=R2, LEN] -> corner basis [R, LEN]."""
+    conv_node = np.asarray(conv_node, np.float64)
+    LEN = conv_node.shape[1]
+    nvar = R // 24
+    out = np.zeros((R, LEN))
+    e = np.flatnonzero(np.asarray(evalid))
+    for j, o in enumerate(offs):
+        for v in range(nvar):
+            out[24 * v + 3 * j:24 * v + 3 * j + 3, e] = \
+                conv_node[3 * v:3 * v + 3, e + o]
+    return out
+
+
 class PallasBrickTables:
     """Padded device tables + geometry for the fused kernel."""
 
@@ -745,6 +986,33 @@ class PallasBrickTables:
             self.cm = None
             self.conv_rows = 48 if self.bkt_shear_only else 96
             self.conv_dtype = bkt_conv_dtype(dtype)
+            # uniform-Q tier: one coefficient set across all valid
+            # elements -> node-basis memory variables (8x less conv
+            # traffic; see _make_bkt_uniform_kernel)
+            self.bkt_uniform, self.bk_scal = False, None
+            if os.environ.get("HT_BKT_UNIFORM", "1") != "0":
+                val = plan.evalid_cat
+                scal = {}
+                for k in bk_row_names(self.bkt_shear_only):
+                    v = np.asarray(tables.bkt[k])[plan.eidx_cat][val]
+                    if v.size and np.all(v == v[0]):
+                        scal[k] = float(v[0])
+                    else:
+                        scal = None
+                        break
+                if scal is not None and val.any():
+                    self.bkt_uniform = True
+                    self.bk_scal = scal
+                    # node-basis state dims (conv_rows/conv_dtype stay
+                    # the corner-basis values for the legacy kernel):
+                    # shear-only 8 f32 rows = one physical tile, the
+                    # same bytes bf16 padding would take, at full
+                    # precision; the 16-row full state keeps bf16
+                    self.conv_rows_node = 8 if self.bkt_shear_only \
+                        else 16
+                    self.conv_dtype_node = (
+                        dtype if self.bkt_shear_only
+                        else bkt_conv_dtype(dtype))
         else:
             c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
             # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
@@ -761,6 +1029,12 @@ class PallasBrickTables:
                        for c in range(3)])
         self.mm = f(mm)
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
+        # element-validity mask (padding / ghost columns), needed as a
+        # streamed row by kernels whose coefficients are trace-time
+        # scalars (uniform-Q BKT), and for conv basis conversions
+        self.evalid = np.zeros(LEN, bool)
+        self.evalid[:len(plan.evalid_cat)] = plan.evalid_cat
+        self.evalid_row = f(self.evalid.astype(np.float64))[None, :]
 
         self.f1e, self.f2e = spectral_factors()
         self.dd = diag_dd(self.f1e, self.f2e, dtype)
@@ -950,10 +1224,15 @@ def make_pallas_step(pt: PallasBrickTables, interpret=False):
 
 
 def make_packed_pallas_step(pt: PallasBrickTables, interpret=False):
-    """Packed-state variant of make_pallas_step (non-BKT): carry =
-    (S,) with S [8, LEN] = (u 0:3, up 3:6).  Same physics, half the
-    physical HBM bytes per step (see _make_kernel packed_state)."""
-    assert pt.damping != "bkt", "packed state is for the elastic kernel"
+    """Packed-state variant of make_pallas_step: carry = (S,) with
+    S [8, LEN] = (u 0:3, up 3:6) — elastic — or (S, conv) for
+    uniform-Q BKT (node-basis conv, _make_bkt_uniform_kernel).  Same
+    physics, half the physical HBM bytes per step (see _make_kernel
+    packed_state)."""
+    if pt.damping == "bkt":
+        assert pt.bkt_uniform, \
+            "packed BKT requires the uniform-Q tier"
+        return _make_packed_bkt_uniform_step(pt, interpret=interpret)
     B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
     dtype = pt.dtype
     K = jnp.concatenate([pt.cm, pt.mm, pt.invm,
@@ -980,13 +1259,50 @@ def make_packed_pallas_step(pt: PallasBrickTables, interpret=False):
     return step, consts
 
 
+def _make_packed_bkt_uniform_step(pt: PallasBrickTables,
+                                  interpret=False):
+    """Uniform-Q BKT packed step: carry = (S [8, LEN],
+    conv [R2s, LEN] node basis)."""
+    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
+    dtype = pt.dtype
+    K = jnp.concatenate([pt.mm, pt.invm, pt.evalid_row,
+                         jnp.zeros((3, LEN), dtype)], axis=0)
+    call = build_bkt_uniform_call(pt.offs, B, o7, T, LEN, dtype,
+                                  pt.bk_scal,
+                                  shear_only=pt.bkt_shear_only,
+                                  conv_dtype=pt.conv_dtype_node,
+                                  interpret=interpret)
+    consts = {"K": K}
+
+    def step(cd, carry, x):
+        srcf, _step = x
+        S, cv = carry
+        if pt.st_pos is not None:
+            sample = jnp.einsum("sn,csn->sc", pt.st_phi,
+                                S[0:3][:, pt.st_pos])
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+        Sn, cvn = call(S, S, cd["K"], cv, cv)
+        if pt.src_pos is not None:
+            Sn = Sn.at[0:3, pt.src_pos].add(
+                srcf.T * cd["K"][3][pt.src_pos][None, :])
+        return (Sn, cvn), sample
+
+    return step, consts
+
+
 def init_packed_state(pt: PallasBrickTables):
-    return (jnp.zeros((8, pt.LEN), pt.dtype),)
+    S = jnp.zeros((8, pt.LEN), pt.dtype)
+    if pt.damping == "bkt":
+        return (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
+                             pt.conv_dtype_node))
+    return (S,)
 
 
 def packed_snap_of(carry):
-    """(u, up) views of the packed carry for snapshot taps."""
-    return (carry[0][0:3], carry[0][3:6])
+    """(u, up[, conv...]) views of the packed carry for snapshot and
+    checkpoint taps."""
+    return (carry[0][0:3], carry[0][3:6]) + tuple(carry[1:])
 
 
 def init_pallas_state(pt: PallasBrickTables):
@@ -994,6 +1310,68 @@ def init_pallas_state(pt: PallasBrickTables):
     if pt.damping == "bkt":
         return (u, u, jnp.zeros((pt.conv_rows, pt.LEN), pt.conv_dtype))
     return (u, u)
+
+
+def _col_valid(pt, ncols):
+    ev = np.zeros(ncols, bool)
+    n = min(len(pt.evalid), ncols)
+    ev[:n] = pt.evalid[:n]
+    return ev
+
+
+def _fit_field_cm(plan, x, LEN, dtype):
+    """Fit a restored displacement field to the brick concat layout
+    [3, LEN]: accepts component-major [3, X] (pallas/brick
+    checkpoints, any padding) or canonical global [N, 3]."""
+    x = np.asarray(x)
+    if x.ndim == 2 and x.shape[1] == 3 and x.shape[0] != 3:
+        x = x[plan.gnid_cat].T
+    assert x.ndim == 2 and x.shape[0] == 3, \
+        "checkpoint field layout does not match the fused kernel"
+    out = np.zeros((3, LEN))
+    out[:, :min(LEN, x.shape[1])] = x[:, :LEN]
+    return jnp.asarray(out, dtype)
+
+
+def _fit_conv_node(pt, cv):
+    """Fit a restored BKT conv array to the uniform-tier node basis
+    [conv_rows_node, LEN]; converts corner-basis (48/96-row)
+    checkpoints via conv_corner_to_node."""
+    if cv is None:
+        return jnp.zeros((pt.conv_rows_node, pt.LEN),
+                         pt.conv_dtype_node)
+    cva = np.asarray(cv, np.float64)
+    if cva.ndim != 2 or cva.shape[0] not in (6, 8, 12, 16, 48, 96):
+        raise RuntimeError(
+            "checkpointed BKT conv state has an unsupported layout "
+            "for the fused kernel; restart with the solver path that "
+            "wrote the checkpoint")
+    if cva.shape[0] in (48, 96):
+        cva = conv_corner_to_node(pt.offs, _col_valid(pt, cva.shape[1]),
+                                  cva)
+    out = np.zeros((pt.conv_rows_node, pt.LEN))
+    out[:cva.shape[0], :cva.shape[1]] = cva[:pt.conv_rows_node]
+    return jnp.asarray(out, pt.conv_dtype_node)
+
+
+def _fit_conv_corner(pt, cv):
+    """Fit a restored BKT conv array to the corner basis
+    [conv_rows, LEN]; converts node-basis (uniform-tier) checkpoints
+    via conv_node_to_corner."""
+    if cv is None:
+        return jnp.zeros((pt.conv_rows, pt.LEN), pt.conv_dtype)
+    cva = np.asarray(cv, np.float64)
+    if cva.ndim != 2 or cva.shape[0] not in (6, 8, 12, 16, 48, 96):
+        raise RuntimeError(
+            "checkpointed BKT conv state has an unsupported layout "
+            "for the fused kernel; restart with the solver path that "
+            "wrote the checkpoint")
+    if cva.shape[0] not in (48, 96):
+        cva = conv_node_to_corner(pt.offs, _col_valid(pt, cva.shape[1]),
+                                  cva, pt.conv_rows)
+    out = np.zeros((pt.conv_rows, pt.LEN))
+    out[:, :cva.shape[1]] = cva
+    return jnp.asarray(out, pt.conv_dtype)
 
 
 def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
@@ -1006,7 +1384,8 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
 
     pt = PallasBrickTables(plan, tables, src_ids=src_ids,
                            st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
-    packed = (tables.damping != "bkt"
+    packed = ((tables.damping != "bkt"
+               or getattr(pt, "bkt_uniform", False))
               and os.environ.get("HT_PALLAS_STATE", "packed")
               != "legacy")
     snap_of = None
@@ -1016,13 +1395,17 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
         if state is None:
             state = init_packed_state(pt)
         else:
-            # resume: pack (u, up) fields (padded or not) into S
-            u = jnp.asarray(state[0], dtype)
-            up = jnp.asarray(state[1], dtype)
-            S = jnp.zeros((8, pt.LEN), dtype)
-            S = S.at[0:3, :u.shape[1]].set(u)
-            S = S.at[3:6, :up.shape[1]].set(up)
-            state = (S,)
+            # resume: pack the (u, up) fields into S (any layout
+            # _fit_field_cm accepts)
+            u = _fit_field_cm(plan, state[0], pt.LEN, dtype)
+            up = _fit_field_cm(plan, state[1], pt.LEN, dtype)
+            S = jnp.concatenate(
+                [u, up, jnp.zeros((2, pt.LEN), dtype)], axis=0)
+            if tables.damping == "bkt":
+                cv = state[2] if len(state) > 2 else None
+                state = (S, _fit_conv_node(pt, cv))
+            else:
+                state = (S,)
         snap_of = packed_snap_of
         if on_chunk is not None:
             inner_chunk = on_chunk
@@ -1032,16 +1415,13 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
         step, consts = make_pallas_step(pt, interpret=interpret)
         if state is None:
             state = init_pallas_state(pt)
-        elif state[0].shape[1] != pt.LEN:  # resume, unpadded field
-            pad = pt.LEN - state[0].shape[1]
+        else:  # resume: pad fields, fit conv to the corner basis
             conv = state[2:]
-            state = tuple(jnp.pad(jnp.asarray(x, dtype),
-                                  ((0, 0), (0, pad)))
+            state = tuple(_fit_field_cm(plan, x, pt.LEN, dtype)
                           for x in state[:2])
             if tables.damping == "bkt":
-                state = state + (conv[0] if conv else
-                                 jnp.zeros((pt.conv_rows, pt.LEN),
-                                           pt.conv_dtype),)
+                state = state + (_fit_conv_corner(
+                    pt, conv[0] if conv else None),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

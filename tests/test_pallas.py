@@ -169,3 +169,105 @@ def test_packed_state_kernel_matches_unpacked(problem):
     np.testing.assert_allclose(np.asarray(samples),
                                np.asarray(samp_ref), rtol=1e-12,
                                atol=1e-18)
+
+
+@pytest.fixture(scope="module")
+def bkt_problem():
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.finalize()
+    mesh = generate_mesh(p, CVM(f"{S}/simple_case.e"))
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    return p, mesh, tables, plan
+
+
+def test_bkt_uniform_tier_matches_corner_kernel(bkt_problem,
+                                                monkeypatch):
+    """Uniform-Q node-basis BKT kernel (packed state, 12-row conv,
+    _make_bkt_uniform_kernel) vs the corner-basis kernel
+    (HT_BKT_UNIFORM=0) on the homogeneous mesh: identical
+    trajectories (f64 interpret)."""
+    from hercules_tpu.solver.pallas_brick import PallasBrickTables
+
+    p, mesh, tables, plan = bkt_problem
+    T = 30
+    rng = np.random.default_rng(13)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[5, 900]]
+    st_phi = np.full((2, 8), 0.125)
+
+    pt = PallasBrickTables(plan, tables, dtype=jnp.float64)
+    assert pt.bkt_uniform, "homogeneous mesh must detect uniform Q"
+
+    state_u, samp_u = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
+        interpret=True)
+
+    monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    state_c, samp_c = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
+        interpret=True)
+    monkeypatch.delenv("HT_BKT_UNIFORM")
+
+    u_u = pallas_u_global(plan, state_u[0], mesh.nnum)
+    u_c = pallas_u_global(plan, state_c[0], mesh.nnum)
+    scale = np.abs(u_c).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_u, u_c, rtol=0, atol=5e-13 * scale)
+    np.testing.assert_allclose(samp_u, samp_c, rtol=0,
+                               atol=5e-13 * max(np.abs(samp_c).max(), 1))
+
+
+def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
+    """A run checkpointed under one conv basis resumes exactly under
+    the other (conv_corner_to_node / conv_node_to_corner): uniform
+    first half + corner second half == uninterrupted corner run."""
+    p, mesh, tables, plan = bkt_problem
+    T = 24
+    H = T // 2
+    rng = np.random.default_rng(17)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+
+    monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    state_ref, _ = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        dtype=jnp.float64, interpret=True)
+    u_ref = pallas_u_global(plan, state_ref[0], mesh.nnum)
+    monkeypatch.delenv("HT_BKT_UNIFORM")
+
+    # first half on the uniform tier -> (u, up, conv_node)
+    half, _ = run_pallas_solver(
+        plan, tables, nid, forces[:H], H, p.delta_t,
+        dtype=jnp.float64, interpret=True)
+    assert half[2].shape[0] in (8, 16)   # node basis written
+
+    # resume the second half on the corner-basis kernel
+    monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    state2, _ = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        dtype=jnp.float64, interpret=True,
+        state=tuple(np.asarray(x) for x in half), start_step=H)
+    monkeypatch.delenv("HT_BKT_UNIFORM")
+    u2 = pallas_u_global(plan, state2[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u2, u_ref, rtol=0, atol=1e-12 * scale)
+
+    # and the reverse: corner half resumed on the uniform tier
+    monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    halfc, _ = run_pallas_solver(
+        plan, tables, nid, forces[:H], H, p.delta_t,
+        dtype=jnp.float64, interpret=True)
+    monkeypatch.delenv("HT_BKT_UNIFORM")
+    assert halfc[2].shape[0] in (48, 96)
+    state3, _ = run_pallas_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        dtype=jnp.float64, interpret=True,
+        state=tuple(np.asarray(x) for x in halfc), start_step=H)
+    u3 = pallas_u_global(plan, state3[0], mesh.nnum)
+    np.testing.assert_allclose(u3, u_ref, rtol=0, atol=1e-12 * scale)
