@@ -248,6 +248,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # class-rolled scatter to one aligned add.  Used to attribute
     # kernel time (see bench.py roofline notes).
     ablate = os.environ.get("HT_PALLAS_ABLATE", "")
+    # experimental dataflow modes (bench ablations show the scr_w /
+    # scr_f VMEM round-trips are ~2/3 of the kernel's non-DMA time):
+    # gather=concat builds the MXU operand as a register concat of the
+    # rolled windows; scatter=val pads/rolls the force block as values
+    gather_concat = os.environ.get("HT_PALLAS_GATHER", "") == "concat"
+    scatter_val = os.environ.get("HT_PALLAS_SCATTER", "") == "val"
     # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32);
     # "default" single-pass bf16 trades ~3 decimal digits for MXU time
     mxu_prec = (jax.lax.Precision.HIGHEST
@@ -340,9 +346,15 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 # corner; Mosaic also rejects pad-concats of
                 # offset-mismatched vectors).  Only the rows of each
                 # class are rolled.
-                scr_f[:, :C] = F
-                scr_f[:, C:] = jnp.zeros((24, 128), dtype)
-                Fv = scr_f[...]
+                if scatter_val:
+                    # F is a dot result with canonical layout; pad it
+                    # as a value, skipping the scr_f round-trip
+                    Fv = jnp.concatenate(
+                        [F, jnp.zeros((24, 128), dtype)], axis=1)
+                else:
+                    scr_f[:, :C] = F
+                    scr_f[:, C:] = jnp.zeros((24, 128), dtype)
+                    Fv = scr_f[...]
                 for s, js in CLASSES.items():
                     if s == 0:
                         for j in js:
@@ -408,6 +420,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         c1 = cmv[0, c0:c0 + C]
         c2 = cmv[1, c0:c0 + C]
 
+        wv = None     # register-resident W (gather_concat path)
         regs = {}
         if staged and preshift:
             cls = {s: k for k, s in enumerate(NR)}
@@ -427,6 +440,22 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 g = scr_s[:, pl.ds(c0, C)]
                 for j in range(8):
                     scr_w[3 * j:3 * j + 3] = g
+            elif gather_concat and use_mxu:
+                # value-concat gather: the rolled windows have
+                # canonical layouts, so the [24, C] MXU operand is
+                # built as one register concat -- no scr_w VMEM
+                # round-trip (the staging copies are ~1/3 of the
+                # kernel's non-DMA time, see bench ablations)
+                parts = []
+                for j, o in enumerate(offs):
+                    s = o % 128
+                    start = c0 + (o - s)
+                    key = (o - s, s)
+                    if key not in regs:
+                        g = scr_s[:, pl.ds(start, W0)]
+                        regs[key] = g if s == 0 else roll(g, W0 - s)
+                    parts.append(regs[key][:, :C])
+                wv = jnp.concatenate(parts, axis=0)
             else:
                 for j, o in enumerate(offs):
                     s = o % 128
@@ -449,7 +478,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 scr_w[3 * j:3 * j + 3] = r[0:3, :C] + bt * r[3:6, :C]
 
         if use_mxu:
-            Wv = scr_w[...]
+            Wv = wv if wv is not None else scr_w[...]
             if ablate == "noop":
                 return Wv * (c1 != 0.0).astype(dtype)
             if tier == "umat":

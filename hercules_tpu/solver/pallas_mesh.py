@@ -339,6 +339,10 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
     bkt = mt.damping == "bkt"
     f1e, f2e = spectral_factors()
     dd = diag_dd(f1e, f2e, dtype)
+    # perf ablations (measurement only — WRONG PHYSICS at interfaces):
+    # "norec" skips interface reconciliation, "noloose" skips the
+    # unstructured loose-element pass; see pallas_brick HT_PALLAS_ABLATE
+    mablate = set(os.environ.get("HT_MESH_ABLATE", "").split(","))
 
     calls = []
     for (offs, B, o7, T, LEN), (tier, kco) in zip(mt.geo, mt.tiers):
@@ -388,7 +392,9 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
         # ---- loose elements (XLA gather/scatter) ---------------------
         u_l, up_l = us[NB], ups[NB]
         F_l = jnp.zeros((3, mt.NL), dtype)
-        if mt.El:
+        if mt.El and "noloose" in mablate and bkt:
+            new_conv.append(conv[NB])       # keep the carry structure
+        if mt.El and "noloose" not in mablate:
             uT, upT = u_l.T, up_l.T
             ue = uT[mt.l_rows].reshape(mt.El, 24)
             upe = upT[mt.l_rows].reshape(mt.El, 24)
@@ -434,7 +440,9 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
         uns.append(un_l)
 
         # ---- interface reconciliation --------------------------------
-        if mt.plane_rec is not None:
+        if "norec" in mablate:
+            pass
+        elif mt.plane_rec is not None:
             # dense z-plane algebra (planerec.py): no gathers/scatters
             uns = mt.plane_rec.apply(us, ups, uns, srcf, dtype)
         elif mt.K:
