@@ -248,17 +248,22 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # class-rolled scatter to one aligned add.  Used to attribute
     # kernel time (see bench.py roofline notes).
     ablate = os.environ.get("HT_PALLAS_ABLATE", "")
-    # experimental dataflow modes (bench ablations show the scr_w /
-    # scr_f VMEM round-trips are ~2/3 of the kernel's non-DMA time):
-    # gather=concat builds the MXU operand as a register concat of the
-    # rolled windows; scatter=val pads/rolls the force block as values
-    gather_concat = os.environ.get("HT_PALLAS_GATHER", "") == "concat"
-    scatter_val = os.environ.get("HT_PALLAS_SCATTER", "") == "val"
-    # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32);
-    # "default" single-pass bf16 trades ~3 decimal digits for MXU time
-    mxu_prec = (jax.lax.Precision.HIGHEST
-                if os.environ.get("HT_MXU_PREC", "highest") == "highest"
-                else jax.lax.Precision.DEFAULT)
+    # dataflow modes (bench ablations: the scr_w / scr_f VMEM
+    # round-trips are ~2/3 of the kernel's non-DMA time): by default
+    # the MXU operand is built as a register concat of the rolled
+    # windows and the force block is padded/rolled as values — no
+    # VMEM staging.  HT_PALLAS_GATHER/SCATTER=scratch restores the
+    # scratch-staged path (also the non-MXU fallback).
+    gather_concat = os.environ.get("HT_PALLAS_GATHER",
+                                   "concat") == "concat"
+    scatter_val = os.environ.get("HT_PALLAS_SCATTER", "val") == "val"
+    # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32),
+    # "high" = bf16x3 (covers the f32 mantissa to ~2^-21), "default"
+    # single-pass bf16 trades ~3 decimal digits for MXU time
+    mxu_prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH}.get(
+        os.environ.get("HT_MXU_PREC", "highest"),
+        jax.lax.Precision.DEFAULT)
     M1d, M2d = stiffness_matrices_24()
     if tier == "umat":
         am_np = np.zeros((48, 24))
