@@ -242,11 +242,19 @@ class SimOutputs:
                 return out
             return u                          # unstructured [N, 3]
 
+        def carry_slots(state):
+            """(u_slot, up_slot, tail) across carry layouts: legacy
+            (u, up, ...) and the packed mesh carry ((S, ...),)."""
+            if isinstance(state[0], tuple):
+                from .solver.pallas_mesh import mesh_carry_views
+                return mesh_carry_views(state)
+            return state[0], state[1], tuple(state[2:])
+
         def u_global(state):
-            return slot_global(state[0])
+            return slot_global(carry_slots(state)[0])
 
         def u_prev_global(state):
-            return slot_global(state[1])
+            return slot_global(carry_slots(state)[1])
 
         p = self.params
 
@@ -292,7 +300,7 @@ class SimOutputs:
                 # state) goes into the checkpoint -- the reference only
                 # saves tm1/tm2 (io_checkpoint.c:29-134), a known
                 # restart-semantics gap this fixes
-                u0, u1, tail = state[0], state[1], tuple(state[2:])
+                u0, u1, tail = carry_slots(state)
                 if isinstance(u0, tuple):
                     # multi-brick pallas carry: canonicalize the fields
                     # to global [N, 3]; conv stays carry-shaped

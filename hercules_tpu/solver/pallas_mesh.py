@@ -34,8 +34,8 @@ import numpy as np
 from .bricks import BrickPlan
 from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
                            bkt_kappa_zero, build_bkt_call, build_call,
-                           diag_dd, pallas_fits, pallas_geometry,
-                           spectral_factors)
+                           build_call_packed, diag_dd, pallas_fits,
+                           pallas_geometry, spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -150,12 +150,31 @@ class MeshPallasTables:
         def etab_arr(v):
             return np.where(ev, v[ei], 0.0)
 
+        # ---- dense plane reconciler (depth-graded fast path) ----------
+        # built first: the packed-state mode below requires it (or a
+        # plan with no interfaces at all)
+        from .planerec import PlaneReconciler
+        self.plane_rec = PlaneReconciler.build(plan, tables,
+                                               src_ids=src_ids,
+                                               dtype=dtype)
+        # packed-state mode: per-brick [8, LEN] S = (u 0:3, up 3:6) and
+        # [8, LEN] K consts — half the physical HBM bytes and the MXU
+        # element-operator path (see pallas_brick._make_kernel
+        # packed_state).  Elastic only; the index-based reconciliation
+        # epilogue writes whole columns, so packed requires the dense
+        # plane reconciler (or an interface-free plan).
+        self.packed = (not bkt
+                       and os.environ.get("HT_MESH_PACKED", "1") != "0"
+                       and (self.plane_rec is not None
+                            or len(plan.ex_pos) == 0))
+
         # ---- per-brick geometry + padded constant tables -------------
         self.geo = []        # (offs, B, o7, T, LEN) per brick
         self.cm = []
         self.bk = []
         self.mm = []
         self.invm = []
+        self.Kp = []         # packed mode: [8, LEN] consts per brick
         self.tiers = []      # per-brick kernel specialization
         if bkt:
             self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
@@ -202,14 +221,21 @@ class MeshPallasTables:
                 self.cm.append(None)
                 self.tiers.append(("general", None))
             else:
-                self.cm.append(pad2(cm_rows))
-                self.bk.append(None)
                 evb = ev[lo:hi]
                 self.tiers.append(_tier_kco(
                     cm_rows[0, lo:hi], cm_rows[1, lo:hi],
                     cm_rows[2, lo:hi], evb))
-            self.mm.append(pad2(mm_rows))
-            self.invm.append(pad2(invm_row[None, :]))
+                if self.packed:
+                    self.Kp.append(pad2(np.concatenate(
+                        [cm_rows, mm_rows, invm_row[None],
+                         np.zeros((1, mm_rows.shape[1]))], axis=0)))
+                    self.cm.append(None)
+                else:
+                    self.cm.append(pad2(cm_rows))
+                self.bk.append(None)
+            if not self.packed:
+                self.mm.append(pad2(mm_rows))
+                self.invm.append(pad2(invm_row[None, :]))
 
         # ---- loose section -------------------------------------------
         lslice = slice(off_loose, TOT)
@@ -232,12 +258,6 @@ class MeshPallasTables:
                 for k in ("c1", "c2", "c3", "c4"):
                     setattr(self, f"l_{k}", f(getattr(tables, k)[le]))
                 self.mcat = f(tables.m48.T)
-
-        # ---- dense plane reconciler (depth-graded fast path) ----------
-        from .planerec import PlaneReconciler
-        self.plane_rec = PlaneReconciler.build(plan, tables,
-                                               src_ids=src_ids,
-                                               dtype=dtype)
 
         # ---- reconciliation plan in (array, local) coordinates -------
         def locate(pos):
@@ -327,14 +347,100 @@ class MeshPallasTables:
                        st_nodes.shape, f(st_phi))
 
 
+def mesh_carry_views(carry):
+    """(us, ups, tail) views of a mesh-path carry: legacy
+    (us, ups, conv) with [3, *] entries, or packed ((S, ...),) with
+    S [8, LEN] = (u 0:3, up 3:6)."""
+    first = carry[0]
+    if len(first) and np.shape(first[0])[0] == 8:
+        return (tuple(S[0:3] for S in first),
+                tuple(S[3:6] for S in first), tuple(carry[1:]))
+    return carry[0], carry[1], tuple(carry[2:])
+
+
+def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
+    """Packed-state multi-brick step: carry = ((S_0, ..., S_NB-1,
+    S_loose),) with S [8, LEN] = (u 0:3, up 3:6).  Elastic only; the
+    per-brick kernels are build_call_packed (half the physical HBM
+    bytes + the MXU element operator), and the dense plane reconciler
+    writes its reconciled planes straight into rows 0:3 of the packed
+    next-step arrays (planerec._put row passthrough)."""
+    dtype = mt.dtype
+    f1e, f2e = spectral_factors()
+    dd = diag_dd(f1e, f2e, dtype)
+    mablate = set(os.environ.get("HT_MESH_ABLATE", "").split(","))
+
+    calls = [build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                               interpret=interpret, tier=tier, kco=kco)
+             for (offs, B, o7, T, LEN), (tier, kco)
+             in zip(mt.geo, mt.tiers)]
+    NB = mt.NB
+    consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
+
+    def step(cd, carry, x):
+        srcf, step_idx = x
+        (Ss,) = carry
+        us = tuple(S[0:3] for S in Ss)
+
+        if mt.st is not None:
+            gat, shape, phi = mt.st
+            u_st = gat(us, dtype).reshape(shape + (3,))
+            sample = jnp.einsum("sn,snc->sc", phi, u_st)
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+
+        # ---- per-brick fused kernels ---------------------------------
+        Sns = [calls[b](Ss[b], Ss[b], cd["K"][b], dd)
+               for b in range(NB)]
+
+        # ---- loose elements (XLA gather/scatter) ---------------------
+        S_l = Ss[NB]
+        u_l, up_l = S_l[0:3], S_l[3:6]
+        F_l = jnp.zeros((3, mt.NL), dtype)
+        if mt.El and "noloose" not in mablate:
+            uT, upT = u_l.T, up_l.T
+            ue = uT[mt.l_rows].reshape(mt.El, 24)
+            upe = upT[mt.l_rows].reshape(mt.El, 24)
+            du = ue - upe
+            a = mt.l_c1[:, None] * ue + mt.l_c3[:, None] * du
+            b_ = mt.l_c2[:, None] * ue + mt.l_c4[:, None] * du
+            lf = -(jnp.concatenate([a, b_], 1) @ mt.mcat.T)
+            flat = lf.reshape(-1, 3)[mt.l_perm]
+            F_l = jax.ops.segment_sum(flat, mt.l_seg,
+                                      num_segments=mt.NL,
+                                      indices_are_sorted=True).T
+        un_l = u_l + (F_l + cd["mm_l"] * (u_l - up_l)) * cd["invm_l"]
+        Sns.append(jnp.concatenate([un_l, u_l, S_l[6:8]], axis=0))
+
+        # ---- interface reconciliation --------------------------------
+        if "norec" in mablate:
+            pass
+        elif mt.plane_rec is not None:
+            ups = tuple(S[3:6] for S in Ss)
+            Sns = mt.plane_rec.apply(us, ups, Sns, srcf, dtype)
+        # (no index-epilogue branch: MeshPallasTables only enables
+        # packed mode with the plane reconciler or zero interfaces)
+
+        # ---- direct (single-copy) source injection -------------------
+        for a, pp, rows, iv in mt.src_direct:
+            Sns[a] = Sns[a].at[0:3, pp].add((srcf[rows] * iv).T)
+
+        return (tuple(Sns),), sample
+
+    return step, consts
+
+
 def make_mesh_step(mt: MeshPallasTables, interpret=False):
     """scan-able multi-brick step.  carry = (us, ups, conv) with us/ups
     tuples of [3, LEN_b] per brick + [3, NL] loose; conv = per-brick
     nodal-corner-basis [96, LEN_b] + loose ([El,8,3] x4) for BKT,
-    else ().
+    else ().  In packed mode (mt.packed) the carry is instead
+    ((S, ...),) — see _make_mesh_step_packed / mesh_carry_views.
 
     Returns (step, consts): step(consts, carry, x) takes the node-scale
     device tables as an explicit argument (see make_pallas_step)."""
+    if mt.packed:
+        return _make_mesh_step_packed(mt, interpret=interpret)
     dtype = mt.dtype
     bkt = mt.damping == "bkt"
     f1e, f2e = spectral_factors()
@@ -483,6 +589,10 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
 
 
 def init_mesh_state(mt: MeshPallasTables):
+    if mt.packed:
+        return (tuple(jnp.zeros((8, geo[4]), mt.dtype)
+                      for geo in mt.geo)
+                + (jnp.zeros((8, mt.NL), mt.dtype),),)
     us = tuple(jnp.zeros((3, geo[4]), mt.dtype) for geo in mt.geo) \
         + (jnp.zeros((3, mt.NL), mt.dtype),)
     conv = ()
@@ -496,15 +606,16 @@ def init_mesh_state(mt: MeshPallasTables):
 
 
 def mesh_u_global(plan: BrickPlan, us, N):
-    """Global [N, 3] displacement from the per-array state tuple."""
-    dt = np.asarray(us[0]).dtype
+    """Global [N, 3] displacement from the per-array state tuple
+    (accepts packed [8, LEN] entries: rows 0:3 are u)."""
+    dt = np.asarray(us[-1]).dtype
     u = np.zeros((N, 3), dt)
     for b, arr in zip(plan.bricks, us):
         u[plan.gnid_cat[b.off:b.off + b.nb]] = \
-            np.asarray(arr)[:, :b.nb].T
+            np.asarray(arr)[:3, :b.nb].T
     off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
                  if plan.bricks else 0)
-    u[plan.gnid_cat[off_loose:]] = np.asarray(us[-1]).T
+    u[plan.gnid_cat[off_loose:]] = np.asarray(us[-1])[:3].T
     return u
 
 
@@ -526,6 +637,12 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
         out.append(jnp.asarray(
             ug[plan.gnid_cat[mt.off_loose:]].T, dtype))
         return tuple(out)
+
+    if mt.packed:
+        us, ups = split(u_now), split(u_prev)
+        return (tuple(jnp.concatenate(
+            [u, up, jnp.zeros((2, u.shape[1]), dtype)], axis=0)
+            for u, up in zip(us, ups)),)
 
     conv = ()
     if mt.damping == "bkt":
@@ -573,5 +690,7 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     state, samples = run_chunked(step, state, make_xs, total_steps,
                                  start_step=start_step, chunk=chunk,
                                  on_chunk=on_chunk, on_snap=on_snap,
-                                 snap_every=snap_every, consts=consts)
+                                 snap_every=snap_every, consts=consts,
+                                 snap_of=lambda c:
+                                 mesh_carry_views(c)[:2])
     return state, samples

@@ -403,21 +403,34 @@ class PlaneReconciler:
     def _put(arr, vals, nb, dims, zpos, z):
         """Write the plane back via static slices + concats (large
         contiguous copies; an update-index lowers as a full-buffer
-        select)."""
+        select).
+
+        arr may have MORE rows than vals (the packed-state mesh path
+        passes the [8, LEN] S array and a [3, ...] displacement plane);
+        the extra rows pass through unchanged, in the same single full
+        copy -- a [3, LEN] f32 array physically occupies 8 HBM sublanes
+        anyway, so the byte cost is identical to the 3-row case."""
         C = arr.shape[0]
+        Cv = vals.shape[0]
         d0, d1, d2 = dims
         vals = vals.astype(arr.dtype)
         if zpos == 0:
             pl = d1 * d2
-            return jnp.concatenate(
-                [arr[:, :z * pl], vals.reshape(C, pl),
-                 arr[:, (z + 1) * pl:]], axis=1)
+            rows = jnp.concatenate(
+                [arr[:Cv, :z * pl], vals.reshape(Cv, pl),
+                 arr[:Cv, (z + 1) * pl:]], axis=1)
+            return rows if C == Cv else \
+                jnp.concatenate([rows, arr[Cv:]], axis=0)
         if zpos == 1:
             v3 = arr[:, :nb].reshape(C, d0, d1 * d2)
+            vp = vals.reshape(Cv, d0, d2)
+            if C != Cv:
+                vp = jnp.concatenate(
+                    [vp, v3[Cv:, :, z * d2:(z + 1) * d2]], axis=0)
             parts = []
             if z > 0:
                 parts.append(v3[:, :, :z * d2])
-            parts.append(vals.reshape(C, d0, d2))
+            parts.append(vp)
             if z < d1 - 1:
                 parts.append(v3[:, :, (z + 1) * d2:])
             v2 = jnp.concatenate(parts, axis=2) if len(parts) > 1 \
@@ -425,10 +438,13 @@ class PlaneReconciler:
             return jnp.concatenate([v2.reshape(C, nb), arr[:, nb:]],
                                    axis=1)
         v3 = arr[:, :nb].reshape(C, d0 * d1, d2)
+        vp = vals.reshape(Cv, d0 * d1, 1)
+        if C != Cv:
+            vp = jnp.concatenate([vp, v3[Cv:, :, z:z + 1]], axis=0)
         parts = []
         if z > 0:
             parts.append(v3[:, :, :z])
-        parts.append(vals.reshape(C, d0 * d1, 1))
+        parts.append(vp)
         if z < d2 - 1:
             parts.append(v3[:, :, z + 1:])
         v2 = jnp.concatenate(parts, axis=2) if len(parts) > 1 \
@@ -448,13 +464,16 @@ class PlaneReconciler:
             :, :nyf, :]
 
     def apply(self, us, ups, uns, srcf, dtype):
+        """Reconcile the per-brick next-step fields.  us/ups are [3, *]
+        displacement arrays (or row views); uns entries may be packed
+        [8, *] state arrays, whose rows 3: pass through _put."""
         uns = list(uns)
 
         for h in self.hang:
             pf = lambda a: self._plane(a, h.nbf, h.dims_f, h.zpos_f,
-                                       h.zf).astype(dtype)
+                                       h.zf)[:3].astype(dtype)
             pc = lambda a: self._plane(a, h.nbc, h.dims_c, h.zpos_c,
-                                       h.zc).astype(dtype)
+                                       h.zc)[:3].astype(dtype)
             v2 = self.hanging_algebra(
                 pf(us[h.fi]), pf(ups[h.fi]), pf(uns[h.fi]),
                 pc(us[h.ci]), pc(ups[h.ci]), pc(uns[h.ci]),
@@ -466,9 +485,9 @@ class PlaneReconciler:
 
         for s in self.same:
             pa = lambda a: self._plane(a, s.nba, s.dims_a, s.zpos_a,
-                                       s.za).astype(dtype)
+                                       s.za)[:3].astype(dtype)
             pb = lambda a: self._plane(a, s.nbb, s.dims_b, s.zpos_b,
-                                       s.zb).astype(dtype)
+                                       s.zb)[:3].astype(dtype)
             unv = self.same_level_algebra(
                 pa(us[s.ai]), pa(ups[s.ai]), pa(uns[s.ai]),
                 pb(us[s.bi]), pb(ups[s.bi]), pb(uns[s.bi]),

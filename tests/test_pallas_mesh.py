@@ -158,6 +158,8 @@ def test_plane_reconciler_depth_graded(damping):
     mt = MeshPallasTables(plan, tables)
     assert mt.plane_rec is not None
     assert len(mt.plane_rec.hang) == 1
+    # ... and the packed-state kernels ride it (elastic only)
+    assert mt.packed == (damping != "bkt")
 
     T = 50
     rng = np.random.default_rng(5)
@@ -259,3 +261,41 @@ def test_reordered_bricks_elongated(monkeypatch, tmp_path):
     scale = np.abs(u_ref).max()
     assert scale > 0
     np.testing.assert_allclose(u_m, u_ref, rtol=0, atol=5e-12 * scale)
+
+
+def test_mesh_packed_checkpoint_restart():
+    """A canonical (u, up) checkpoint written from the packed mesh
+    carry restores bit-exactly through restore_mesh_state (the sim.py
+    resume contract: global [N, 3] fields in, carry out)."""
+    from hercules_tpu.solver.pallas_mesh import mesh_carry_views
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    mesh = _depth_graded_mesh(p, cvm)
+    p.type_of_damping = "rayleigh"
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh, min_brick_elems=512)
+
+    T = 40
+    rng = np.random.default_rng(7)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0]], np.int32)
+    forces = rng.standard_normal((T, 1, 3)) * 1e8
+
+    def run(steps, **kw):
+        return run_mesh_solver(plan, tables, nid, forces, steps,
+                               p.delta_t, dtype=jnp.float64, chunk=10,
+                               interpret=True, **kw)
+
+    state_a, _ = run(T)
+    state_h, _ = run(T // 2)
+    # the packed carry is in effect on this (elastic, plane-rec) mesh
+    assert np.shape(state_h[0][0])[0] == 8
+    us, ups, tail = mesh_carry_views(state_h)
+    assert tail == ()
+    u_now = mesh_u_global(plan, us, mesh.nnum)
+    u_prev = mesh_u_global(plan, ups, mesh.nnum)
+    state_r, _ = run(T, state=(u_now, u_prev), start_step=T // 2)
+
+    u_a = mesh_u_global(plan, state_a[0], mesh.nnum)
+    u_r = mesh_u_global(plan, state_r[0], mesh.nnum)
+    np.testing.assert_array_equal(u_a, u_r)
