@@ -305,10 +305,27 @@ class GslabPath(_PathBase):
         us = carry[0]
         out = jnp.zeros((self._S, 3), self.dtype)
         for bi in self._st_bricks:
-            pts = us[bi][:, t[f"st_lidx{bi}"]]       # [3, S, 8]
+            pts = us[bi][0:3][:, t[f"st_lidx{bi}"]]  # [3, S, 8]
             s = jnp.einsum("sk,csk->sc", t["st_phi"], pts)
             out = out + s * t[f"st_own{bi}"]
         return out
+
+    def snap_pair(self, carry):
+        # called on the LOCAL carry inside the shard_mapped scan
+        if self.st.packed:
+            return (tuple(S[0:3] for S in carry[0]),
+                    tuple(S[3:6] for S in carry[0]))
+        return (carry[0], carry[1])
+
+    @property
+    def snap_spec(self):
+        one = self.state_spec[0]
+        return (one, one)
+
+    def tail(self, state):
+        if self.st.packed:
+            return ()
+        return tuple(state[2:]) if len(state) > 2 else ()
 
     def u_global(self, state):
         from .gslab import gslab_u_global
@@ -316,6 +333,12 @@ class GslabPath(_PathBase):
 
     def up_global(self, state):
         from .gslab import gslab_u_global
+        # the packed carry holds u_prev in rows 3:6 of state[0];
+        # snap_pair pseudo-states pass an explicit (u, up) pair of
+        # 3-row arrays instead
+        if self.st.packed and np.shape(state[0][0])[1] == 8:
+            return gslab_u_global(self.st, state[0], self.mesh.nnum,
+                                  row0=3)
         return gslab_u_global(self.st, state[1], self.mesh.nnum)
 
     def _u_stack(self, u):
@@ -334,11 +357,24 @@ class GslabPath(_PathBase):
         return ()
 
     def init_state(self):
+        if self.st.packed:
+            return (tuple(jnp.zeros((self.n_dev, 8, gb.LEN),
+                                    self.dtype)
+                          for gb in self.st.bricks),)
         u = tuple(jnp.zeros((self.n_dev, 3, gb.LEN), self.dtype)
                   for gb in self.st.bricks)
         return (u, u) + self._default_tail()
 
     def state_from_global(self, u, up, tail_flat):
+        if self.st.packed:
+            if tail_flat:
+                raise RuntimeError(
+                    "unexpected checkpoint tail for gslab path")
+            us, ups = self._u_stack(u), self._u_stack(up)
+            return (tuple(jnp.concatenate(
+                [jnp.asarray(a), jnp.asarray(b),
+                 jnp.zeros((self.n_dev, 2, a.shape[-1]), self.dtype)],
+                axis=1) for a, b in zip(us, ups)),)
         base = (self._u_stack(u), self._u_stack(up))
         if not tail_flat:
             return base + self._default_tail()
@@ -514,7 +550,8 @@ def _build_scan(path: _PathBase, mesh_dev: Mesh, snap=False):
     if not snap:
         ospec = P(axis)
     else:
-        ospec = (P(axis), (sspec[0], sspec[1]))
+        ospec = (P(axis), getattr(path, "snap_spec",
+                                  (sspec[0], sspec[1])))
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()),
                          out_specs=(sspec, ospec),

@@ -56,6 +56,7 @@ class _GBrick:
     bk: object = None
     mm: object = None
     invm: object = None
+    Kp: object = None     # packed mode: [n_dev, 8, LEN] consts
     tier: str = "general"
     kco: tuple = None
     gnid_local: list = None
@@ -75,6 +76,7 @@ class GSlabTables:
     conv_dtype: object = None
     shear_only: bool = False
     gnid_all: list = None       # per device, per brick
+    packed: bool = False        # [8, LEN] packed-state kernels
 
 
 def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
@@ -97,8 +99,11 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
     t_host, metas, TOT = assemble_brick_tables(plan, tables,
                                                src_ids=src_ids)
     bkt = tables.damping == "bkt"
+    import os
     st = GSlabTables(n_dev=n_dev, damping=tables.damping, bricks=[],
-                     rec=rec, hang_own=[], same_own=[])
+                     rec=rec, hang_own=[], same_own=[],
+                     packed=(not bkt and os.environ.get(
+                         "HT_GSLAB_PACKED", "1") != "0"))
     if bkt:
         st.shear_only = bkt_kappa_zero(tables.bkt)
         st.conv_rows = 48 if st.shear_only else 96
@@ -183,12 +188,23 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
             gb.bk = f(pad(np.stack(bks)))
         else:
             cm = np.stack(cms)
-            gb.cm = f(pad(cm))
             gb.tier, gb.kco = _tier_kco(
                 cm[:, 0].ravel(), cm[:, 1].ravel(), cm[:, 2].ravel(),
                 cm[:, 0].ravel() != 0)
-        gb.mm = f(pad(np.stack(mms)))
-        gb.invm = f(pad(np.stack(invs)))[:, None, :]
+            if st.packed:
+                # one [8, LEN] const array per device: (c1, c2, beta,
+                # mass_minusaM x3, inv_mass, 0) — build_call_packed's
+                # K layout, half the physical HBM streams of separate
+                # cm/mm/invm (each padded to 8 sublanes on device)
+                kp = np.concatenate(
+                    [cm, np.stack(mms), np.stack(invs)[:, None, :],
+                     np.zeros((n_dev, 1, cm.shape[-1]))], axis=1)
+                gb.Kp = f(pad(kp))
+            else:
+                gb.cm = f(pad(cm))
+        if not st.packed:
+            gb.mm = f(pad(np.stack(mms)))
+            gb.invm = f(pad(np.stack(invs)))[:, None, :]
         if L and np.any([m.any() for m in srcm]):
             gb.src_lidx = jnp.asarray(np.stack(srcl), jnp.int32)
             gb.src_mask = jnp.asarray(np.stack(srcm))
@@ -218,9 +234,11 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
     """Raw per-step kernel for the graded stacked-slab path: returns
     (local_step, tdev, state_spec)."""
     from ..physics.kmats import spectral_factors
-    from ..solver.pallas_brick import build_bkt_call, build_call
+    from ..solver.pallas_brick import (build_bkt_call, build_call,
+                                       build_call_packed)
 
     bkt = st.damping == "bkt"
+    packed = st.packed
     n_dev = st.n_dev
     f1e, f2e = spectral_factors()
     from ..solver.pallas_brick import diag_dd
@@ -233,6 +251,10 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
                 gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, dtype,
                 shear_only=st.shear_only, conv_dtype=st.conv_dtype,
                 interpret=interpret))
+        elif packed:
+            calls.append(build_call_packed(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, f1e, f2e,
+                dtype, interpret=interpret, tier=gb.tier, kco=gb.kco))
         else:
             calls.append(build_call(
                 gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, f1e, f2e,
@@ -240,11 +262,14 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
 
     tdev = {}
     for bi, gb in enumerate(st.bricks):
-        tdev[f"mm{bi}"] = gb.mm
-        tdev[f"invm{bi}"] = gb.invm
+        if packed:
+            tdev[f"K{bi}"] = gb.Kp
+        else:
+            tdev[f"mm{bi}"] = gb.mm
+            tdev[f"invm{bi}"] = gb.invm
         if bkt:
             tdev[f"bk{bi}"] = gb.bk
-        else:
+        elif not packed:
             tdev[f"cm{bi}"] = gb.cm
         if gb.src_lidx is not None:
             tdev[f"sl{bi}"] = gb.src_lidx
@@ -255,13 +280,18 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
 
     def local_step(t, carry, x):
         srcf, _step = x
+        convs = None
         if bkt:
             us, ups, convs = carry
+        elif packed:
+            # packed: one [8, LEN] S per brick (u 0:3, up 3:6)
+            (Ss,) = carry
+            us = tuple(S[0:3] for S in Ss)
+            ups = tuple(S[3:6] for S in Ss)
         else:
             us, ups = carry
-            convs = None
         idx = jax.lax.axis_index(axis)
-        uns = []
+        uns = []      # packed: [8, LEN] next-step S; else [3, LEN] un
         new_conv = []
 
         for bi, gb in enumerate(st.bricks):
@@ -271,13 +301,20 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
                                    t[f"mm{bi}"], t[f"invm{bi}"],
                                    convs[bi])
                 new_conv.append(cv)
+            elif packed:
+                un = calls[bi](Ss[bi], Ss[bi], t[f"K{bi}"], dd)
             else:
                 un = calls[bi](u, u, up, up, t[f"cm{bi}"],
                                t[f"mm{bi}"], t[f"invm{bi}"], dd)
-            iv = t[f"invm{bi}"][0]
+            if packed:
+                iv = t[f"K{bi}"][6]
+                m1 = t[f"K{bi}"][3:6]
+            else:
+                iv = t[f"invm{bi}"][0]
+                m1 = t[f"mm{bi}"]
             if gb.src_lidx is not None:
                 sf = jnp.where(t[f"sm{bi}"][:, None], srcf, 0)
-                un = un.at[:, t[f"sl{bi}"]].add(
+                un = un.at[:3, t[f"sl{bi}"]].add(
                     sf.T * iv[t[f"sl{bi}"]][None, :])
 
             # within-brick fragment halo: shared-plane force recovery
@@ -285,7 +322,6 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             # bottom shared plane sits at the per-device dynamic
             # offset ez_of[idx]*plane (uneven splits pad the tail).
             plane, nb = gb.plane, gb.nb
-            m1 = t[f"mm{bi}"]
             zb = jnp.asarray(gb.ez_of, jnp.int32)[idx] * plane
             z0 = jnp.zeros((), zb.dtype)
 
@@ -297,10 +333,11 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
                 unp, upl, uppl, ivp, m1p = pl
                 return (unp - upl) / ivp - m1p * (upl - uppl)
 
-            f_top = plane_force((un[:, :plane], u[:, :plane],
+            f_top = plane_force((un[:3, :plane], u[:, :plane],
                                  up[:, :plane], iv[None, :plane],
                                  m1[:, :plane]))
-            f_bot = plane_force((dslice(un, zb, 3), dslice(u, zb, 3),
+            f_bot = plane_force((dslice(un, zb, 3)[:3],
+                                 dslice(u, zb, 3),
                                  dslice(up, zb, 3),
                                  dslice(iv[None, :], zb, 1),
                                  dslice(m1, zb, 3)))
@@ -308,10 +345,11 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             up_ = jax.lax.ppermute(f_top, axis, ring_up)
             wtop = jnp.where(idx > 0, 1.0, 0.0)
             wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
-            un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
+            un = un.at[:3, :plane].add(wtop * down
+                                       * iv[:plane][None, :])
             bot_add = wbot * up_ * dslice(iv[None, :], zb, 1)
             un = jax.lax.dynamic_update_slice(
-                un, dslice(un, zb, 3) + bot_add, (z0, zb))
+                un, dslice(un, zb, 3)[:3] + bot_add, (z0, zb))
             uns.append(un)
 
         # cross-brick interface reconciliation
@@ -319,8 +357,14 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             gb = st.bricks[bi]
             sl = slice(lz * gb.plane, (lz + 1) * gb.plane)
             return jnp.concatenate(
-                [us[bi][:, sl], ups[bi][:, sl], uns[bi][:, sl]],
+                [us[bi][:, sl], ups[bi][:, sl], uns[bi][:3, sl]],
                 axis=0).reshape(9, ny, nx)
+
+        def put_plane(arr, vals, col0):
+            """Write a [3, plane] plane into rows 0:3 at column col0
+            (rows 3: of a packed array pass through)."""
+            return jax.lax.dynamic_update_slice(
+                arr, vals.astype(dtype), (0, col0))
 
         for h, (df, lzf, dc, lzc) in zip(st.rec.hang, st.hang_own):
             gbf, gbc = st.bricks[h.fi], st.bricks[h.ci]
@@ -334,12 +378,10 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             v2c = v2[:, ::2, ::2]
             if df != dc:
                 v2c = jax.lax.ppermute(v2c, axis, [(df, dc)])
-            putf = jax.lax.dynamic_update_slice_in_dim(
-                uns[h.fi], v2.reshape(3, gbf.plane).astype(dtype),
-                lzf * gbf.plane, axis=1)
-            putc = jax.lax.dynamic_update_slice_in_dim(
-                uns[h.ci], v2c.reshape(3, gbc.plane).astype(dtype),
-                lzc * gbc.plane, axis=1)
+            putf = put_plane(uns[h.fi], v2.reshape(3, gbf.plane),
+                             lzf * gbf.plane)
+            putc = put_plane(uns[h.ci], v2c.reshape(3, gbc.plane),
+                             lzc * gbc.plane)
             uns[h.fi] = jnp.where(idx == df, putf, uns[h.fi])
             uns[h.ci] = jnp.where(idx == dc, putc, uns[h.ci])
 
@@ -354,22 +396,23 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             unb = unv
             if da != db:
                 unb = jax.lax.ppermute(unv, axis, [(da, db)])
-            puta = jax.lax.dynamic_update_slice_in_dim(
-                uns[s.ai], unv.reshape(3, gba.plane).astype(dtype),
-                lza * gba.plane, axis=1)
-            putb = jax.lax.dynamic_update_slice_in_dim(
-                uns[s.bi], unb.reshape(3, gbb.plane).astype(dtype),
-                lzb * gbb.plane, axis=1)
+            puta = put_plane(uns[s.ai], unv.reshape(3, gba.plane),
+                             lza * gba.plane)
+            putb = put_plane(uns[s.bi], unb.reshape(3, gbb.plane),
+                             lzb * gbb.plane)
             uns[s.ai] = jnp.where(idx == da, puta, uns[s.ai])
             uns[s.bi] = jnp.where(idx == db, putb, uns[s.bi])
 
         if bkt:
             return (tuple(uns), tuple(us), tuple(new_conv)), None
+        if packed:
+            return (tuple(uns),), None
         return (tuple(uns), tuple(us)), None
 
     nb_ = len(st.bricks)
     one = (P(axis),) * nb_
-    sspec = (one, one, one) if bkt else (one, one)
+    sspec = ((one, one, one) if bkt
+             else (one,) if packed else (one, one))
     return local_step, tdev, sspec
 
 
@@ -396,14 +439,18 @@ def run_gslab_solver(st: GSlabTables, mesh_dev, src_forces,
                      interpret=False):
     scan_fn, tdev = make_gslab_step(st, mesh_dev, dtype=dtype,
                                     interpret=interpret)
-    u = tuple(jnp.zeros((st.n_dev, 3, gb.LEN), dtype)
-              for gb in st.bricks)
-    if st.damping == "bkt":
-        conv = tuple(jnp.zeros((st.n_dev, st.conv_rows, gb.LEN),
-                               st.conv_dtype) for gb in st.bricks)
-        state = (u, u, conv)
+    if st.packed:
+        state = (tuple(jnp.zeros((st.n_dev, 8, gb.LEN), dtype)
+                       for gb in st.bricks),)
     else:
-        state = (u, u)
+        u = tuple(jnp.zeros((st.n_dev, 3, gb.LEN), dtype)
+                  for gb in st.bricks)
+        if st.damping == "bkt":
+            conv = tuple(jnp.zeros((st.n_dev, st.conv_rows, gb.LEN),
+                                   st.conv_dtype) for gb in st.bricks)
+            state = (u, u, conv)
+        else:
+            state = (u, u)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt
@@ -417,12 +464,14 @@ def run_gslab_solver(st: GSlabTables, mesh_dev, src_forces,
     return state
 
 
-def gslab_u_global(st: GSlabTables, us, N):
-    """Global [N, 3] field from the per-brick stacked slab states."""
+def gslab_u_global(st: GSlabTables, us, N, row0=0):
+    """Global [N, 3] field from the per-brick stacked slab states.
+    Accepts packed [n_dev, 8, LEN] entries: row0=0 reads u, row0=3
+    reads u_prev."""
     u = np.zeros((N, 3), np.asarray(us[0]).dtype)
     for gb, arr in zip(st.bricks, us):
-        a = np.asarray(arr)               # [n_dev, 3, LEN]
+        a = np.asarray(arr)               # [n_dev, 3 or 8, LEN]
         for d in range(st.n_dev):
             g = gb.gnid_local[d]
-            u[g] = a[d, :, : len(g)].T
+            u[g] = a[d, row0:row0 + 3, : len(g)].T
     return u

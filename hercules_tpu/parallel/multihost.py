@@ -242,15 +242,19 @@ def run_gslab_multihost(st, src_forces, total_steps, dt,
     repl = lambda a: make_global(a, mesh_dev, P())
     tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
 
-    u = tuple(sharded(np.zeros((n_dev, 3, gb.LEN), npdt))
-              for gb in st.bricks)
-    if st.damping == "bkt":
-        cn = np.dtype(jnp.zeros((), st.conv_dtype).dtype)
-        conv = tuple(sharded(np.zeros((n_dev, st.conv_rows, gb.LEN),
-                                      cn)) for gb in st.bricks)
-        state = (u, u, conv)
+    if st.packed:
+        state = (tuple(sharded(np.zeros((n_dev, 8, gb.LEN), npdt))
+                       for gb in st.bricks),)
     else:
-        state = (u, u)
+        u = tuple(sharded(np.zeros((n_dev, 3, gb.LEN), npdt))
+                  for gb in st.bricks)
+        if st.damping == "bkt":
+            cn = np.dtype(jnp.zeros((), st.conv_dtype).dtype)
+            conv = tuple(sharded(np.zeros((n_dev, st.conv_rows, gb.LEN),
+                                          cn)) for gb in st.bricks)
+            state = (u, u, conv)
+        else:
+            state = (u, u)
 
     if chunk is None:
         chunk = min(total_steps, 1000)
