@@ -54,6 +54,14 @@ def main(argv=None):
         numerical_in = argv[1] if len(argv) > 1 else argv[0]
 
     import jax
+    # HT_PLATFORM=cpu pins the backend BEFORE any device use.  On
+    # hosts where a TPU plugin is pre-registered at interpreter start
+    # the JAX_PLATFORMS *env var* does not stop that plugin from
+    # initializing (and hanging if the device is unreachable); the
+    # config route below does.
+    plat = os.environ.get("HT_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
 
