@@ -221,16 +221,55 @@ class SlabPallasPath(SlabXLAPath):
 
     def __init__(self, st, mesh, axis="d", dtype=jnp.float32,
                  interpret=False):
-        from .slab import slab_pallas_step_builder
+        from .slab import (slab_pallas_packed,
+                           slab_pallas_step_builder)
         self.st = st
         self.mesh = mesh
         self.axis = axis
         self.n_dev = st.n_dev
         self.dtype = dtype
+        self._packed = slab_pallas_packed(st.damping)
         (self.local_step, self.tdev, self.state_spec, self._LEN,
          self._conv_info) = slab_pallas_step_builder(
             st, axis=axis, dtype=dtype, interpret=interpret)
         self._has_st = False
+
+    def sample(self, t, carry):
+        if not self._has_st:
+            return jnp.zeros((0, 3), self.dtype)
+        u = carry[0][0:3] if self._packed else carry[0]
+        pts = u[:, t["st_lidx"]]             # [3, S, 8]
+        s = jnp.einsum("sk,csk->sc", t["st_phi"], pts)
+        return s * t["st_own"]
+
+    def snap_pair(self, carry):
+        # called on the LOCAL carry inside the shard_mapped scan
+        if self._packed:
+            return (carry[0][0:3], carry[0][3:6])
+        return (carry[0], carry[1])
+
+    @property
+    def snap_spec(self):
+        axis = self.axis
+        return (P(axis), P(axis))
+
+    def tail(self, state):
+        if self._packed:
+            return ()
+        return tuple(state[2:]) if len(state) > 2 else ()
+
+    def u_global(self, state):
+        from .slab import slab_pallas_u_global
+        return slab_pallas_u_global(self.st, state[0], self.mesh.nnum)
+
+    def up_global(self, state):
+        from .slab import slab_pallas_u_global
+        # packed carry holds u_prev in rows 3:6 of state[0];
+        # snap_pair pseudo-states pass an explicit (u, up) pair
+        if self._packed and np.shape(state[0])[1] == 8:
+            return slab_pallas_u_global(self.st, state[0],
+                                        self.mesh.nnum, row0=3)
+        return slab_pallas_u_global(self.st, state[1], self.mesh.nnum)
 
     def _default_tail(self):
         if self.st.damping == "bkt":
@@ -238,7 +277,23 @@ class SlabPallasPath(SlabXLAPath):
             return (jnp.zeros((self.n_dev, rows, self._LEN), cdt),)
         return ()
 
+    def init_state(self):
+        if self._packed:
+            return (jnp.zeros((self.n_dev, 8, self._LEN),
+                              self.dtype),)
+        u = jnp.zeros((self.n_dev, 3, self._LEN), self.dtype)
+        return (u, u) + self._default_tail()
+
     def state_from_global(self, u, up, tail_flat):
+        if self._packed:
+            if tail_flat:
+                raise RuntimeError(
+                    "unexpected checkpoint tail for slab path")
+            us = np.asarray(self._u_stack(u))
+            ups = np.asarray(self._u_stack(up))
+            pad = np.zeros((self.n_dev, 2, self._LEN), us.dtype)
+            return (jnp.asarray(
+                np.concatenate([us, ups, pad], axis=1), self.dtype),)
         base = (self._u_stack(u), self._u_stack(up))
         if not tail_flat:
             return base + self._default_tail()
@@ -550,8 +605,9 @@ def _build_scan(path: _PathBase, mesh_dev: Mesh, snap=False):
     if not snap:
         ospec = P(axis)
     else:
-        ospec = (P(axis), getattr(path, "snap_spec",
-                                  (sspec[0], sspec[1])))
+        pair = getattr(path, "snap_spec", None)
+        ospec = (P(axis), pair if pair is not None
+                 else (sspec[0], sspec[1]))
     smap = jax.shard_map(scan_all, mesh=mesh_dev,
                          in_specs=(tspec, sspec, P()),
                          out_specs=(sspec, ospec),

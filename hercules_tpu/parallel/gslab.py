@@ -343,13 +343,24 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
                                  dslice(m1, zb, 3)))
             down = jax.lax.ppermute(f_bot, axis, ring_dn)
             up_ = jax.lax.ppermute(f_top, axis, ring_up)
+            # replica-symmetric plane update (see slab.py): both
+            # copies recompute u_next with the same operand order so
+            # shared-plane replicas stay bit-identical
             wtop = jnp.where(idx > 0, 1.0, 0.0)
             wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
-            un = un.at[:3, :plane].add(wtop * down
-                                       * iv[:plane][None, :])
-            bot_add = wbot * up_ * dslice(iv[None, :], zb, 1)
+            du_t = u[:, :plane] - up[:, :plane]
+            top_new = u[:, :plane] \
+                + (down + f_top + m1[:, :plane] * du_t) \
+                * iv[None, :plane]
+            un = un.at[:3, :plane].set(
+                wtop * top_new + (1.0 - wtop) * un[:3, :plane])
+            u_b, up_b = dslice(u, zb, 3), dslice(up, zb, 3)
+            iv_b = dslice(iv[None, :], zb, 1)
+            bot_new = u_b + (f_bot + up_
+                             + dslice(m1, zb, 3) * (u_b - up_b)) * iv_b
             un = jax.lax.dynamic_update_slice(
-                un, dslice(un, zb, 3)[:3] + bot_add, (z0, zb))
+                un, wbot * bot_new + (1.0 - wbot)
+                * dslice(un, zb, 3)[:3], (z0, zb))
             uns.append(un)
 
         # cross-brick interface reconciliation

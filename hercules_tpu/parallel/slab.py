@@ -357,6 +357,14 @@ def slab_u_global(st: SlabTables, u_sharded, N):
 # ppermute per direction, and applied as u_next += F_neighbor *
 # inv_mass -- so the kernel needs no changes and no force output.
 
+def slab_pallas_packed(damping) -> bool:
+    """True when the fused slab path uses the packed [8, LEN] state
+    layout (elastic only; HT_SLAB_PACKED=0 opts out)."""
+    import os
+    return (damping != "bkt"
+            and os.environ.get("HT_SLAB_PACKED", "1") != "0")
+
+
 def slab_pallas_step_builder(st: SlabTables, axis="d",
                              dtype=jnp.float32, interpret=False):
     """Raw per-step kernel for the fused-Pallas slab path: returns
@@ -365,6 +373,7 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
     from ..solver.pallas_brick import (_tier_kco, bk_row_names,
                                        bkt_conv_dtype, bkt_kappa_zero,
                                        build_bkt_call, build_call,
+                                       build_call_packed,
                                        pallas_fits, pallas_geometry)
 
     offs = st.meta.offs
@@ -378,6 +387,7 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
     plane = st.nyp * st.nxp
     f1e, f2e = spectral_factors()
     bkt = st.damping == "bkt"
+    packed = slab_pallas_packed(st.damping)
 
     def pad_nodes(x):
         """[n_dev, ..., nb] -> [n_dev, ..., LEN]"""
@@ -385,10 +395,10 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         return np.pad(x, w)
 
     f = lambda x: jnp.asarray(x, dtype)
-    tdev = {
-        "mm": f(pad_nodes(st.mass_minusaM)),     # [n_dev, 3, LEN]
-        "invm": f(pad_nodes(st.inv_mass))[:, None, :],
-    }
+    tdev = {}
+    if not packed:
+        tdev["mm"] = f(pad_nodes(st.mass_minusaM))   # [n_dev, 3, LEN]
+        tdev["invm"] = f(pad_nodes(st.inv_mass))[:, None, :]
     conv_rows = conv_dtype = None
     if bkt:
         shear_only = bkt_kappa_zero(st.bkt)
@@ -407,9 +417,17 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         cm = np.stack([c1, st.c["c2"], beta], axis=1)
         tier, kco = _tier_kco(c1.ravel(), st.c["c2"].ravel(),
                               beta.ravel(), c1.ravel() != 0)
-        call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
-                          interpret=interpret, tier=tier, kco=kco)
-        tdev["cm"] = f(pad_nodes(cm))            # [n_dev, 3, LEN]
+        if packed:
+            call = build_call_packed(offs, B, o7, T, LEN, f1e, f2e,
+                                     dtype, interpret=interpret,
+                                     tier=tier, kco=kco)
+            tdev["K"] = f(pad_nodes(np.concatenate(
+                [cm, st.mass_minusaM, st.inv_mass[:, None, :],
+                 np.zeros((st.n_dev, 1, cm.shape[-1]))], axis=1)))
+        else:
+            call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                              interpret=interpret, tier=tier, kco=kco)
+            tdev["cm"] = f(pad_nodes(cm))        # [n_dev, 3, LEN]
     from ..solver.pallas_brick import diag_dd
     dd = diag_dd(f1e, f2e, dtype)
     has_src = st.src_lidx is not None
@@ -425,18 +443,29 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
             u, up, conv = carry
             un, conv = call(u, u, up, up, t["bk"], t["mm"], t["invm"],
                             conv)
+        elif packed:
+            # packed: carry = (S,), S [8, LEN] = (u 0:3, up 3:6); the
+            # kernel output already holds the shifted pair, so the
+            # halo algebra below edits its rows 0:3 in place
+            (S,) = carry
+            u, up = S[0:3], S[3:6]
+            un = call(S, S, t["K"], dd)
         else:
             u, up = carry
             un = call(u, u, up, up, t["cm"], t["mm"], t["invm"], dd)
+        if packed:
+            iv = t["K"][6]
+            m1 = t["K"][3:6]
+        else:
+            iv = t["invm"][0]
+            m1 = t["mm"]
         if has_src:
             sf = jnp.where(t["src_mask"][:, None], srcf, 0)
-            un = un.at[:, t["src_lidx"]].add(
-                sf.T * t["invm"][0][t["src_lidx"]][None, :])
+            un = un.at[:3, t["src_lidx"]].add(
+                sf.T * iv[t["src_lidx"]][None, :])
 
         # plane forces from the shard's own update (linearity):
         # un = u + (F + m*(u - up)) * iv  =>  F = (un - u)/iv - m*(u-up)
-        iv = t["invm"][0]
-        m1 = t["mm"]
         idx = jax.lax.axis_index(axis)
         zb = ez_of[idx] * plane           # bottom shared plane offset
 
@@ -450,10 +479,10 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         def dslice(a, off, rows):
             return jax.lax.dynamic_slice(a, (z0, off), (rows, plane))
 
-        f_top = plane_force((un[:, :plane], u[:, :plane],
+        f_top = plane_force((un[:3, :plane], u[:, :plane],
                              up[:, :plane], iv[None, :plane],
                              m1[:, :plane]))
-        f_bot = plane_force((dslice(un, zb, 3), dslice(u, zb, 3),
+        f_bot = plane_force((dslice(un, zb, 3)[:3], dslice(u, zb, 3),
                              dslice(up, zb, 3),
                              dslice(iv[None, :], zb, 1),
                              dslice(m1, zb, 3)))
@@ -461,17 +490,33 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
                                               for i in range(n_dev)])
         up_ = jax.lax.ppermute(f_top, axis, [(i, (i - 1) % n_dev)
                                              for i in range(n_dev)])
+        # replica-symmetric plane update: both copies of a shared
+        # plane recompute u_next from scratch with the SAME operand
+        # order (lower-device force + upper-device force), so the two
+        # replicas stay bit-identical and a canonical checkpoint
+        # restart reproduces the uninterrupted run exactly
         wtop = jnp.where(idx > 0, 1.0, 0.0)
         wbot = jnp.where(idx < n_dev - 1, 1.0, 0.0)
-        un = un.at[:, :plane].add(wtop * down * iv[:plane][None, :])
-        bot_add = wbot * up_ * dslice(iv[None, :], zb, 1)
+        du_t = u[:, :plane] - up[:, :plane]
+        top_new = u[:, :plane] + (down + f_top + m1[:, :plane] * du_t) \
+            * iv[None, :plane]
+        un = un.at[:3, :plane].set(
+            wtop * top_new + (1.0 - wtop) * un[:3, :plane])
+        u_b, up_b = dslice(u, zb, 3), dslice(up, zb, 3)
+        du_b = u_b - up_b
+        iv_b = dslice(iv[None, :], zb, 1)
+        bot_new = u_b + (f_bot + up_ + dslice(m1, zb, 3) * du_b) * iv_b
         un = jax.lax.dynamic_update_slice(
-            un, dslice(un, zb, 3) + bot_add, (z0, zb))
+            un, wbot * bot_new + (1.0 - wbot) * dslice(un, zb, 3)[:3],
+            (z0, zb))
         if bkt:
             return (un, u, conv), None
+        if packed:
+            return (un,), None
         return (un, u), None
 
-    sspec = ((P(axis),) * 3 if bkt else (P(axis),) * 2)
+    sspec = ((P(axis),) * 3 if bkt
+             else (P(axis),) if packed else (P(axis),) * 2)
     return local_step, tdev, sspec, LEN, (conv_rows, conv_dtype)
 
 
@@ -499,12 +544,15 @@ def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,
                            chunk=None, interpret=False):
     scan_fn, tdev, LEN, conv_info = make_slab_pallas_step(
         st, mesh_dev, dtype=dtype, interpret=interpret)
-    u = jnp.zeros((st.n_dev, 3, LEN), dtype)
-    if st.damping == "bkt":
+    if slab_pallas_packed(st.damping):
+        state = (jnp.zeros((st.n_dev, 8, LEN), dtype),)
+    elif st.damping == "bkt":
+        u = jnp.zeros((st.n_dev, 3, LEN), dtype)
         conv_rows, conv_dtype = conv_info
         state = (u, u, jnp.zeros((st.n_dev, conv_rows, LEN),
                                  conv_dtype))
     else:
+        u = jnp.zeros((st.n_dev, 3, LEN), dtype)
         state = (u, u)
     if chunk is None:
         chunk = min(total_steps, 1000)
@@ -519,9 +567,11 @@ def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,
     return state
 
 
-def slab_pallas_u_global(st: SlabTables, u_sharded, N):
-    """Global [N, 3] field from the stacked padded slab states."""
-    arr = np.asarray(u_sharded)[:, :, :st.tot_local]
+def slab_pallas_u_global(st: SlabTables, u_sharded, N, row0=0):
+    """Global [N, 3] field from the stacked padded slab states.
+    Accepts packed [n_dev, 8, LEN] states: row0=0 reads u, 3 reads
+    u_prev."""
+    arr = np.asarray(u_sharded)[:, row0:row0 + 3, :st.tot_local]
     u = np.zeros((N, 3), arr.dtype)
     for d in range(st.n_dev):
         g = st.gnid_local[d]

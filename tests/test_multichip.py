@@ -76,7 +76,8 @@ def single_run(simple_setup, tmp_path_factory):
     return rundir, samples
 
 
-@pytest.mark.parametrize("prefer", ["slab", "sharded"])
+@pytest.mark.parametrize("prefer",
+                         ["slab", "slab_pallas", "sharded"])
 def test_mc_full_pipeline_matches_single(simple_setup, single_run,
                                          tmp_path, prefer):
     """hpsolve on 8 virtual devices: stations + 4-D + planes +
@@ -117,14 +118,18 @@ def test_mc_full_pipeline_matches_single(simple_setup, single_run,
     assert "checkpoint.out0" in outs
 
 
-def test_mc_checkpoint_restart(simple_setup, single_run, tmp_path):
+@pytest.mark.parametrize("prefer", ["slab", "slab_pallas"])
+def test_mc_checkpoint_restart(simple_setup, single_run, tmp_path,
+                               prefer):
     """Restart a multi-chip run from its own checkpoint: the resumed
-    station tail matches the uninterrupted run to 1e-9."""
+    station tail matches the uninterrupted run to 1e-9.  slab_pallas
+    covers the packed-state carry (restore through rows 0:3/3:6 of
+    the [8, LEN] S array)."""
     ref_dir, ref_samples = single_run
     rundir = str(tmp_path)
     sim = _make_sim(simple_setup)
     p = sim.params
-    state_a, samples_a = _run(sim, rundir, ndev=8, prefer="slab")
+    state_a, samples_a = _run(sim, rundir, ndev=8, prefer=prefer)
 
     # pick the checkpoint written at step 100 (rate 100, 200 steps:
     # slots alternate; find the one whose step == 100)
@@ -140,7 +145,7 @@ def test_mc_checkpoint_restart(simple_setup, single_run, tmp_path):
 
     sim_b = _make_sim(simple_setup)
     sim_b.params = p
-    state_b, samples_b = _run(sim_b, rundir, ndev=8, prefer="slab")
+    state_b, samples_b = _run(sim_b, rundir, ndev=8, prefer=prefer)
     assert sim_b.start_step == 100
     assert samples_b.shape[0] == 100
 
