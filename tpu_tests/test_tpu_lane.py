@@ -172,3 +172,53 @@ def test_gslab_one_chip(problem):
                                  p.delta_t, dtype=jnp.float32, chunk=4)
     u = gslab_u_global(st, state[0], mesh.nnum)
     assert np.isfinite(u).all()
+
+
+def test_packed_mesh_path_graded_f32():
+    """The multi-brick packed mesh path (pallas_mesh + plane
+    reconciler, Mosaic-compiled) == the XLA brick path on chip."""
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.brickstep import (brick_u_global,
+                                               run_brick_solver)
+    from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
+                                                 mesh_u_global,
+                                                 run_mesh_solver)
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        _, _, z = morton.deinterleave3(hi, lo)
+        return lv < np.where(z < (1 << 28), 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh, min_brick_elems=512)
+    mt = MeshPallasTables(plan, tables)
+    assert mt.plane_rec is not None and mt.packed
+
+    T = 150
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0]], np.int32)
+    forces = np.zeros((T, 1, 3), np.float32)
+    forces[:10, 0, :] = 1e8
+    state_b, _ = run_brick_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32)
+    u_ref = brick_u_global(plan, state_b[0], mesh.nnum)
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float32)
+    u = mesh_u_global(plan, state_m[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u / scale, u_ref / scale, atol=2e-5)
