@@ -379,7 +379,7 @@ class GslabPath(_PathBase):
 
     def tail(self, state):
         if self.st.packed:
-            return ()
+            return tuple(state[1:])
         return tuple(state[2:]) if len(state) > 2 else ()
 
     def u_global(self, state):
@@ -405,39 +405,61 @@ class GslabPath(_PathBase):
 
     def _default_tail(self):
         st = self.st
-        if st.damping == "bkt":
-            return (tuple(jnp.zeros((st.n_dev, st.conv_rows, gb.LEN),
-                                    st.conv_dtype)
-                          for gb in st.bricks),)
-        return ()
+        if st.damping != "bkt":
+            return ()
+        if st.packed:
+            return (tuple(jnp.zeros(
+                (st.n_dev, st.conv_rows_node, gb.LEN),
+                st.conv_dtype_node) for gb in st.bricks),)
+        return (tuple(jnp.zeros((st.n_dev, st.conv_rows, gb.LEN),
+                                st.conv_dtype)
+                      for gb in st.bricks),)
 
     def init_state(self):
         if self.st.packed:
             return (tuple(jnp.zeros((self.n_dev, 8, gb.LEN),
                                     self.dtype)
-                          for gb in self.st.bricks),)
+                          for gb in self.st.bricks),) \
+                + self._default_tail()
         u = tuple(jnp.zeros((self.n_dev, 3, gb.LEN), self.dtype)
                   for gb in self.st.bricks)
         return (u, u) + self._default_tail()
 
     def state_from_global(self, u, up, tail_flat):
-        if self.st.packed:
-            if tail_flat:
-                raise RuntimeError(
-                    "unexpected checkpoint tail for gslab path")
+        st = self.st
+        if st.packed:
             us, ups = self._u_stack(u), self._u_stack(up)
-            return (tuple(jnp.concatenate(
+            Ss = (tuple(jnp.concatenate(
                 [jnp.asarray(a), jnp.asarray(b),
                  jnp.zeros((self.n_dev, 2, a.shape[-1]), self.dtype)],
                 axis=1) for a, b in zip(us, ups)),)
+            if not tail_flat:
+                return Ss + self._default_tail()
+            if st.damping == "bkt":
+                nb = len(st.bricks)
+                assert len(tail_flat) == nb, \
+                    "gslab BKT tail must have one array per brick"
+                want = [(st.n_dev, st.conv_rows_node, gb.LEN)
+                        for gb in st.bricks]
+                got = [tuple(np.shape(a)) for a in tail_flat]
+                if got != want:
+                    raise RuntimeError(
+                        f"checkpoint BKT state {got} does not match "
+                        f"the packed gslab layout {want}; restart "
+                        f"with the solver path that wrote it")
+                return Ss + (tuple(
+                    jnp.asarray(a, st.conv_dtype_node)
+                    for a in tail_flat),)
+            raise RuntimeError(
+                "unexpected checkpoint tail for gslab path")
         base = (self._u_stack(u), self._u_stack(up))
         if not tail_flat:
             return base + self._default_tail()
-        if self.st.damping == "bkt":
-            nb = len(self.st.bricks)
+        if st.damping == "bkt":
+            nb = len(st.bricks)
             assert len(tail_flat) == nb, \
                 "gslab BKT tail must have one array per brick"
-            return base + (tuple(jnp.asarray(a, self.st.conv_dtype)
+            return base + (tuple(jnp.asarray(a, st.conv_dtype)
                                  for a in tail_flat),)
         raise RuntimeError("unexpected checkpoint tail for gslab path")
 

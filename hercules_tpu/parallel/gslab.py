@@ -77,6 +77,9 @@ class GSlabTables:
     shear_only: bool = False
     gnid_all: list = None       # per device, per brick
     packed: bool = False        # [8, LEN] packed-state kernels
+    bk_scal: list = None        # BKT: per-brick uniform-Q coefficients
+    conv_rows_node: int = 0     # BKT packed: node-basis conv rows
+    conv_dtype_node: object = None
 
 
 def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
@@ -100,15 +103,42 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
                                                src_ids=src_ids)
     bkt = tables.damping == "bkt"
     import os
+    packed_env = os.environ.get("HT_GSLAB_PACKED", "1") != "0"
     st = GSlabTables(n_dev=n_dev, damping=tables.damping, bricks=[],
                      rec=rec, hang_own=[], same_own=[],
-                     packed=(not bkt and os.environ.get(
-                         "HT_GSLAB_PACKED", "1") != "0"))
+                     packed=(not bkt and packed_env))
     if bkt:
         st.shear_only = bkt_kappa_zero(tables.bkt)
         st.conv_rows = 48 if st.shear_only else 96
         st.conv_dtype = bkt_conv_dtype(dtype)
         bknames = bk_row_names(st.shear_only)
+        st.conv_rows_node = 8 if st.shear_only else 16
+        st.conv_dtype_node = (dtype if st.shear_only
+                              else bkt_conv_dtype(dtype))
+        # per-brick uniform-Q tier (node-basis memory variables, see
+        # pallas_brick._make_bkt_uniform_kernel): packed applies when
+        # EVERY brick has one coefficient set
+        if packed_env and os.environ.get("HT_BKT_UNIFORM", "1") != "0":
+            scals = []
+            for b in plan.bricks:
+                lo, hi = b.off, b.off + b.nb
+                val = plan.evalid_cat[lo:hi]
+                scal = {}
+                for k in bknames:
+                    v = np.asarray(tables.bkt[k])[
+                        plan.eidx_cat[lo:hi]][val]
+                    if v.size and np.all(v == v[0]):
+                        scal[k] = float(v[0])
+                    else:
+                        scal = None
+                        break
+                if scal is None or not val.any():
+                    scals = None
+                    break
+                scals.append(scal)
+            if scals is not None:
+                st.bk_scal = scals
+                st.packed = True
 
     # source ownership: first concat copy; owner device excludes the
     # shared top plane of fragments > 0 (same rule as slab.py)
@@ -150,7 +180,7 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
             w = [(0, 0)] * (x.ndim - 1) + [(0, nb - x.shape[-1])]
             return np.pad(x, w)
 
-        cms, bks, mms, invs = [], [], [], []
+        cms, bks, mms, invs, vals = [], [], [], [], []
         srcl, srcm = [], []
         for d in range(n_dev):
             ez_d = int(ez_of[d])
@@ -158,7 +188,11 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
             real = (ez_d + 1) * plane
             n1 = n0 + real
             sel = slice(n0, n1)
-            if bkt:
+            if bkt and st.packed:
+                v = plan.evalid_cat[sel].astype(np.float64).copy()
+                v[ez_d * plane:] = 0.0         # ghost-plane elements
+                vals.append(pad_nb(v))
+            elif bkt:
                 rows = np.stack([t_host["bkt"][k][sel].copy()
                                  for k in bknames])
                 rows[:, ez_d * plane:] = 0.0   # ghost-plane elements
@@ -184,7 +218,15 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
                 sl = np.where(mine, pos - n0, nb - 1)
                 srcl.append(sl.astype(np.int32))
                 srcm.append(mine)
-        if bkt:
+        if bkt and st.packed:
+            # uniform-Q node-basis kernel consts (build_bkt_uniform_
+            # call K layout): mass_minusaM 0:3, inv_mass 3, valid 4
+            kp = np.concatenate(
+                [np.stack(mms), np.stack(invs)[:, None, :],
+                 np.stack(vals)[:, None, :],
+                 np.zeros((n_dev, 3, nb))], axis=1)
+            gb.Kp = f(pad(kp))
+        elif bkt:
             gb.bk = f(pad(np.stack(bks)))
         else:
             cm = np.stack(cms)
@@ -234,8 +276,9 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
     """Raw per-step kernel for the graded stacked-slab path: returns
     (local_step, tdev, state_spec)."""
     from ..physics.kmats import spectral_factors
-    from ..solver.pallas_brick import (build_bkt_call, build_call,
-                                       build_call_packed)
+    from ..solver.pallas_brick import (build_bkt_call,
+                                       build_bkt_uniform_call,
+                                       build_call, build_call_packed)
 
     bkt = st.damping == "bkt"
     packed = st.packed
@@ -245,8 +288,13 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
     dd = diag_dd(f1e, f2e, dtype)
 
     calls = []
-    for gb in st.bricks:
-        if bkt:
+    for bi, gb in enumerate(st.bricks):
+        if bkt and packed:
+            calls.append(build_bkt_uniform_call(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, dtype,
+                st.bk_scal[bi], shear_only=st.shear_only,
+                conv_dtype=st.conv_dtype_node, interpret=interpret))
+        elif bkt:
             calls.append(build_bkt_call(
                 gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, dtype,
                 shear_only=st.shear_only, conv_dtype=st.conv_dtype,
@@ -267,10 +315,10 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
         else:
             tdev[f"mm{bi}"] = gb.mm
             tdev[f"invm{bi}"] = gb.invm
-        if bkt:
-            tdev[f"bk{bi}"] = gb.bk
-        elif not packed:
-            tdev[f"cm{bi}"] = gb.cm
+            if bkt:
+                tdev[f"bk{bi}"] = gb.bk
+            else:
+                tdev[f"cm{bi}"] = gb.cm
         if gb.src_lidx is not None:
             tdev[f"sl{bi}"] = gb.src_lidx
             tdev[f"sm{bi}"] = gb.src_mask
@@ -281,13 +329,17 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
     def local_step(t, carry, x):
         srcf, _step = x
         convs = None
-        if bkt:
-            us, ups, convs = carry
-        elif packed:
-            # packed: one [8, LEN] S per brick (u 0:3, up 3:6)
-            (Ss,) = carry
+        if packed:
+            # packed: one [8, LEN] S per brick (u 0:3, up 3:6);
+            # uniform-Q BKT adds per-brick node-basis conv arrays
+            if bkt:
+                Ss, convs = carry
+            else:
+                (Ss,) = carry
             us = tuple(S[0:3] for S in Ss)
             ups = tuple(S[3:6] for S in Ss)
+        elif bkt:
+            us, ups, convs = carry
         else:
             us, ups = carry
         idx = jax.lax.axis_index(axis)
@@ -296,7 +348,11 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
 
         for bi, gb in enumerate(st.bricks):
             u, up = us[bi], ups[bi]
-            if bkt:
+            if bkt and packed:
+                un, cv = calls[bi](Ss[bi], Ss[bi], t[f"K{bi}"],
+                                   convs[bi], convs[bi])
+                new_conv.append(cv)
+            elif bkt:
                 un, cv = calls[bi](u, u, up, up, t[f"bk{bi}"],
                                    t[f"mm{bi}"], t[f"invm{bi}"],
                                    convs[bi])
@@ -306,7 +362,11 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             else:
                 un = calls[bi](u, u, up, up, t[f"cm{bi}"],
                                t[f"mm{bi}"], t[f"invm{bi}"], dd)
-            if packed:
+            if packed and bkt:
+                # uniform-BKT K layout: mm 0:3, invm 3, valid 4
+                iv = t[f"K{bi}"][3]
+                m1 = t[f"K{bi}"][0:3]
+            elif packed:
                 iv = t[f"K{bi}"][6]
                 m1 = t[f"K{bi}"][3:6]
             else:
@@ -414,6 +474,8 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
             uns[s.ai] = jnp.where(idx == da, puta, uns[s.ai])
             uns[s.bi] = jnp.where(idx == db, putb, uns[s.bi])
 
+        if bkt and packed:
+            return (tuple(uns), tuple(new_conv)), None
         if bkt:
             return (tuple(uns), tuple(us), tuple(new_conv)), None
         if packed:
@@ -422,7 +484,8 @@ def gslab_step_builder(st: GSlabTables, axis="d", dtype=jnp.float32,
 
     nb_ = len(st.bricks)
     one = (P(axis),) * nb_
-    sspec = ((one, one, one) if bkt
+    sspec = ((one, one) if bkt and packed
+             else (one, one, one) if bkt
              else (one,) if packed else (one, one))
     return local_step, tdev, sspec
 
@@ -451,8 +514,15 @@ def run_gslab_solver(st: GSlabTables, mesh_dev, src_forces,
     scan_fn, tdev = make_gslab_step(st, mesh_dev, dtype=dtype,
                                     interpret=interpret)
     if st.packed:
-        state = (tuple(jnp.zeros((st.n_dev, 8, gb.LEN), dtype)
-                       for gb in st.bricks),)
+        Ss = tuple(jnp.zeros((st.n_dev, 8, gb.LEN), dtype)
+                   for gb in st.bricks)
+        if st.damping == "bkt":
+            conv = tuple(jnp.zeros(
+                (st.n_dev, st.conv_rows_node, gb.LEN),
+                st.conv_dtype_node) for gb in st.bricks)
+            state = (Ss, conv)
+        else:
+            state = (Ss,)
     else:
         u = tuple(jnp.zeros((st.n_dev, 3, gb.LEN), dtype)
                   for gb in st.bricks)

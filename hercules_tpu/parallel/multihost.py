@@ -243,8 +243,15 @@ def run_gslab_multihost(st, src_forces, total_steps, dt,
     tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
 
     if st.packed:
-        state = (tuple(sharded(np.zeros((n_dev, 8, gb.LEN), npdt))
-                       for gb in st.bricks),)
+        Ss = tuple(sharded(np.zeros((n_dev, 8, gb.LEN), npdt))
+                   for gb in st.bricks)
+        if st.damping == "bkt":
+            cn = np.dtype(jnp.zeros((), st.conv_dtype_node).dtype)
+            state = (Ss, tuple(sharded(np.zeros(
+                (n_dev, st.conv_rows_node, gb.LEN), cn))
+                for gb in st.bricks))
+        else:
+            state = (Ss,)
     else:
         u = tuple(sharded(np.zeros((n_dev, 3, gb.LEN), npdt))
                   for gb in st.bricks)

@@ -33,8 +33,10 @@ import numpy as np
 
 from .bricks import BrickPlan
 from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
-                           bkt_kappa_zero, build_bkt_call, build_call,
-                           build_call_packed, diag_dd, pallas_fits,
+                           bkt_kappa_zero, build_bkt_call,
+                           build_bkt_uniform_call, build_call,
+                           build_call_packed, conv_corner_to_node,
+                           conv_node_to_corner, diag_dd, pallas_fits,
                            pallas_geometry, spectral_factors)
 
 
@@ -160,13 +162,44 @@ class MeshPallasTables:
         # packed-state mode: per-brick [8, LEN] S = (u 0:3, up 3:6) and
         # [8, LEN] K consts — half the physical HBM bytes and the MXU
         # element-operator path (see pallas_brick._make_kernel
-        # packed_state).  Elastic only; the index-based reconciliation
-        # epilogue writes whole columns, so packed requires the dense
-        # plane reconciler (or an interface-free plan).
-        self.packed = (not bkt
-                       and os.environ.get("HT_MESH_PACKED", "1") != "0"
-                       and (self.plane_rec is not None
-                            or len(plan.ex_pos) == 0))
+        # packed_state).  The index-based reconciliation epilogue
+        # writes whole columns, so packed requires the dense plane
+        # reconciler (or an interface-free plan).  Elastic always
+        # qualifies; BKT qualifies when EVERY brick is Q-uniform
+        # (possibly with a different coefficient set per brick — the
+        # per-layer production case), riding the node-basis
+        # memory-variable kernel (_make_bkt_uniform_kernel, 8x less
+        # convolution traffic).
+        rec_ok = (self.plane_rec is not None
+                  or len(plan.ex_pos) == 0)
+        packed_env = os.environ.get("HT_MESH_PACKED", "1") != "0"
+        # per-brick Q-uniformity is detected regardless of the packed
+        # gate: _fit_mesh_conv needs it to accept node-basis
+        # checkpoints even when resuming with the legacy kernels
+        self.bk_scal = None
+        if bkt and os.environ.get("HT_BKT_UNIFORM", "1") != "0":
+            shear_only = bkt_kappa_zero(tables.bkt)
+            scals = []
+            for b in plan.bricks:
+                lo, hi = b.off, b.off + b.nb
+                val = plan.evalid_cat[lo:hi]
+                scal = {}
+                for k in bk_row_names(shear_only):
+                    v = np.asarray(tables.bkt[k])[
+                        plan.eidx_cat[lo:hi]][val]
+                    if v.size and np.all(v == v[0]):
+                        scal[k] = float(v[0])
+                    else:
+                        scal = None
+                        break
+                if scal is None or not val.any():
+                    scals = None
+                    break
+                scals.append(scal)
+            if scals is not None:
+                self.bk_scal = scals
+        self.packed = (packed_env and rec_ok
+                       and (not bkt or self.bk_scal is not None))
 
         # ---- per-brick geometry + padded constant tables -------------
         self.geo = []        # (offs, B, o7, T, LEN) per brick
@@ -176,10 +209,17 @@ class MeshPallasTables:
         self.invm = []
         self.Kp = []         # packed mode: [8, LEN] consts per brick
         self.tiers = []      # per-brick kernel specialization
+        self.evalid_b = []   # bkt: per-brick element validity [LEN]
         if bkt:
             self.bkt_shear_only = bkt_kappa_zero(tables.bkt)
             self.conv_rows = 48 if self.bkt_shear_only else 96
             self.conv_dtype = bkt_conv_dtype(dtype)
+            # node-basis conv dims for the packed uniform-Q tier
+            # (pallas_brick.PallasBrickTables convention: shear-only
+            # keeps f32 in one physical tile, the full state is bf16)
+            self.conv_rows_node = 8 if self.bkt_shear_only else 16
+            self.conv_dtype_node = (dtype if self.bkt_shear_only
+                                    else bkt_conv_dtype(dtype))
         if not bkt:
             c1 = etab_arr(tables.c1)
             c2 = etab_arr(tables.c2)
@@ -217,7 +257,22 @@ class MeshPallasTables:
                 return f(out)
 
             if bkt:
-                self.bk.append(pad2(bk_rows))
+                # per-brick element-validity mask over the padded
+                # columns (conv basis conversions on restore)
+                evb_pad = np.zeros(LEN, bool)
+                evb_pad[:b.nb] = ev[lo:hi]
+                self.evalid_b.append(evb_pad)
+                if self.packed:
+                    # uniform-Q node-basis kernel consts: mass_minusaM
+                    # 0:3, inv_mass 3, element validity 4
+                    # (build_bkt_uniform_call's K layout)
+                    self.Kp.append(pad2(np.concatenate(
+                        [mm_rows, invm_row[None],
+                         ev.astype(np.float64)[None],
+                         np.zeros((3, mm_rows.shape[1]))], axis=0)))
+                    self.bk.append(None)
+                else:
+                    self.bk.append(pad2(bk_rows))
                 self.cm.append(None)
                 self.tiers.append(("general", None))
             else:
@@ -360,26 +415,41 @@ def mesh_carry_views(carry):
 
 def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
     """Packed-state multi-brick step: carry = ((S_0, ..., S_NB-1,
-    S_loose),) with S [8, LEN] = (u 0:3, up 3:6).  Elastic only; the
-    per-brick kernels are build_call_packed (half the physical HBM
+    S_loose),) with S [8, LEN] = (u 0:3, up 3:6); for uniform-Q BKT
+    the carry is ((S...), (conv...)) with per-brick NODE-basis memory
+    variables (+ the loose 4-tuple).  The per-brick kernels are
+    build_call_packed / build_bkt_uniform_call (half the physical HBM
     bytes + the MXU element operator), and the dense plane reconciler
     writes its reconciled planes straight into rows 0:3 of the packed
     next-step arrays (planerec._put row passthrough)."""
     dtype = mt.dtype
+    bkt = mt.damping == "bkt"
     f1e, f2e = spectral_factors()
     dd = diag_dd(f1e, f2e, dtype)
     mablate = set(os.environ.get("HT_MESH_ABLATE", "").split(","))
 
-    calls = [build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
-                               interpret=interpret, tier=tier, kco=kco)
-             for (offs, B, o7, T, LEN), (tier, kco)
-             in zip(mt.geo, mt.tiers)]
+    if bkt:
+        calls = [build_bkt_uniform_call(
+            offs, B, o7, T, LEN, dtype, scal,
+            shear_only=mt.bkt_shear_only,
+            conv_dtype=mt.conv_dtype_node, interpret=interpret)
+            for (offs, B, o7, T, LEN), scal
+            in zip(mt.geo, mt.bk_scal)]
+    else:
+        calls = [build_call_packed(offs, B, o7, T, LEN, f1e, f2e,
+                                   dtype, interpret=interpret,
+                                   tier=tier, kco=kco)
+                 for (offs, B, o7, T, LEN), (tier, kco)
+                 in zip(mt.geo, mt.tiers)]
     NB = mt.NB
     consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
 
     def step(cd, carry, x):
         srcf, step_idx = x
-        (Ss,) = carry
+        if bkt:
+            Ss, conv = carry
+        else:
+            (Ss,) = carry
         us = tuple(S[0:3] for S in Ss)
 
         if mt.st is not None:
@@ -390,21 +460,36 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
             sample = jnp.zeros((0, 3), dtype)
 
         # ---- per-brick fused kernels ---------------------------------
-        Sns = [calls[b](Ss[b], Ss[b], cd["K"][b], dd)
-               for b in range(NB)]
+        new_conv = []
+        if bkt:
+            Sns = []
+            for b in range(NB):
+                Sn, cv = calls[b](Ss[b], Ss[b], cd["K"][b], conv[b],
+                                  conv[b])
+                Sns.append(Sn)
+                new_conv.append(cv)
+        else:
+            Sns = [calls[b](Ss[b], Ss[b], cd["K"][b], dd)
+                   for b in range(NB)]
 
         # ---- loose elements (XLA gather/scatter) ---------------------
         S_l = Ss[NB]
         u_l, up_l = S_l[0:3], S_l[3:6]
         F_l = jnp.zeros((3, mt.NL), dtype)
+        if mt.El and "noloose" in mablate and bkt:
+            new_conv.append(conv[NB])       # keep the carry structure
         if mt.El and "noloose" not in mablate:
             uT, upT = u_l.T, up_l.T
             ue = uT[mt.l_rows].reshape(mt.El, 24)
             upe = upT[mt.l_rows].reshape(mt.El, 24)
-            du = ue - upe
-            a = mt.l_c1[:, None] * ue + mt.l_c3[:, None] * du
-            b_ = mt.l_c2[:, None] * ue + mt.l_c4[:, None] * du
-            lf = -(jnp.concatenate([a, b_], 1) @ mt.mcat.T)
+            if not bkt:
+                du = ue - upe
+                a = mt.l_c1[:, None] * ue + mt.l_c3[:, None] * du
+                b_ = mt.l_c2[:, None] * ue + mt.l_c4[:, None] * du
+                lf = -(jnp.concatenate([a, b_], 1) @ mt.mcat.T)
+            else:
+                lf, lconv = _loose_bkt_force(mt, ue, upe, conv[NB])
+                new_conv.append(lconv)
             flat = lf.reshape(-1, 3)[mt.l_perm]
             F_l = jax.ops.segment_sum(flat, mt.l_seg,
                                       num_segments=mt.NL,
@@ -425,9 +510,46 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
         for a, pp, rows, iv in mt.src_direct:
             Sns[a] = Sns[a].at[0:3, pp].add((srcf[rows] * iv).T)
 
+        if bkt:
+            conv_out = (tuple(new_conv[:NB])
+                        + ((new_conv[NB],) if mt.El else ()))
+            return (tuple(Sns), conv_out), sample
         return (tuple(Sns),), sample
 
     return step, consts
+
+
+def _loose_bkt_force(mt, ue, upe, lconv):
+    """BKT element force + conv update for the loose (XLA) section;
+    shared by the packed and legacy mesh steps."""
+    lbk = mt.l_bkt
+    ue3 = ue.reshape(mt.El, 8, 3)
+    upe3 = upe.reshape(mt.El, 8, 3)
+    ls0, ls1, lk0, lk1 = lconv
+
+    def lupd(f0, f1, p):
+        f0n = (lbk[f"{p}_c2"][:, None, None] * ue3
+               + lbk[f"{p}_c1"][:, None, None] * upe3
+               + lbk[f"{p}_e0"][:, None, None] * f0)
+        f1n = (lbk[f"{p}_c4"][:, None, None] * ue3
+               + lbk[f"{p}_c3"][:, None, None] * upe3
+               + lbk[f"{p}_e1"][:, None, None] * f1)
+        return f0n, f1n
+
+    ls0, ls1 = lupd(ls0, ls1, "shear")
+    lk0, lk1 = lupd(lk0, lk1, "kappa")
+    du3 = ue3 - upe3
+    dvs = (lbk["shear_coef"][:, None, None] * du3
+           - (lbk["a0_shear"][:, None, None] * ls0
+              + lbk["a1_shear"][:, None, None] * ls1) + ue3)
+    dvk = (lbk["kappa_coef"][:, None, None] * du3
+           - (lbk["a0_kappa"][:, None, None] * lk0
+              + lbk["a1_kappa"][:, None, None] * lk1) + ue3)
+    lf = (lbk["mu_f"][:, None]
+          * (dvs.reshape(mt.El, 24) @ mt.kmu_cat.T)
+          + lbk["kappa_f"][:, None]
+          * (dvk.reshape(mt.El, 24) @ mt.kkappa_cat.T))
+    return lf, (ls0, ls1, lk0, lk1)
 
 
 def make_mesh_step(mt: MeshPallasTables, interpret=False):
@@ -510,34 +632,8 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
                 b_ = mt.l_c2[:, None] * ue + mt.l_c4[:, None] * du
                 lf = -(jnp.concatenate([a, b_], 1) @ mt.mcat.T)
             else:
-                lbk = mt.l_bkt
-                ue3 = ue.reshape(mt.El, 8, 3)
-                upe3 = upe.reshape(mt.El, 8, 3)
-                ls0, ls1, lk0, lk1 = conv[NB]
-
-                def lupd(f0, f1, p):
-                    f0n = (lbk[f"{p}_c2"][:, None, None] * ue3
-                           + lbk[f"{p}_c1"][:, None, None] * upe3
-                           + lbk[f"{p}_e0"][:, None, None] * f0)
-                    f1n = (lbk[f"{p}_c4"][:, None, None] * ue3
-                           + lbk[f"{p}_c3"][:, None, None] * upe3
-                           + lbk[f"{p}_e1"][:, None, None] * f1)
-                    return f0n, f1n
-
-                ls0, ls1 = lupd(ls0, ls1, "shear")
-                lk0, lk1 = lupd(lk0, lk1, "kappa")
-                new_conv.append((ls0, ls1, lk0, lk1))
-                du3 = ue3 - upe3
-                dvs = (lbk["shear_coef"][:, None, None] * du3
-                       - (lbk["a0_shear"][:, None, None] * ls0
-                          + lbk["a1_shear"][:, None, None] * ls1) + ue3)
-                dvk = (lbk["kappa_coef"][:, None, None] * du3
-                       - (lbk["a0_kappa"][:, None, None] * lk0
-                          + lbk["a1_kappa"][:, None, None] * lk1) + ue3)
-                lf = (lbk["mu_f"][:, None]
-                      * (dvs.reshape(mt.El, 24) @ mt.kmu_cat.T)
-                      + lbk["kappa_f"][:, None]
-                      * (dvk.reshape(mt.El, 24) @ mt.kkappa_cat.T))
+                lf, lconv = _loose_bkt_force(mt, ue, upe, conv[NB])
+                new_conv.append(lconv)
             flat = lf.reshape(-1, 3)[mt.l_perm]
             F_l = jax.ops.segment_sum(flat, mt.l_seg,
                                       num_segments=mt.NL,
@@ -590,9 +686,17 @@ def make_mesh_step(mt: MeshPallasTables, interpret=False):
 
 def init_mesh_state(mt: MeshPallasTables):
     if mt.packed:
-        return (tuple(jnp.zeros((8, geo[4]), mt.dtype)
-                      for geo in mt.geo)
-                + (jnp.zeros((8, mt.NL), mt.dtype),),)
+        Ss = (tuple(jnp.zeros((8, geo[4]), mt.dtype)
+                    for geo in mt.geo)
+              + (jnp.zeros((8, mt.NL), mt.dtype),))
+        if mt.damping != "bkt":
+            return (Ss,)
+        conv = tuple(jnp.zeros((mt.conv_rows_node, geo[4]),
+                               mt.conv_dtype_node) for geo in mt.geo)
+        if mt.El:
+            conv = conv + (tuple(jnp.zeros((mt.El, 8, 3), mt.dtype)
+                                 for _ in range(4)),)
+        return (Ss, conv)
     us = tuple(jnp.zeros((3, geo[4]), mt.dtype) for geo in mt.geo) \
         + (jnp.zeros((3, mt.NL), mt.dtype),)
     conv = ()
@@ -640,27 +744,70 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
 
     if mt.packed:
         us, ups = split(u_now), split(u_prev)
-        return (tuple(jnp.concatenate(
+        Ss = tuple(jnp.concatenate(
             [u, up, jnp.zeros((2, u.shape[1]), dtype)], axis=0)
-            for u, up in zip(us, ups)),)
+            for u, up in zip(us, ups))
+        if mt.damping != "bkt":
+            return (Ss,)
+        return (Ss, _fit_mesh_conv(mt, conv_flat, node_basis=True))
 
     conv = ()
     if mt.damping == "bkt":
-        want = [(mt.conv_rows, geo[4]) for geo in mt.geo]
-        if mt.El:
-            want += [(mt.El, 8, 3)] * 4
-        got = [tuple(np.shape(a)) for a in conv_flat]
-        if got != want:
-            raise RuntimeError(
-                f"checkpoint BKT state {got} does not match the "
-                f"multi-brick pallas layout {want}; restart with the "
-                f"solver path that wrote it")
-        conv = tuple(jnp.asarray(a, mt.conv_dtype)
-                     for a in conv_flat[:mt.NB])
-        if mt.El:
-            conv = conv + (tuple(jnp.asarray(a, dtype)
-                                 for a in conv_flat[mt.NB:]),)
+        conv = _fit_mesh_conv(mt, conv_flat, node_basis=False)
     return (split(u_now), split(u_prev), conv)
+
+
+def _fit_mesh_conv(mt: MeshPallasTables, conv_flat, node_basis):
+    """Fit checkpointed BKT memory variables to the solver's basis.
+    Per-brick arrays may arrive in either the corner basis
+    ([conv_rows, LEN], legacy kernels) or the node basis
+    ([conv_rows_node, LEN], packed uniform-Q kernels); under one
+    coefficient set per brick the two are exactly interconvertible
+    (conv_corner_to_node / conv_node_to_corner)."""
+    dtype = mt.dtype
+    n_loose = 4 if mt.El else 0
+    arrays = list(conv_flat)
+    if len(arrays) != mt.NB + n_loose:
+        raise RuntimeError(
+            f"checkpoint BKT state has {len(arrays)} arrays; the "
+            f"multi-brick pallas layout wants {mt.NB} brick + "
+            f"{n_loose} loose; restart with the solver path that "
+            f"wrote it")
+    out = []
+    R2 = 6 if mt.bkt_shear_only else 12
+    for i, geo in enumerate(mt.geo):
+        offs, B, o7, T, LEN = geo
+        a = np.asarray(arrays[i], np.float64)
+        corner = (mt.conv_rows, LEN)
+        node = (getattr(mt, "conv_rows_node", -1), LEN)
+        if node_basis:
+            if a.shape == node:
+                pass
+            elif a.shape == corner:
+                nb_ = conv_corner_to_node(offs, mt.evalid_b[i], a)
+                a = np.zeros((mt.conv_rows_node, LEN))
+                a[:R2] = nb_[:R2]
+            else:
+                raise RuntimeError(
+                    f"brick {i}: checkpoint BKT state {a.shape} "
+                    f"matches neither {corner} nor {node}")
+            out.append(jnp.asarray(a, mt.conv_dtype_node))
+        else:
+            if a.shape == corner:
+                pass
+            elif mt.bk_scal is not None and a.shape == node:
+                a = conv_node_to_corner(offs, mt.evalid_b[i], a,
+                                        mt.conv_rows)
+            else:
+                raise RuntimeError(
+                    f"brick {i}: checkpoint BKT state {a.shape} does "
+                    f"not match the corner basis {corner}")
+            out.append(jnp.asarray(a, mt.conv_dtype))
+    conv = tuple(out)
+    if mt.El:
+        conv = conv + (tuple(jnp.asarray(a, dtype)
+                             for a in arrays[mt.NB:]),)
+    return conv
 
 
 def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,

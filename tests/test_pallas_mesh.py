@@ -158,8 +158,12 @@ def test_plane_reconciler_depth_graded(damping):
     mt = MeshPallasTables(plan, tables)
     assert mt.plane_rec is not None
     assert len(mt.plane_rec.hang) == 1
-    # ... and the packed-state kernels ride it (elastic only)
-    assert mt.packed == (damping != "bkt")
+    # ... and the packed-state kernels ride it (elastic always; BKT
+    # via the per-brick uniform-Q node-basis tier — the homogeneous
+    # CVM gives every brick one coefficient set)
+    assert mt.packed
+    if damping == "bkt":
+        assert mt.bk_scal is not None and len(mt.bk_scal) == mt.NB
 
     T = 50
     rng = np.random.default_rng(5)
@@ -299,3 +303,66 @@ def test_mesh_packed_checkpoint_restart():
     u_a = mesh_u_global(plan, state_a[0], mesh.nnum)
     u_r = mesh_u_global(plan, state_r[0], mesh.nnum)
     np.testing.assert_array_equal(u_a, u_r)
+
+
+def test_mesh_bkt_conv_basis_restart(monkeypatch):
+    """A BKT checkpoint crosses solver layouts: node-basis memory
+    variables written by the packed uniform-Q path restore into the
+    legacy corner-basis kernels (and vice versa) through the exact
+    basis conversions in restore_mesh_state/_fit_mesh_conv."""
+    import os
+    from hercules_tpu.solver.pallas_mesh import mesh_carry_views
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    mesh = _depth_graded_mesh(p, cvm)
+    p.type_of_damping = "bkt"
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh, min_brick_elems=512)
+
+    T = 40
+    rng = np.random.default_rng(3)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0]], np.int32)
+    forces = rng.standard_normal((T, 1, 3)) * 1e8
+
+    def run(steps, packed, **kw):
+        monkeypatch.setenv("HT_MESH_PACKED", "1" if packed else "0")
+        try:
+            return run_mesh_solver(plan, tables, nid, forces, steps,
+                                   p.delta_t, dtype=jnp.float64,
+                                   chunk=10, interpret=True, **kw)
+        finally:
+            monkeypatch.delenv("HT_MESH_PACKED")
+
+    def canonical(state):
+        us, ups, tail = mesh_carry_views(state)
+        conv = tail[0] if tail else ()
+        flat = list(conv[: len(plan.bricks)])
+        if len(conv) > len(plan.bricks):
+            flat += list(conv[-1])
+        return (mesh_u_global(plan, us, mesh.nnum),
+                mesh_u_global(plan, ups, mesh.nnum), tuple(flat))
+
+    # reference: uninterrupted legacy run
+    state_l, _ = run(T, packed=False)
+    u_ref = mesh_u_global(plan, mesh_carry_views(state_l)[0],
+                          mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+
+    # packed halfway -> legacy resume (node -> corner conversion)
+    half_p, _ = run(T // 2, packed=True)
+    assert np.shape(half_p[0][0])[0] == 8          # really packed
+    u0, u1, conv_flat = canonical(half_p)
+    st, _ = run(T, packed=False, state=(u0, u1, conv_flat),
+                start_step=T // 2)
+    u = mesh_u_global(plan, mesh_carry_views(st)[0], mesh.nnum)
+    np.testing.assert_allclose(u, u_ref, rtol=0, atol=2e-11 * scale)
+
+    # legacy halfway -> packed resume (corner -> node conversion)
+    half_l, _ = run(T // 2, packed=False)
+    u0, u1, conv_flat = canonical(half_l)
+    st, _ = run(T, packed=True, state=(u0, u1, conv_flat),
+                start_step=T // 2)
+    u = mesh_u_global(plan, mesh_carry_views(st)[0], mesh.nnum)
+    np.testing.assert_allclose(u, u_ref, rtol=0, atol=2e-11 * scale)
