@@ -208,6 +208,14 @@ def terashake_bench():
         jax.block_until_ready(leaf)
         float(jnp.sum(leaf[0, :8]))
 
+    def time_steps(sc, cd, st0, k):
+        st1 = sc(cd, st0, xs_for(k))
+        fence(st1)                       # compile+warmup
+        t1 = time.time()
+        st1 = sc(cd, st1, xs_for(k))
+        fence(st1)
+        return time.time() - t1
+
     t0 = time.time()
     state = scan(consts, state, xs_for(steps))
     fence(state)
@@ -216,6 +224,47 @@ def terashake_bench():
     state = scan(consts, state, xs_for(steps))
     fence(state)
     dt_wall = time.time() - t0
+
+    # BENCH_TERA_PHASES=1: in-tree step-time attribution — each leg
+    # rebuilds the step under a measurement-only ablation (wrong
+    # physics, timing only) and re-times it, so the report shows where
+    # the milliseconds go: interface reconciliation = base - norec,
+    # element operator = norec - stream, packed-layout gain =
+    # unpacked - base.
+    if (os.environ.get("BENCH_TERA_PHASES")
+            and mesh_plan_applies(plan, tables.damping,
+                                  max_bricks=1 << 30)):
+        print(f"# phases: base {dt_wall/steps*1e3:.2f} ms/step",
+              file=sys.stderr)
+        LEGS = [
+            ("norec (kernels+loose only)",
+             {"HT_MESH_ABLATE": "norec"}),
+            ("stream floor (norec, no element op)",
+             {"HT_MESH_ABLATE": "norec", "HT_PALLAS_ABLATE": "stream"}),
+            ("unpacked legacy kernels",
+             {"HT_MESH_PACKED": "0"}),
+        ]
+        for label, env in LEGS:
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                mt2 = MeshPallasTables(plan, tables,
+                                       src_ids=np.array([nid],
+                                                        np.int32))
+                step2, consts2 = make_mesh_step(mt2)
+                scan2 = jax.jit(lambda c, s, xs: jax.lax.scan(
+                    partial(step2, c), s, xs)[0])
+                dt2 = time_steps(scan2, consts2, init_mesh_state(mt2),
+                                 steps)
+                print(f"# phases: {label} {dt2/steps*1e3:.2f} ms/step",
+                      file=sys.stderr)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+
     per_step = dt_wall / steps
     steps_per_sim_s = 1.0 / p.delta_t
     wall_per_sim = per_step * steps_per_sim_s
