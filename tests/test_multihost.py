@@ -192,9 +192,11 @@ def test_multihost_two_process_slab_solve(tmp_path):
     np.testing.assert_allclose(u_mh, u_ref, rtol=1e-12, atol=1e-18)
 
 
-def test_gslab_multihost_single_process():
+@pytest.mark.parametrize("damping", ["rayleigh", "bkt"])
+def test_gslab_multihost_single_process(damping):
     """run_gslab_multihost on the 8-device single-process mesh equals
-    the single-device brick solver (graded pod path, BASELINE cfg 5)."""
+    the single-device brick solver (graded pod path, BASELINE cfg 5);
+    bkt covers the packed node-basis carry init."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -213,6 +215,7 @@ def test_gslab_multihost_single_process():
     S = "/root/reference/examples/simple"
     p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
     cvm = CVM(f"{S}/simple_case.e")
+    p.type_of_damping = damping
     tree = Octree.newtree(1000.0, 1000.0, 500.0)
 
     def setrec(tr, hi, lo, lv):
