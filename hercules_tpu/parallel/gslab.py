@@ -119,24 +119,12 @@ def build_gslab_tables(mesh, tables, n_dev, src_ids=None,
         # pallas_brick._make_bkt_uniform_kernel): packed applies when
         # EVERY brick has one coefficient set
         if packed_env and os.environ.get("HT_BKT_UNIFORM", "1") != "0":
-            scals = []
-            for b in plan.bricks:
-                lo, hi = b.off, b.off + b.nb
-                val = plan.evalid_cat[lo:hi]
-                scal = {}
-                for k in bknames:
-                    v = np.asarray(tables.bkt[k])[
-                        plan.eidx_cat[lo:hi]][val]
-                    if v.size and np.all(v == v[0]):
-                        scal[k] = float(v[0])
-                    else:
-                        scal = None
-                        break
-                if scal is None or not val.any():
-                    scals = None
-                    break
-                scals.append(scal)
-            if scals is not None:
+            from ..solver.pallas_brick import detect_bkt_uniform
+            scals = [detect_bkt_uniform(
+                tables.bkt, plan.eidx_cat[b.off:b.off + b.nb],
+                plan.evalid_cat[b.off:b.off + b.nb], st.shear_only)
+                for b in plan.bricks]
+            if all(s is not None for s in scals):
                 st.bk_scal = scals
                 st.packed = True
 

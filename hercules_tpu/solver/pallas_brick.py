@@ -256,7 +256,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # scratch-staged path (also the non-MXU fallback).
     gather_concat = os.environ.get("HT_PALLAS_GATHER",
                                    "concat") == "concat"
-    scatter_val = os.environ.get("HT_PALLAS_SCATTER", "val") == "val"
+    # value-scatter needs the dot result's canonical layout — the VPU
+    # butterfly output is offset-mismatched and must stage through
+    # scr_f (Mosaic rejects its pad-concat), so gate on the MXU path
+    # exactly like the concat gather
+    scatter_val = (use_mxu and os.environ.get("HT_PALLAS_SCATTER",
+                                              "val") == "val")
     # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32),
     # "high" = bf16x3 (covers the f32 mantissa to ~2^-21), "default"
     # single-pass bf16 trades ~3 decimal digits for MXU time
@@ -943,6 +948,23 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
     return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
 
 
+def detect_bkt_uniform(bkt_tables, eidx, evalid, shear_only):
+    """One coefficient set across the valid elements of a (sub)plan
+    slice -> {row_name: float} for the node-basis uniform-Q kernel
+    (_make_bkt_uniform_kernel), else None (also None when the slice
+    has no valid element)."""
+    if not np.any(evalid):
+        return None
+    scal = {}
+    for k in bk_row_names(shear_only):
+        v = np.asarray(bkt_tables[k])[eidx][evalid]
+        if v.size and np.all(v == v[0]):
+            scal[k] = float(v[0])
+        else:
+            return None
+    return scal
+
+
 def conv_corner_to_node(offs, evalid, conv_corner):
     """Corner-basis conv [R, LEN] -> node-basis [R2, LEN] (uniform Q).
 
@@ -1025,16 +1047,10 @@ class PallasBrickTables:
             # traffic; see _make_bkt_uniform_kernel)
             self.bkt_uniform, self.bk_scal = False, None
             if os.environ.get("HT_BKT_UNIFORM", "1") != "0":
-                val = plan.evalid_cat
-                scal = {}
-                for k in bk_row_names(self.bkt_shear_only):
-                    v = np.asarray(tables.bkt[k])[plan.eidx_cat][val]
-                    if v.size and np.all(v == v[0]):
-                        scal[k] = float(v[0])
-                    else:
-                        scal = None
-                        break
-                if scal is not None and val.any():
+                scal = detect_bkt_uniform(tables.bkt, plan.eidx_cat,
+                                          plan.evalid_cat,
+                                          self.bkt_shear_only)
+                if scal is not None:
                     self.bkt_uniform = True
                     self.bk_scal = scal
                     # node-basis state dims (conv_rows/conv_dtype stay

@@ -36,8 +36,9 @@ from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
                            bkt_kappa_zero, build_bkt_call,
                            build_bkt_uniform_call, build_call,
                            build_call_packed, conv_corner_to_node,
-                           conv_node_to_corner, diag_dd, pallas_fits,
-                           pallas_geometry, spectral_factors)
+                           conv_node_to_corner, detect_bkt_uniform,
+                           diag_dd, pallas_fits, pallas_geometry,
+                           spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -179,24 +180,11 @@ class MeshPallasTables:
         self.bk_scal = None
         if bkt and os.environ.get("HT_BKT_UNIFORM", "1") != "0":
             shear_only = bkt_kappa_zero(tables.bkt)
-            scals = []
-            for b in plan.bricks:
-                lo, hi = b.off, b.off + b.nb
-                val = plan.evalid_cat[lo:hi]
-                scal = {}
-                for k in bk_row_names(shear_only):
-                    v = np.asarray(tables.bkt[k])[
-                        plan.eidx_cat[lo:hi]][val]
-                    if v.size and np.all(v == v[0]):
-                        scal[k] = float(v[0])
-                    else:
-                        scal = None
-                        break
-                if scal is None or not val.any():
-                    scals = None
-                    break
-                scals.append(scal)
-            if scals is not None:
+            scals = [detect_bkt_uniform(
+                tables.bkt, ei[b.off:b.off + b.nb],
+                ev[b.off:b.off + b.nb], shear_only)
+                for b in plan.bricks]
+            if all(s is not None for s in scals):
                 self.bk_scal = scals
         self.packed = (packed_env and rec_ok
                        and (not bkt or self.bk_scal is not None))
@@ -256,6 +244,19 @@ class MeshPallasTables:
                 out[:, :b.nb] = rows[:, lo:hi]
                 return f(out)
 
+            def pad2_cat(parts, total):
+                """pad2 of a row-concat, slicing each part to the
+                brick first (a pre-concat would materialize [R, TOT]
+                temporaries — gigabytes at production mesh sizes);
+                rows beyond the parts stay zero."""
+                out = np.zeros((total, LEN), np.float64)
+                r = 0
+                for pt_ in parts:
+                    pt_ = pt_ if pt_.ndim == 2 else pt_[None]
+                    out[r:r + pt_.shape[0], :b.nb] = pt_[:, lo:hi]
+                    r += pt_.shape[0]
+                return f(out)
+
             if bkt:
                 # per-brick element-validity mask over the padded
                 # columns (conv basis conversions on restore)
@@ -266,10 +267,9 @@ class MeshPallasTables:
                     # uniform-Q node-basis kernel consts: mass_minusaM
                     # 0:3, inv_mass 3, element validity 4
                     # (build_bkt_uniform_call's K layout)
-                    self.Kp.append(pad2(np.concatenate(
-                        [mm_rows, invm_row[None],
-                         ev.astype(np.float64)[None],
-                         np.zeros((3, mm_rows.shape[1]))], axis=0)))
+                    self.Kp.append(pad2_cat(
+                        [mm_rows, invm_row, ev.astype(np.float64)],
+                        total=8))
                     self.bk.append(None)
                 else:
                     self.bk.append(pad2(bk_rows))
@@ -281,9 +281,8 @@ class MeshPallasTables:
                     cm_rows[0, lo:hi], cm_rows[1, lo:hi],
                     cm_rows[2, lo:hi], evb))
                 if self.packed:
-                    self.Kp.append(pad2(np.concatenate(
-                        [cm_rows, mm_rows, invm_row[None],
-                         np.zeros((1, mm_rows.shape[1]))], axis=0)))
+                    self.Kp.append(pad2_cat(
+                        [cm_rows, mm_rows, invm_row], total=8))
                     self.cm.append(None)
                 else:
                     self.cm.append(pad2(cm_rows))
