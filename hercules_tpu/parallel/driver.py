@@ -228,7 +228,7 @@ class SlabPallasPath(SlabXLAPath):
         self.axis = axis
         self.n_dev = st.n_dev
         self.dtype = dtype
-        self._packed = slab_pallas_packed(st.damping)
+        self._packed = slab_pallas_packed(st)
         (self.local_step, self.tdev, self.state_spec, self._LEN,
          self._conv_info) = slab_pallas_step_builder(
             st, axis=axis, dtype=dtype, interpret=interpret)
@@ -255,7 +255,7 @@ class SlabPallasPath(SlabXLAPath):
 
     def tail(self, state):
         if self._packed:
-            return ()
+            return tuple(state[1:])
         return tuple(state[2:]) if len(state) > 2 else ()
 
     def u_global(self, state):
@@ -280,20 +280,33 @@ class SlabPallasPath(SlabXLAPath):
     def init_state(self):
         if self._packed:
             return (jnp.zeros((self.n_dev, 8, self._LEN),
-                              self.dtype),)
+                              self.dtype),) + self._default_tail()
         u = jnp.zeros((self.n_dev, 3, self._LEN), self.dtype)
         return (u, u) + self._default_tail()
 
     def state_from_global(self, u, up, tail_flat):
         if self._packed:
-            if tail_flat:
-                raise RuntimeError(
-                    "unexpected checkpoint tail for slab path")
             us = np.asarray(self._u_stack(u))
             ups = np.asarray(self._u_stack(up))
             pad = np.zeros((self.n_dev, 2, self._LEN), us.dtype)
-            return (jnp.asarray(
+            S = (jnp.asarray(
                 np.concatenate([us, ups, pad], axis=1), self.dtype),)
+            if not tail_flat:
+                return S + self._default_tail()
+            if self.st.damping == "bkt":
+                assert len(tail_flat) == 1, \
+                    "fused slab BKT tail must be 1 array"
+                rows, cdt = self._conv_info
+                want = (self.n_dev, rows, self._LEN)
+                if tuple(np.shape(tail_flat[0])) != want:
+                    raise RuntimeError(
+                        f"checkpoint BKT state "
+                        f"{np.shape(tail_flat[0])} does not match the "
+                        f"packed slab layout {want}; restart with the "
+                        f"solver path that wrote it")
+                return S + (jnp.asarray(tail_flat[0], cdt),)
+            raise RuntimeError(
+                "unexpected checkpoint tail for slab path")
         base = (self._u_stack(u), self._u_stack(up))
         if not tail_flat:
             return base + self._default_tail()

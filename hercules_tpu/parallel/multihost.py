@@ -195,19 +195,29 @@ def run_slab_multihost(st, src_forces, total_steps, dt,
         tdev = jax.tree.map(lambda a: sharded(np.asarray(a)), tdev)
 
     nn = LEN if pallas else st.tot_local
-    u = np.zeros((n_dev, 3, nn), npdt)
-    if st.damping == "bkt":
-        if pallas:
+    from .slab import slab_pallas_packed
+    if pallas and slab_pallas_packed(st):
+        S = sharded(np.zeros((n_dev, 8, nn), npdt))
+        if st.damping == "bkt":
             conv_rows, conv_dtype = conv_info
             cn = np.dtype(jnp.zeros((), conv_dtype).dtype)
-            conv = sharded(np.zeros((n_dev, conv_rows, nn), cn))
+            state = (S, sharded(np.zeros((n_dev, conv_rows, nn), cn)))
         else:
-            conv = tuple(sharded(np.zeros((n_dev, 24, st.meta.S),
-                                          npdt))
-                         for _ in range(4))
-        state = (sharded(u), sharded(u), conv)
+            state = (S,)
     else:
-        state = (sharded(u), sharded(u))
+        u = np.zeros((n_dev, 3, nn), npdt)
+        if st.damping == "bkt":
+            if pallas:
+                conv_rows, conv_dtype = conv_info
+                cn = np.dtype(jnp.zeros((), conv_dtype).dtype)
+                conv = sharded(np.zeros((n_dev, conv_rows, nn), cn))
+            else:
+                conv = tuple(sharded(np.zeros((n_dev, 24, st.meta.S),
+                                              npdt))
+                             for _ in range(4))
+            state = (sharded(u), sharded(u), conv)
+        else:
+            state = (sharded(u), sharded(u))
 
     if chunk is None:
         chunk = min(total_steps, 1000)

@@ -63,6 +63,12 @@ class SlabTables:
     bkt: dict = None                # [n_dev, tot_local] BKT coefficients
     kmu: np.ndarray = None          # [24, 24] BKT operators
     kkappa: np.ndarray = None
+    # uniform-Q tier: one global coefficient set -> packed node-basis
+    # BKT kernel on the fused slab path (pallas_brick.
+    # _make_bkt_uniform_kernel); bkt_valid = per-fragment element
+    # validity row (ghost planes + non-element columns zeroed)
+    bk_scal: dict = None
+    bkt_valid: np.ndarray = None    # [n_dev, tot_local]
 
 
 def build_slab_tables(mesh, tables, n_dev, src_ids=None,
@@ -115,6 +121,7 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
     cs = {k: [] for k in ("c1", "c2", "c3", "c4")}
     bks = ({k: [] for k in t_host["bkt"]}
            if tables.damping == "bkt" else None)
+    vals = []
     invm, m1 = [], []
     srcl, srcm = [], []
     gnids = []
@@ -142,6 +149,9 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
                 v = t_host["bkt"][k][n0:n1].copy()
                 v[ez_d * plane :] = 0.0
                 bks[k].append(padded(v, real))
+            v = plan.evalid_cat[n0:n1].astype(np.float64).copy()
+            v[ez_d * plane :] = 0.0
+            vals.append(padded(v, real))
         invm.append(padded(t_host["inv_mass"][n0:n1], real))
         m1.append(padded(t_host["mass_minusaM"][:, n0:n1], real))
         if L:
@@ -171,6 +181,15 @@ def build_slab_tables(mesh, tables, n_dev, src_ids=None,
         st.bkt = {k: np.stack(v) for k, v in bks.items()}
         st.kmu = t_host["kmu_cat"]
         st.kkappa = t_host["kkappa_cat"]
+        st.bkt_valid = np.stack(vals)
+        import os
+        if os.environ.get("HT_BKT_UNIFORM", "1") != "0":
+            from ..solver.pallas_brick import (bkt_kappa_zero,
+                                               detect_bkt_uniform)
+            E = len(np.asarray(tables.bkt["shear_c1"]))
+            st.bk_scal = detect_bkt_uniform(
+                tables.bkt, np.arange(E), np.ones(E, bool),
+                bkt_kappa_zero(tables.bkt))
     return st
 
 
@@ -357,12 +376,15 @@ def slab_u_global(st: SlabTables, u_sharded, N):
 # ppermute per direction, and applied as u_next += F_neighbor *
 # inv_mass -- so the kernel needs no changes and no force output.
 
-def slab_pallas_packed(damping) -> bool:
+def slab_pallas_packed(st) -> bool:
     """True when the fused slab path uses the packed [8, LEN] state
-    layout (elastic only; HT_SLAB_PACKED=0 opts out)."""
+    layout: always for elastic, and for BKT when the mesh has one
+    global coefficient set (node-basis uniform-Q kernel).
+    HT_SLAB_PACKED=0 opts out."""
     import os
-    return (damping != "bkt"
-            and os.environ.get("HT_SLAB_PACKED", "1") != "0")
+    if os.environ.get("HT_SLAB_PACKED", "1") == "0":
+        return False
+    return st.damping != "bkt" or st.bk_scal is not None
 
 
 def slab_pallas_step_builder(st: SlabTables, axis="d",
@@ -372,8 +394,9 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
     from ..physics.kmats import spectral_factors
     from ..solver.pallas_brick import (_tier_kco, bk_row_names,
                                        bkt_conv_dtype, bkt_kappa_zero,
-                                       build_bkt_call, build_call,
-                                       build_call_packed,
+                                       build_bkt_call,
+                                       build_bkt_uniform_call,
+                                       build_call, build_call_packed,
                                        pallas_fits, pallas_geometry)
 
     offs = st.meta.offs
@@ -387,7 +410,7 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
     plane = st.nyp * st.nxp
     f1e, f2e = spectral_factors()
     bkt = st.damping == "bkt"
-    packed = slab_pallas_packed(st.damping)
+    packed = slab_pallas_packed(st)
 
     def pad_nodes(x):
         """[n_dev, ..., nb] -> [n_dev, ..., LEN]"""
@@ -400,7 +423,22 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         tdev["mm"] = f(pad_nodes(st.mass_minusaM))   # [n_dev, 3, LEN]
         tdev["invm"] = f(pad_nodes(st.inv_mass))[:, None, :]
     conv_rows = conv_dtype = None
-    if bkt:
+    if bkt and packed:
+        # global uniform-Q: node-basis memory variables (see
+        # _make_bkt_uniform_kernel); K rows: mm 0:3, invm 3, valid 4
+        shear_only = bkt_kappa_zero(st.bkt)
+        conv_rows = 8 if shear_only else 16
+        conv_dtype = (dtype if shear_only else bkt_conv_dtype(dtype))
+        call = build_bkt_uniform_call(offs, B, o7, T, LEN, dtype,
+                                      st.bk_scal,
+                                      shear_only=shear_only,
+                                      conv_dtype=conv_dtype,
+                                      interpret=interpret)
+        tdev["K"] = f(pad_nodes(np.concatenate(
+            [st.mass_minusaM, st.inv_mass[:, None, :],
+             st.bkt_valid[:, None, :],
+             np.zeros((st.n_dev, 3, st.tot_local))], axis=1)))
+    elif bkt:
         shear_only = bkt_kappa_zero(st.bkt)
         conv_rows = 48 if shear_only else 96
         conv_dtype = bkt_conv_dtype(dtype)
@@ -439,7 +477,13 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
 
     def local_step(t, carry, x):
         srcf, _step = x
-        if bkt:
+        conv = None
+        if bkt and packed:
+            # packed uniform-Q: carry = (S, conv node-basis)
+            S, conv = carry
+            u, up = S[0:3], S[3:6]
+            un, conv = call(S, S, t["K"], conv, conv)
+        elif bkt:
             u, up, conv = carry
             un, conv = call(u, u, up, up, t["bk"], t["mm"], t["invm"],
                             conv)
@@ -453,7 +497,11 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         else:
             u, up = carry
             un = call(u, u, up, up, t["cm"], t["mm"], t["invm"], dd)
-        if packed:
+        if packed and bkt:
+            # uniform-BKT K layout: mm 0:3, invm 3, valid 4
+            iv = t["K"][3]
+            m1 = t["K"][0:3]
+        elif packed:
             iv = t["K"][6]
             m1 = t["K"][3:6]
         else:
@@ -509,13 +557,16 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         un = jax.lax.dynamic_update_slice(
             un, wbot * bot_new + (1.0 - wbot) * dslice(un, zb, 3)[:3],
             (z0, zb))
+        if bkt and packed:
+            return (un, conv), None
         if bkt:
             return (un, u, conv), None
         if packed:
             return (un,), None
         return (un, u), None
 
-    sspec = ((P(axis),) * 3 if bkt
+    sspec = ((P(axis),) * 2 if bkt and packed
+             else (P(axis),) * 3 if bkt
              else (P(axis),) if packed else (P(axis),) * 2)
     return local_step, tdev, sspec, LEN, (conv_rows, conv_dtype)
 
@@ -544,8 +595,14 @@ def run_slab_pallas_solver(st: SlabTables, mesh_dev, src_forces,
                            chunk=None, interpret=False):
     scan_fn, tdev, LEN, conv_info = make_slab_pallas_step(
         st, mesh_dev, dtype=dtype, interpret=interpret)
-    if slab_pallas_packed(st.damping):
-        state = (jnp.zeros((st.n_dev, 8, LEN), dtype),)
+    if slab_pallas_packed(st):
+        S = jnp.zeros((st.n_dev, 8, LEN), dtype)
+        if st.damping == "bkt":
+            conv_rows, conv_dtype = conv_info
+            state = (S, jnp.zeros((st.n_dev, conv_rows, LEN),
+                                  conv_dtype))
+        else:
+            state = (S,)
     elif st.damping == "bkt":
         u = jnp.zeros((st.n_dev, 3, LEN), dtype)
         conv_rows, conv_dtype = conv_info
