@@ -601,17 +601,31 @@ class Simulation:
                 return state, samples
 
         plan = None
-        if (solver in ("auto", "bricks", "pallas") and nl is None
+        mesh_nl = None
+        if (solver in ("auto", "bricks", "pallas")
                 and drm is None and drm_rec is None
-                and fb_ids is None):
-            # the brick path does not carry nonlinear state yet;
-            # nonlinear runs use the unstructured solver
+                and fb_ids is None
+                and (nl is None
+                     or (solver in ("auto", "pallas")
+                         and not nl["geostatic"]))):
+            # nonlinear rides ONLY the packed mesh path (fused kernels
+            # skip nl elements, an XLA subset pass adds their plastic
+            # + damping forces); geostatic loading and the plain
+            # brick/XLA paths keep the unstructured solver
             try:
                 from .solver.bricks import build_plan
                 plan = build_plan(self.mesh)
             except RuntimeError:
                 if solver == "bricks":
                     raise
+            if plan is not None and nl is not None:
+                try:
+                    from .solver.pallas_mesh import attach_nonlinear_mesh
+                    mesh_nl = attach_nonlinear_mesh(
+                        self.mesh, p, self.tables, self.nl_tables,
+                        plan, dtype)
+                except RuntimeError:
+                    plan = None
 
         # ---- checkpoint restart (use_checkpoint = 1, psolve.c:4248) --
         start_step = 0
@@ -695,8 +709,12 @@ class Simulation:
                          and jax.default_backend() == "tpu"
                          and dtype == jnp.float32))
                     and not conventional)
-            use_pallas = want and single
-            use_mesh = want and multi and not single
+            use_pallas = want and single and mesh_nl is None
+            # nonlinear single-brick plans also ride the mesh path
+            # (it hosts the nl subset pass)
+            use_mesh = (want and multi
+                        and (not single or mesh_nl is not None))
+            handled = False
             if use_mesh:
                 interpret = jax.default_backend() != "tpu"
                 if interpret and solver == "pallas":
@@ -717,10 +735,12 @@ class Simulation:
                         st_nodes=st_nodes, st_phi=st_phi, dtype=dtype,
                         chunk=chunk, on_chunk=hook, interpret=interpret,
                         state=state, start_step=start_step,
-                        on_snap=snap_hook, snap_every=snap_every)
+                        on_snap=snap_hook, snap_every=snap_every,
+                        nl=mesh_nl)
 
                 try:
                     state, samples = _mesh()
+                    handled = True
                 except Exception as e:
                     # HT_STRICT (the TPU test lane): a performance
                     # degradation must fail loudly, not print one line
@@ -763,6 +783,7 @@ class Simulation:
                 # solver="pallas" request propagates the error)
                 try:
                     state, samples = _pallas()
+                    handled = True
                 except Exception as e:
                     if (solver == "pallas" or interpret
                             or os.environ.get("HT_STRICT")):
@@ -774,6 +795,7 @@ class Simulation:
                     os.environ["HT_PALLAS_PACKED"] = "0"
                     try:
                         state, samples = _pallas()
+                        handled = True
                     except Exception:
                         use_pallas = False
                     finally:
@@ -781,7 +803,11 @@ class Simulation:
                             os.environ.pop("HT_PALLAS_PACKED", None)
                         else:
                             os.environ["HT_PALLAS_PACKED"] = prev
-            if not use_pallas and not use_mesh:
+            if not handled and mesh_nl is not None:
+                # the mesh path was the only plan-based home for
+                # nonlinear; fall through to the unstructured solver
+                plan = None
+            if plan is not None and not handled:
                 from .solver.brickstep import run_brick_solver
                 state = None
                 if init_state is not None:
@@ -797,7 +823,7 @@ class Simulation:
                     dtype=dtype, chunk=chunk, on_chunk=hook,
                     state=state, start_step=start_step,
                     on_snap=snap_hook, snap_every=snap_every)
-        else:
+        if plan is None:
             state = None
             if init_state is not None:
                 u_now = np.asarray(init_state[0])

@@ -128,12 +128,14 @@ class MeshPallasTables:
 
     def __init__(self, plan: BrickPlan, tables, src_ids=None,
                  st_nodes=None, st_phi=None, dtype=jnp.float32,
-                 tile=None):
+                 tile=None, nl=None):
         assert mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30)
         self.plan = plan
         self.dtype = dtype
         self.damping = tables.damping
+        self.nl = nl             # attach_nonlinear_mesh bundle
         bkt = tables.damping == "bkt"
+        assert nl is None or not bkt
         f = lambda x: jnp.asarray(x, dtype)
         i32 = lambda x: jnp.asarray(x, jnp.int32)
 
@@ -188,6 +190,10 @@ class MeshPallasTables:
                 self.bk_scal = scals
         self.packed = (packed_env and rec_ok
                        and (not bkt or self.bk_scal is not None))
+        if nl is not None and not self.packed:
+            raise RuntimeError(
+                "nonlinear rides the packed mesh path; this plan "
+                "needs the index epilogue — unstructured path only")
 
         # ---- per-brick geometry + padded constant tables -------------
         self.geo = []        # (offs, B, o7, T, LEN) per brick
@@ -212,6 +218,14 @@ class MeshPallasTables:
             c1 = etab_arr(tables.c1)
             c2 = etab_arr(tables.c2)
             c3 = etab_arr(tables.c3)
+            if nl is not None:
+                # linear-element map: the fused kernels contribute
+                # nothing for nonlinear elements (c1=c2=0 also zeroes
+                # beta below); the nl subset pass re-adds their
+                # damping explicitly
+                c1[nl["cols"]] = 0.0
+                c2[nl["cols"]] = 0.0
+                c3[nl["cols"]] = 0.0
             beta = np.divide(c3, c1, out=np.zeros_like(c1),
                              where=c1 != 0)
             cm_rows = np.stack([c1, c2, beta])
@@ -401,6 +415,85 @@ class MeshPallasTables:
                        st_nodes.shape, f(st_phi))
 
 
+def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
+                          dtype=jnp.float32):
+    """Nonlinear bundle for the packed mesh path.
+
+    The fused kernels skip nonlinear elements entirely (c1/c2/beta
+    zeroed in MeshPallasTables — stiffness.c:46-105's linear-element
+    map excludes them), and an XLA subset pass per step updates the
+    plastic state (compute_nonlinear_state, nonlinear.c:1671) and adds
+    those elements' stress-integral force (compute_addforce_nl,
+    nonlinear.c:1544) PLUS their Rayleigh damping force (damping stays
+    active for all elements) into the packed next-step arrays before
+    interface reconciliation — by linearity u_next += F * inv_mass, so
+    the injected force flows through the reconciler's force recovery
+    like any kernel force.  Geostatic loading keeps the unstructured
+    solver (raise -> sim falls back)."""
+    from ..nonlinear import nl_device_tables
+
+    t = nl_tables
+    if t.cfg.geostatic_loading_t > 0:
+        raise RuntimeError(
+            "geostatic loading: unstructured path only")
+    if tables.damping == "bkt":
+        raise RuntimeError("nonlinear+BKT: unstructured path only")
+    NB = len(plan.bricks)
+    # global element index -> concat element column
+    valid_cols = np.flatnonzero(plan.evalid_cat)
+    col_of = -np.ones(tables.E, np.int64)
+    col_of[plan.eidx_cat[valid_cols]] = valid_cols
+    cols = col_of[t.eidx]
+    assert (cols >= 0).all(), "nonlinear element missing from plan"
+    off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
+                 if NB else 0)
+    if (cols >= off_loose).any():
+        raise RuntimeError("nonlinear elements in the loose section; "
+                           "unstructured path only")
+
+    Enl = len(t.eidx)
+    pos = np.zeros((Enl, 8), np.int64)       # within-brick positions
+    brick_of = np.zeros(Enl, np.int64)
+    g = plan.gnid_cat
+    for bi, b in enumerate(plan.bricks):
+        m = (cols >= b.off) & (cols < b.off + b.nb)
+        if not m.any():
+            continue
+        brick_of[m] = bi
+        offs = np.asarray(b.corner_offsets())
+        pos[m] = (cols[m] - b.off)[:, None] + offs[None, :]
+        # the brick corner order must be elem_lnid's corner order
+        assert (g[b.off + pos[m]]
+                == mesh.elem_lnid[t.eidx[m]]).all()
+
+    f = lambda x: jnp.asarray(x, dtype)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    bundle = {
+        "d": nl_device_tables(t, dtype), "n": Enl,
+        "dt": params.delta_t, "dt2": params.delta_t ** 2,
+        "rows": t.eidx, "cols": cols,
+        "c3": f(tables.c3[t.eidx]), "c4": f(tables.c4[t.eidx]),
+        "mcat": f(tables.m48.T),
+        "gather": [], "scatter": [],
+    }
+    flat_pos = pos.ravel()
+    flat_brick = np.repeat(brick_of, 8)
+    dst = np.arange(Enl * 8)
+    for bi, b in enumerate(plan.bricks):
+        m = flat_brick == bi
+        if not m.any():
+            continue
+        loc = flat_pos[m]
+        bundle["gather"].append((bi, i32(loc), i32(dst[m])))
+        order = np.argsort(loc, kind="stable")
+        uniq, seg = np.unique(loc[order], return_inverse=True)
+        invm_u = tables.inv_mass[g[b.off + uniq]]
+        bundle["scatter"].append(
+            (bi, i32(dst[m][order]), i32(seg), int(len(uniq)),
+             i32(uniq), f(invm_u)[:, None]))
+    return bundle
+
+
 def mesh_carry_views(carry):
     """(us, ups, tail) views of a mesh-path carry: legacy
     (us, ups, conv) with [3, *] entries, or packed ((S, ...),) with
@@ -443,10 +536,15 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
     NB = mt.NB
     consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
 
+    nl = mt.nl
+
     def step(cd, carry, x):
         srcf, step_idx = x
+        nlstate = None
         if bkt:
             Ss, conv = carry
+        elif nl is not None:
+            Ss, nlstate = carry
         else:
             (Ss,) = carry
         us = tuple(S[0:3] for S in Ss)
@@ -457,6 +555,19 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
             sample = jnp.einsum("sn,snc->sc", phi, u_st)
         else:
             sample = jnp.zeros((0, 3), dtype)
+
+        # ---- nonlinear state update (solver_nonlinear_state) ---------
+        if nl is not None:
+            from ..nonlinear import nl_state_update
+            Enl = nl["n"]
+            ue_f = jnp.zeros((Enl * 8, 3), dtype)
+            upe_f = jnp.zeros((Enl * 8, 3), dtype)
+            for bi, loc, dsti in nl["gather"]:
+                ue_f = ue_f.at[dsti].set(Ss[bi][0:3][:, loc].T)
+                upe_f = upe_f.at[dsti].set(Ss[bi][3:6][:, loc].T)
+            ue = ue_f.reshape(Enl, 24)
+            upe = upe_f.reshape(Enl, 24)
+            nlstate = nl_state_update(nl["d"], ue, nlstate, nl["dt"])
 
         # ---- per-brick fused kernels ---------------------------------
         new_conv = []
@@ -470,6 +581,21 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
         else:
             Sns = [calls[b](Ss[b], Ss[b], cd["K"][b], dd)
                    for b in range(NB)]
+
+        # ---- nonlinear subset forces (pre-reconciliation) -------------
+        if nl is not None:
+            from ..nonlinear import nl_force
+            fnl = nl_force(nl["d"], nlstate, nl["dt2"])   # [Enl, 24]
+            du = ue - upe
+            a = nl["c3"][:, None] * du
+            b_ = nl["c4"][:, None] * du
+            f_lin = -(jnp.concatenate([a, b_], 1) @ nl["mcat"].T)
+            F_flat = (fnl + f_lin).reshape(-1, 3)
+            for bi, perm, seg, nseg, uniq, invm_u in nl["scatter"]:
+                sums = jax.ops.segment_sum(F_flat[perm], seg,
+                                           num_segments=nseg,
+                                           indices_are_sorted=True)
+                Sns[bi] = Sns[bi].at[0:3, uniq].add((sums * invm_u).T)
 
         # ---- loose elements (XLA gather/scatter) ---------------------
         S_l = Ss[NB]
@@ -513,6 +639,8 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
             conv_out = (tuple(new_conv[:NB])
                         + ((new_conv[NB],) if mt.El else ()))
             return (tuple(Sns), conv_out), sample
+        if nl is not None:
+            return (tuple(Sns), nlstate), sample
         return (tuple(Sns),), sample
 
     return step, consts
@@ -688,6 +816,10 @@ def init_mesh_state(mt: MeshPallasTables):
         Ss = (tuple(jnp.zeros((8, geo[4]), mt.dtype)
                     for geo in mt.geo)
               + (jnp.zeros((8, mt.NL), mt.dtype),))
+        if mt.nl is not None:
+            Enl = mt.nl["n"]
+            z6 = jnp.zeros((Enl, 8, 6), mt.dtype)
+            return (Ss, (z6, z6, jnp.zeros((Enl, 8), mt.dtype)))
         if mt.damping != "bkt":
             return (Ss,)
         conv = tuple(jnp.zeros((mt.conv_rows_node, geo[4]),
@@ -746,6 +878,16 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
         Ss = tuple(jnp.concatenate(
             [u, up, jnp.zeros((2, u.shape[1]), dtype)], axis=0)
             for u, up in zip(us, ups))
+        if mt.nl is not None:
+            Enl = mt.nl["n"]
+            flat = list(conv_flat)
+            want = [(Enl, 8, 6), (Enl, 8, 6), (Enl, 8)]
+            got = [tuple(np.shape(a)) for a in flat]
+            if got != want:
+                raise RuntimeError(
+                    f"checkpoint nonlinear state {got} does not "
+                    f"match this mesh's layout {want}")
+            return (Ss, tuple(jnp.asarray(a, dtype) for a in flat))
         if mt.damping != "bkt":
             return (Ss,)
         return (Ss, _fit_mesh_conv(mt, conv_flat, node_basis=True))
@@ -813,12 +955,14 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                     st_nodes=None, st_phi=None, dtype=jnp.float32,
                     chunk=None, state=None, on_chunk=None,
                     interpret=False, start_step=0, on_snap=None,
-                    snap_every=None):
-    """Chunked time loop; same contract as run_brick_solver."""
+                    snap_every=None, nl=None):
+    """Chunked time loop; same contract as run_brick_solver.
+    nl: attach_nonlinear_mesh bundle (elastic packed mode only)."""
     from .chunking import run_chunked
 
     mt = MeshPallasTables(plan, tables, src_ids=src_ids,
-                          st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
+                          st_nodes=st_nodes, st_phi=st_phi,
+                          dtype=dtype, nl=nl)
     step, consts = make_mesh_step(mt, interpret=interpret)
     if state is None:
         state = init_mesh_state(mt)

@@ -366,3 +366,80 @@ def test_mesh_bkt_conv_basis_restart(monkeypatch):
                 start_step=T // 2)
     u = mesh_u_global(plan, mesh_carry_views(st)[0], mesh.nnum)
     np.testing.assert_allclose(u, u_ref, rtol=0, atol=2e-11 * scale)
+
+
+def test_mesh_pallas_nonlinear_matches_unstructured(tmp_path):
+    """Nonlinear on the packed mesh path: the fused kernels skip the
+    nonlinear (soft, Vs<cut) elements and an XLA subset pass adds
+    their plastic + damping forces pre-reconciliation — trajectories
+    and plastic state match the unstructured oracle exactly (f64)."""
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.nonlinear import (NonlinearConfig,
+                                        build_nonlinear_tables)
+    from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
+                                                 attach_nonlinear_mesh,
+                                                 mesh_carry_views)
+    from hercules_tpu.solver.step import attach_nonlinear, run_solver
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    # soft layer over stiff halfspace: the vsrule grades the mesh in
+    # depth and Vs<cut selects only the soft-layer elements
+    build_layered_cvm(f"{tmp_path}/l.e", 1000.0, 1000.0, 500.0, 62.5,
+                      [[0.0, 3000.0, 1500.0, 2300.0],
+                       [250.0, 6000.0, 3464.0, 2700.0]])
+    cvm = CVM(f"{tmp_path}/l.e")
+    p.freq = 2.0
+    p.vscut = 0.0          # keep the soft layer's true Vs
+    p.finalize()
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+
+    cfg = NonlinearConfig()
+    cfg.material_model = "vonMises"
+    cfg.properties_type = "alphakay"
+    cfg.plasticity_type = "rate_independant"
+    cfg.vs_cut = 2000.0
+    cfg.vs_min = 0.0
+    cfg.vs_limits = np.array([0.0, 1e10])
+    cfg.alpha_cohes = np.array([0.0, 0.0])
+    cfg.kay_phis = np.array([1e3, 1e3])
+    cfg.strain_rates = np.array([1e-3, 1e-3])
+    cfg.sensitivities = np.array([1.0, 1.0])
+    cfg.hardening = np.array([0.0, 0.0])
+    nlt = build_nonlinear_tables(mesh, p, cfg)
+    assert 0 < nlt.n < mesh.lenum          # a genuine mixed mesh
+
+    T = 60
+    rng = np.random.default_rng(9)
+    # drive a node inside the soft layer so plastic flow actually fires
+    nid = np.array([mesh.elem_lnid[nlt.eidx[len(nlt.eidx) // 2], 0]],
+                   np.int32)
+    forces = rng.standard_normal((T, 1, 3)) * 1e9
+
+    nl_u = attach_nonlinear(mesh, p, tables, nlt, dtype=jnp.float64)
+    state_u, _ = run_solver(tables, nid, forces, T, p.delta_t,
+                            dtype=jnp.float64, nl=nl_u)
+    u_ref = np.asarray(state_u[0])
+
+    plan = build_plan(mesh)
+    mesh_nl = attach_nonlinear_mesh(mesh, p, tables, nlt, plan,
+                                    dtype=jnp.float64)
+    mt = MeshPallasTables(plan, tables, nl=mesh_nl, dtype=jnp.float64)
+    assert mt.packed and mt.plane_rec is not None
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float64,
+                                 chunk=20, interpret=True, nl=mesh_nl)
+    us, ups, tail = mesh_carry_views(state_m)
+    u_m = mesh_u_global(plan, us, mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_ref, rtol=0, atol=5e-12 * scale)
+    # plastic state (sig, pstr, ep) matches element-for-element
+    (nlstate_m,) = tail
+    for a, b in zip(nlstate_m, state_u[3][:3]):
+        sb = max(np.abs(np.asarray(b)).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-12 * sb)
+    # ... and plasticity actually fired (ep > 0 somewhere)
+    assert float(np.abs(np.asarray(nlstate_m[2])).max()) > 0
