@@ -602,16 +602,19 @@ class Simulation:
 
         plan = None
         mesh_nl = None
+        mesh_drm = None
         if (solver in ("auto", "bricks", "pallas")
-                and drm is None and drm_rec is None
+                and drm_rec is None
                 and fb_ids is None
                 and (nl is None
                      or (solver in ("auto", "pallas")
-                         and not nl["geostatic"]))):
-            # nonlinear rides ONLY the packed mesh path (fused kernels
-            # skip nl elements, an XLA subset pass adds their plastic
-            # + damping forces); geostatic loading and the plain
-            # brick/XLA paths keep the unstructured solver
+                         and not nl["geostatic"]))
+                and (drm is None or solver in ("auto", "pallas"))):
+            # nonlinear and DRM part-2 ride ONLY the packed mesh path
+            # (fused kernels skip nl elements / an XLA subset pass adds
+            # the plastic, damping and DRM effective forces); geostatic
+            # loading and the plain brick/XLA paths keep the
+            # unstructured solver
             try:
                 from .solver.bricks import build_plan
                 plan = build_plan(self.mesh)
@@ -624,6 +627,13 @@ class Simulation:
                     mesh_nl = attach_nonlinear_mesh(
                         self.mesh, p, self.tables, self.nl_tables,
                         plan, dtype)
+                except RuntimeError:
+                    plan = None
+            if plan is not None and drm is not None:
+                try:
+                    from .solver.pallas_mesh import attach_drm_mesh
+                    mesh_drm = attach_drm_mesh(drm, plan, self.tables,
+                                               dtype)
                 except RuntimeError:
                     plan = None
 
@@ -709,11 +719,11 @@ class Simulation:
                          and jax.default_backend() == "tpu"
                          and dtype == jnp.float32))
                     and not conventional)
-            use_pallas = want and single and mesh_nl is None
-            # nonlinear single-brick plans also ride the mesh path
-            # (it hosts the nl subset pass)
-            use_mesh = (want and multi
-                        and (not single or mesh_nl is not None))
+            extras = mesh_nl is not None or mesh_drm is not None
+            use_pallas = want and single and not extras
+            # nonlinear/DRM single-brick plans also ride the mesh path
+            # (it hosts the subset force passes)
+            use_mesh = want and multi and (not single or extras)
             handled = False
             if use_mesh:
                 interpret = jax.default_backend() != "tpu"
@@ -736,7 +746,7 @@ class Simulation:
                         chunk=chunk, on_chunk=hook, interpret=interpret,
                         state=state, start_step=start_step,
                         on_snap=snap_hook, snap_every=snap_every,
-                        nl=mesh_nl)
+                        nl=mesh_nl, drm=mesh_drm)
 
                 try:
                     state, samples = _mesh()
@@ -803,9 +813,11 @@ class Simulation:
                             os.environ.pop("HT_PALLAS_PACKED", None)
                         else:
                             os.environ["HT_PALLAS_PACKED"] = prev
-            if not handled and mesh_nl is not None:
+            if not handled and (mesh_nl is not None
+                                or mesh_drm is not None):
                 # the mesh path was the only plan-based home for
-                # nonlinear; fall through to the unstructured solver
+                # nonlinear/DRM; fall through to the unstructured
+                # solver
                 plan = None
             if plan is not None and not handled:
                 from .solver.brickstep import run_brick_solver

@@ -128,12 +128,13 @@ class MeshPallasTables:
 
     def __init__(self, plan: BrickPlan, tables, src_ids=None,
                  st_nodes=None, st_phi=None, dtype=jnp.float32,
-                 tile=None, nl=None):
+                 tile=None, nl=None, drm=None):
         assert mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30)
         self.plan = plan
         self.dtype = dtype
         self.damping = tables.damping
         self.nl = nl             # attach_nonlinear_mesh bundle
+        self.drm = drm           # attach_drm_mesh bundle
         bkt = tables.damping == "bkt"
         assert nl is None or not bkt
         f = lambda x: jnp.asarray(x, dtype)
@@ -190,9 +191,9 @@ class MeshPallasTables:
                 self.bk_scal = scals
         self.packed = (packed_env and rec_ok
                        and (not bkt or self.bk_scal is not None))
-        if nl is not None and not self.packed:
+        if (nl is not None or drm is not None) and not self.packed:
             raise RuntimeError(
-                "nonlinear rides the packed mesh path; this plan "
+                "nonlinear/DRM ride the packed mesh path; this plan "
                 "needs the index epilogue — unstructured path only")
 
         # ---- per-brick geometry + padded constant tables -------------
@@ -494,6 +495,42 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
     return bundle
 
 
+def attach_drm_mesh(drm, plan, tables, dtype=jnp.float32):
+    """Mesh-path DRM part-2 bundle (solver_compute_effective_drm_force,
+    drm.c:2316-2437): each DRM-boundary node maps to its FIRST concat
+    copy, and the lerped effective force is added into rows 0:3 of the
+    packed next-step arrays before reconciliation (u_next += F *
+    inv_mass by linearity) — interface copies reconcile afterwards, so
+    one copy's force counts exactly once, and dangling-node forces
+    distribute through the plane algebra like any kernel force."""
+    ids = np.asarray(drm["ids"])
+    g = plan.gnid_cat
+    uniq, first = np.unique(g, return_index=True)
+    pos = first[np.searchsorted(uniq, ids)]
+    assert (g[pos] == ids).all(), "DRM node missing from plan"
+    NB = len(plan.bricks)
+    off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
+                 if NB else 0)
+    arr = np.full(len(pos), NB, np.int64)
+    loc = pos - off_loose
+    for a, b in enumerate(plan.bricks):
+        m = (pos >= b.off) & (pos < b.off + b.nb)
+        arr[m] = a
+        loc[m] = pos[m] - b.off
+    f = lambda x: jnp.asarray(x, dtype)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    out = {"Fdev": f(drm["Fdev"] if "Fdev" in drm else drm["F"]),
+           "aux": drm["aux"], "adds": []}
+    rows = np.arange(len(ids))
+    for a in range(NB + 1):
+        m = arr == a
+        if m.any():
+            out["adds"].append(
+                (a, i32(loc[m]), i32(rows[m]),
+                 f(tables.inv_mass[ids[m]])[:, None]))
+    return out
+
+
 def mesh_carry_views(carry):
     """(us, ups, tail) views of a mesh-path carry: legacy
     (us, ups, conv) with [3, *] entries, or packed ((S, ...),) with
@@ -537,6 +574,7 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
     consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
 
     nl = mt.nl
+    drm = mt.drm
 
     def step(cd, carry, x):
         srcf, step_idx = x
@@ -621,6 +659,18 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                                       indices_are_sorted=True).T
         un_l = u_l + (F_l + cd["mm_l"] * (u_l - up_l)) * cd["invm_l"]
         Sns.append(jnp.concatenate([un_l, u_l, S_l[6:8]], axis=0))
+
+        # ---- DRM part-2 effective forces (pre-reconciliation) --------
+        if drm is not None:
+            k = jnp.minimum(step_idx // drm["aux"],
+                            drm["Fdev"].shape[0] - 2)
+            frac = ((step_idx % drm["aux"]).astype(dtype)
+                    / drm["aux"])
+            fd = ((1.0 - frac) * drm["Fdev"][k]
+                  + frac * drm["Fdev"][k + 1])
+            for a, cols, rows, invm_d in drm["adds"]:
+                Sns[a] = Sns[a].at[0:3, cols].add(
+                    (fd[rows] * invm_d).T)
 
         # ---- interface reconciliation --------------------------------
         if "norec" in mablate:
@@ -955,14 +1005,15 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                     st_nodes=None, st_phi=None, dtype=jnp.float32,
                     chunk=None, state=None, on_chunk=None,
                     interpret=False, start_step=0, on_snap=None,
-                    snap_every=None, nl=None):
+                    snap_every=None, nl=None, drm=None):
     """Chunked time loop; same contract as run_brick_solver.
-    nl: attach_nonlinear_mesh bundle (elastic packed mode only)."""
+    nl: attach_nonlinear_mesh bundle (elastic packed mode only);
+    drm: attach_drm_mesh bundle (packed mode only)."""
     from .chunking import run_chunked
 
     mt = MeshPallasTables(plan, tables, src_ids=src_ids,
                           st_nodes=st_nodes, st_phi=st_phi,
-                          dtype=dtype, nl=nl)
+                          dtype=dtype, nl=nl, drm=drm)
     step, consts = make_mesh_step(mt, interpret=interpret)
     if state is None:
         state = init_mesh_state(mt)

@@ -118,6 +118,20 @@ def test_drm_reproduces_interior_field(setup, tmp_path):
                            dtype=jnp.float64, drm=drm)
     u2 = np.asarray(state2[0])
 
+    # ---- PART2 through the packed mesh path (attach_drm_mesh) ----
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.pallas_mesh import (attach_drm_mesh,
+                                                 mesh_carry_views,
+                                                 mesh_u_global,
+                                                 run_mesh_solver)
+    bplan = build_plan(mesh)
+    mdrm = attach_drm_mesh(drm, bplan, tables, dtype=jnp.float64)
+    state_m, _ = run_mesh_solver(bplan, tables, src_ids, zeros, T,
+                                 p.delta_t, dtype=jnp.float64,
+                                 chunk=40, interpret=True, drm=mdrm)
+    u_m = mesh_u_global(bplan, mesh_carry_views(state_m)[0],
+                        mesh.nnum)
+
     ts = mesh.ticksize
     nx = mesh.node_x.astype(np.float64) * ts
     ny = mesh.node_y.astype(np.float64) * ts
@@ -137,3 +151,6 @@ def test_drm_reproduces_interior_field(setup, tmp_path):
                                u1[interior] / scale, atol=1e-9)
     # no scattered field outside (model unperturbed)
     np.testing.assert_allclose(u2[exterior] / scale, 0, atol=1e-9)
+    # the packed mesh path replays the same effective forces exactly
+    np.testing.assert_allclose(u_m / scale, u2 / scale, rtol=0,
+                               atol=5e-12)
