@@ -217,8 +217,28 @@ def terashake_bench():
         return time.time() - t1
 
     t0 = time.time()
-    state = scan(consts, state, xs_for(steps))
-    fence(state)
+    try:
+        state = scan(consts, state, xs_for(steps))
+        fence(state)
+    except Exception as e:
+        # a Mosaic lowering gap in the packed mesh path must degrade
+        # the number, never zero it: retry on the unpacked kernels
+        if (os.environ.get("HT_MESH_PACKED", "1") == "0"
+                or not mesh_plan_applies(plan, tables.damping,
+                                         max_bricks=1 << 30)):
+            raise
+        print(f"# WARNING: packed mesh path failed "
+              f"({type(e).__name__}); retrying HT_MESH_PACKED=0",
+              file=sys.stderr)
+        os.environ["HT_MESH_PACKED"] = "0"
+        mt = MeshPallasTables(plan, tables,
+                              src_ids=np.array([nid], np.int32))
+        step, consts = make_mesh_step(mt)
+        state = init_mesh_state(mt)
+        scan = jax.jit(lambda c, s, xs: jax.lax.scan(
+            partial(step, c), s, xs)[0])
+        state = scan(consts, state, xs_for(steps))
+        fence(state)
     print(f"# compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     state = scan(consts, state, xs_for(steps))
