@@ -225,7 +225,8 @@ def terashake_bench():
         # the number, never zero it: retry on the unpacked kernels
         if (os.environ.get("HT_MESH_PACKED", "1") == "0"
                 or not mesh_plan_applies(plan, tables.damping,
-                                         max_bricks=1 << 30)):
+                                         max_bricks=1 << 30)
+                or not getattr(mt, "packed", False)):
             raise
         print(f"# WARNING: packed mesh path failed "
               f"({type(e).__name__}); retrying HT_MESH_PACKED=0",

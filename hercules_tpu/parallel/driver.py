@@ -141,6 +141,25 @@ def _stack_pad(u, gnid_local, LEN, dtype):
     return jnp.asarray(out)
 
 
+def _bkt_corner_stack_to_node(offs, valid, arr, rows_node, cdt):
+    """Per-device corner-basis BKT checkpoint conv [n_dev, R, LEN] ->
+    the packed node basis [n_dev, rows_node, LEN] (exact under the
+    uniform-Q tier the packed path requires; see
+    pallas_brick.conv_corner_to_node)."""
+    from ..solver.pallas_brick import conv_corner_to_node
+    arr = np.asarray(arr, np.float64)
+    n_dev, R, LEN = arr.shape
+    R2 = (R // 24) * 3
+    out = np.zeros((n_dev, rows_node, LEN))
+    valid = np.asarray(valid)
+    if valid.shape[-1] < LEN:
+        valid = np.pad(valid, ((0, 0), (0, LEN - valid.shape[-1])))
+    for d in range(n_dev):
+        nb_ = conv_corner_to_node(offs, valid[d] != 0, arr[d])
+        out[d, :R2] = nb_[:R2]
+    return jnp.asarray(out, cdt)
+
+
 class SlabXLAPath(_PathBase):
     """Uniform single-brick z-slab decomposition, XLA stencil step
     (parallel/slab.py: slab_step_builder)."""
@@ -297,14 +316,20 @@ class SlabPallasPath(SlabXLAPath):
                 assert len(tail_flat) == 1, \
                     "fused slab BKT tail must be 1 array"
                 rows, cdt = self._conv_info
-                want = (self.n_dev, rows, self._LEN)
-                if tuple(np.shape(tail_flat[0])) != want:
-                    raise RuntimeError(
-                        f"checkpoint BKT state "
-                        f"{np.shape(tail_flat[0])} does not match the "
-                        f"packed slab layout {want}; restart with the "
-                        f"solver path that wrote it")
-                return S + (jnp.asarray(tail_flat[0], cdt),)
+                got = tuple(np.shape(tail_flat[0]))
+                if got == (self.n_dev, rows, self._LEN):
+                    return S + (jnp.asarray(tail_flat[0], cdt),)
+                if (len(got) == 3 and got[0] == self.n_dev
+                        and got[1] in (48, 96) and got[2] == self._LEN):
+                    # corner-basis checkpoint (pre-packed runs):
+                    # convert exactly under the uniform-Q tier
+                    return S + (_bkt_corner_stack_to_node(
+                        self.st.meta.offs, self.st.bkt_valid,
+                        tail_flat[0], rows, cdt),)
+                raise RuntimeError(
+                    f"checkpoint BKT state {got} does not match the "
+                    f"packed slab layout {(self.n_dev, rows, self._LEN)}"
+                    f"; restart with the solver path that wrote it")
             raise RuntimeError(
                 "unexpected checkpoint tail for slab path")
         base = (self._u_stack(u), self._u_stack(up))
@@ -452,17 +477,24 @@ class GslabPath(_PathBase):
                 nb = len(st.bricks)
                 assert len(tail_flat) == nb, \
                     "gslab BKT tail must have one array per brick"
-                want = [(st.n_dev, st.conv_rows_node, gb.LEN)
-                        for gb in st.bricks]
-                got = [tuple(np.shape(a)) for a in tail_flat]
-                if got != want:
-                    raise RuntimeError(
-                        f"checkpoint BKT state {got} does not match "
-                        f"the packed gslab layout {want}; restart "
-                        f"with the solver path that wrote it")
-                return Ss + (tuple(
-                    jnp.asarray(a, st.conv_dtype_node)
-                    for a in tail_flat),)
+                out = []
+                for gb, a in zip(st.bricks, tail_flat):
+                    got = tuple(np.shape(a))
+                    node = (st.n_dev, st.conv_rows_node, gb.LEN)
+                    if got == node:
+                        out.append(jnp.asarray(a, st.conv_dtype_node))
+                    elif got == (st.n_dev, st.conv_rows, gb.LEN):
+                        # corner-basis checkpoint (pre-packed runs)
+                        out.append(_bkt_corner_stack_to_node(
+                            gb.offs, np.asarray(gb.Kp)[:, 4], a,
+                            st.conv_rows_node, st.conv_dtype_node))
+                    else:
+                        raise RuntimeError(
+                            f"checkpoint BKT state {got} matches "
+                            f"neither the packed gslab layout {node} "
+                            f"nor the corner basis; restart with the "
+                            f"solver path that wrote it")
+                return Ss + (tuple(out),)
             raise RuntimeError(
                 "unexpected checkpoint tail for gslab path")
         base = (self._u_stack(u), self._u_stack(up))

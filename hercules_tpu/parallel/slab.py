@@ -437,7 +437,8 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
         tdev["K"] = f(pad_nodes(np.concatenate(
             [st.mass_minusaM, st.inv_mass[:, None, :],
              st.bkt_valid[:, None, :],
-             np.zeros((st.n_dev, 3, st.tot_local))], axis=1)))
+             np.zeros((st.mass_minusaM.shape[0], 3,
+                       st.tot_local))], axis=1)))
     elif bkt:
         shear_only = bkt_kappa_zero(st.bkt)
         conv_rows = 48 if shear_only else 96
@@ -461,7 +462,7 @@ def slab_pallas_step_builder(st: SlabTables, axis="d",
                                      tier=tier, kco=kco)
             tdev["K"] = f(pad_nodes(np.concatenate(
                 [cm, st.mass_minusaM, st.inv_mass[:, None, :],
-                 np.zeros((st.n_dev, 1, cm.shape[-1]))], axis=1)))
+                 np.zeros((cm.shape[0], 1, cm.shape[-1]))], axis=1)))
         else:
             call = build_call(offs, B, o7, T, LEN, f1e, f2e, dtype,
                               interpret=interpret, tier=tier, kco=kco)

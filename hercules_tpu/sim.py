@@ -236,6 +236,11 @@ class SimOutputs:
                 from .solver.pallas_mesh import mesh_u_global
                 return mesh_u_global(plan, u, mesh.nnum)
             u = np.asarray(u)
+            if (u.ndim == 2 and u.shape[1] == 3
+                    and u.shape[0] == mesh.nnum):
+                return u                      # canonical [N, 3] (the
+                # unstructured solver — reached even when a plan was
+                # built, via the nl/DRM runtime fallbacks)
             if gnid_cat is not None:          # brick layout [3, TOT]
                 out = np.zeros((mesh.nnum, 3), u.dtype)
                 out[gnid_cat] = u[:, :len(gnid_cat)].T
@@ -603,13 +608,25 @@ class Simulation:
         plan = None
         mesh_nl = None
         mesh_drm = None
+        # nl/DRM can only leave the unstructured solver for the fused
+        # mesh path, which needs a TPU f32 run (or an explicit pallas
+        # request) under the effective stiffness scheme — don't build
+        # a plan (O(E) host work) or device-resident subset tables
+        # that cannot be used
+        fused_possible = (
+            (solver == "pallas"
+             or (solver == "auto"
+                 and jax.default_backend() == "tpu"
+                 and dtype == jnp.float32))
+            and not (solver == "auto"
+                     and getattr(p, "stiffness_method",
+                                 "effective") == "conventional"))
         if (solver in ("auto", "bricks", "pallas")
                 and drm_rec is None
                 and fb_ids is None
                 and (nl is None
-                     or (solver in ("auto", "pallas")
-                         and not nl["geostatic"]))
-                and (drm is None or solver in ("auto", "pallas"))):
+                     or (fused_possible and not nl["geostatic"]))
+                and (drm is None or fused_possible)):
             # nonlinear and DRM part-2 ride ONLY the packed mesh path
             # (fused kernels skip nl elements / an XLA subset pass adds
             # the plastic, damping and DRM effective forces); geostatic
@@ -759,7 +776,8 @@ class Simulation:
                         raise
                     print(f"WARNING: multi-brick pallas path failed "
                           f"({type(e).__name__}); falling back to the "
-                          f"XLA brick path", file=sys.stderr)
+                          f"{'unstructured solver' if mesh_nl is not None or mesh_drm is not None else 'XLA brick path'}",
+                          file=sys.stderr)
                     use_mesh = False
             if use_pallas:
                 interpret = jax.default_backend() != "tpu"

@@ -329,15 +329,7 @@ class MeshPallasTables:
                 self.mcat = f(tables.m48.T)
 
         # ---- reconciliation plan in (array, local) coordinates -------
-        def locate(pos):
-            """concat position -> (array index, local column)."""
-            arr = np.full(len(pos), NB, np.int64)     # default: loose
-            loc = pos - off_loose
-            for a, b in enumerate(plan.bricks):
-                m = (pos >= b.off) & (pos < b.off + b.nb)
-                arr[m] = a
-                loc[m] = pos[m] - b.off
-            return arr, loc
+        locate = lambda pos: locate_concat(plan, pos)
 
         K = len(plan.ex_pos)
         self.K = K
@@ -381,9 +373,7 @@ class MeshPallasTables:
         self.src_grp_idx = self.src_grp_rows = None
         self.src_direct = []
         if src_ids is not None and len(src_ids):
-            uniq, firstc = np.unique(g, return_index=True)
-            pos = firstc[np.searchsorted(uniq, src_ids)]
-            assert (g[pos] == src_ids).all()
+            pos = first_concat_copy(plan, src_ids, what="source node")
             node2grp = -np.ones(plan.mesh.nnum, np.int64)
             node2grp[plan.grp_node] = np.arange(self.G)
             gi = node2grp[src_ids]
@@ -407,13 +397,43 @@ class MeshPallasTables:
         self.st = None
         if st_nodes is not None and len(np.asarray(st_nodes)):
             st_nodes = np.asarray(st_nodes)
-            uniq, firstc = np.unique(g, return_index=True)
-            flat = st_nodes.ravel()
-            pos = firstc[np.searchsorted(uniq, flat)]
-            assert (g[pos] == flat).all()
+            pos = first_concat_copy(plan, st_nodes,
+                                    what="station node")
             arr, loc = locate(pos)
-            self.st = (_Gather(arr, loc, NB + 1, len(flat)),
+            self.st = (_Gather(arr, loc, NB + 1, st_nodes.size),
                        st_nodes.shape, f(st_phi))
+
+
+def locate_concat(plan, pos):
+    """concat position -> (array index, local column): bricks are
+    0..NB-1, the loose node section is NB.  THE concat-layout
+    convention — sources, stations, nl and DRM subset passes all
+    resolve through here."""
+    NB = len(plan.bricks)
+    off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
+                 if NB else 0)
+    pos = np.asarray(pos, np.int64)
+    arr = np.full(len(pos), NB, np.int64)
+    loc = pos - off_loose
+    for a, b in enumerate(plan.bricks):
+        m = (pos >= b.off) & (pos < b.off + b.nb)
+        arr[m] = a
+        loc[m] = pos[m] - b.off
+    return arr, loc
+
+
+def first_concat_copy(plan, node_ids, what="node"):
+    """Concat position of the FIRST copy of each global node id
+    (interface nodes have several copies; per-node force injections
+    count once when added to exactly one)."""
+    g = plan.gnid_cat
+    uniq, first = np.unique(g, return_index=True)
+    ids = np.asarray(node_ids).ravel()
+    pos = first[np.searchsorted(uniq, np.clip(ids, uniq[0],
+                                              uniq[-1]))]
+    if not (g[pos] == ids).all():
+        raise RuntimeError(f"{what} missing from plan")
+    return pos
 
 
 def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
@@ -445,7 +465,9 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
     col_of = -np.ones(tables.E, np.int64)
     col_of[plan.eidx_cat[valid_cols]] = valid_cols
     cols = col_of[t.eidx]
-    assert (cols >= 0).all(), "nonlinear element missing from plan"
+    if not (cols >= 0).all():
+        raise RuntimeError("nonlinear element missing from plan; "
+                           "unstructured path only")
     off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
                  if NB else 0)
     if (cols >= off_loose).any():
@@ -464,8 +486,11 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
         offs = np.asarray(b.corner_offsets())
         pos[m] = (cols[m] - b.off)[:, None] + offs[None, :]
         # the brick corner order must be elem_lnid's corner order
-        assert (g[b.off + pos[m]]
-                == mesh.elem_lnid[t.eidx[m]]).all()
+        if not (g[b.off + pos[m]]
+                == mesh.elem_lnid[t.eidx[m]]).all():
+            raise RuntimeError(
+                f"brick {bi}: corner order does not match elem_lnid; "
+                f"unstructured path only")
 
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
@@ -504,19 +529,13 @@ def attach_drm_mesh(drm, plan, tables, dtype=jnp.float32):
     one copy's force counts exactly once, and dangling-node forces
     distribute through the plane algebra like any kernel force."""
     ids = np.asarray(drm["ids"])
-    g = plan.gnid_cat
-    uniq, first = np.unique(g, return_index=True)
-    pos = first[np.searchsorted(uniq, ids)]
-    assert (g[pos] == ids).all(), "DRM node missing from plan"
+    try:
+        pos = first_concat_copy(plan, ids, what="DRM node")
+    except RuntimeError:
+        raise RuntimeError("DRM node missing from plan; "
+                           "unstructured path only")
     NB = len(plan.bricks)
-    off_loose = (plan.bricks[-1].off + plan.bricks[-1].nb
-                 if NB else 0)
-    arr = np.full(len(pos), NB, np.int64)
-    loc = pos - off_loose
-    for a, b in enumerate(plan.bricks):
-        m = (pos >= b.off) & (pos < b.off + b.nb)
-        arr[m] = a
-        loc[m] = pos[m] - b.off
+    arr, loc = locate_concat(plan, pos)
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     out = {"Fdev": f(drm["Fdev"] if "Fdev" in drm else drm["F"]),
