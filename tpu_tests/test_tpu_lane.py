@@ -222,3 +222,71 @@ def test_packed_mesh_path_graded_f32():
     scale = np.abs(u_ref).max()
     assert scale > 0
     np.testing.assert_allclose(u / scale, u_ref / scale, atol=2e-5)
+
+
+def test_mesh_nonlinear_on_chip():
+    """Nonlinear on the packed mesh path, Mosaic-compiled: matches the
+    unstructured oracle in f32 on a mixed soft-layer mesh."""
+    import tempfile
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.nonlinear import (NonlinearConfig,
+                                        build_nonlinear_tables)
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.pallas_mesh import (attach_nonlinear_mesh,
+                                                 mesh_carry_views,
+                                                 mesh_u_global,
+                                                 run_mesh_solver)
+    from hercules_tpu.solver.step import attach_nonlinear, run_solver
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    tmp = tempfile.mkdtemp(prefix="ht_nl_")
+    build_layered_cvm(f"{tmp}/l.e", 1000.0, 1000.0, 500.0, 62.5,
+                      [[0.0, 3000.0, 1500.0, 2300.0],
+                       [250.0, 6000.0, 3464.0, 2700.0]])
+    cvm = CVM(f"{tmp}/l.e")
+    p.freq = 2.0
+    p.vscut = 0.0
+    p.finalize()
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+
+    cfg = NonlinearConfig()
+    cfg.material_model = "vonMises"
+    cfg.properties_type = "alphakay"
+    cfg.plasticity_type = "rate_independant"
+    cfg.vs_cut = 2000.0
+    cfg.vs_min = 0.0
+    cfg.vs_limits = np.array([0.0, 1e10])
+    cfg.alpha_cohes = np.array([0.0, 0.0])
+    cfg.kay_phis = np.array([1e3, 1e3])
+    cfg.strain_rates = np.array([1e-3, 1e-3])
+    cfg.sensitivities = np.array([1.0, 1.0])
+    cfg.hardening = np.array([0.0, 0.0])
+    nlt = build_nonlinear_tables(mesh, p, cfg)
+    assert 0 < nlt.n < mesh.lenum
+
+    T = 80
+    nid = np.array([mesh.elem_lnid[nlt.eidx[len(nlt.eidx) // 2], 0]],
+                   np.int32)
+    forces = np.zeros((T, 1, 3), np.float32)
+    forces[:10, 0, :] = 1e9
+
+    nl_u = attach_nonlinear(mesh, p, tables, nlt, dtype=jnp.float32)
+    state_u, _ = run_solver(tables, nid, forces, T, p.delta_t,
+                            dtype=jnp.float32, nl=nl_u)
+    u_ref = np.asarray(state_u[0])
+
+    plan = build_plan(mesh)
+    mesh_nl = attach_nonlinear_mesh(mesh, p, tables, nlt, plan,
+                                    dtype=jnp.float32)
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float32,
+                                 nl=mesh_nl)
+    u_m = mesh_u_global(plan, mesh_carry_views(state_m)[0], mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m / scale, u_ref / scale, atol=5e-5)
