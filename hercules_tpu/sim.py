@@ -546,6 +546,7 @@ class Simulation:
 
         drm = None
         drm_rec = None
+        on_samples = None
         if self.drm_plan is not None:
             dcfg = self.drm_plan.cfg
             if dcfg.part == "part2":
@@ -555,20 +556,35 @@ class Simulation:
             elif dcfg.part == "part1":
                 from .drm import DRMRecorder
                 drm_rec = DRMRecorder(self.drm_dir, self.drm_plan)
-                # step-0 record of the zero initial field
+                # step-0 record of the zero initial field (the
+                # reference records at loop top, steps 0..T-1)
                 drm_rec.record(0, np.zeros((self.mesh.nnum, 3)))
-                prev_hook = on_chunk
+                # in-scan one-hot sampling of the DRM interface
+                # nodes: part1 recording rides ANY solver path at
+                # full chunk size, streaming each chunk's rows to the
+                # part1 files via on_samples (the previous
+                # chunk-boundary recorder forced chunk == print_rate
+                # and a full-field device->host copy per record)
+                drm_ids = np.asarray(self.drm_plan.node_ids)
+                dn_ = np.zeros((len(drm_ids), 8), np.int32)
+                dn_[:, 0] = drm_ids
+                dphi_ = np.zeros((len(drm_ids), 8))
+                dphi_[:, 0] = 1.0
+                drm_row0 = 0 if st_nodes is None else len(st_nodes)
+                st_nodes = (dn_ if st_nodes is None
+                            else np.concatenate([st_nodes, dn_]))
+                st_phi = (dphi_ if st_phi is None
+                          else np.concatenate([st_phi, dphi_]))
+                _pr = max(int(dcfg.print_rate), 1)
+                _full = np.zeros((self.mesh.nnum, 3))
 
-                def on_chunk(done, state, _prev=prev_hook):
-                    u = np.asarray(state[0])
-                    if u.shape[0] == 3:      # brick layout unsupported
-                        u = u.T
-                    drm_rec.record(done, u)
-                    if _prev is not None:
-                        _prev(done, state)
-                # record every print_rate steps: chunk must divide it
-                chunk = dcfg.print_rate if chunk is None else min(
-                    chunk, dcfg.print_rate)
+                def on_samples(s0, ys, _r0=drm_row0):
+                    for i in range(ys.shape[0]):
+                        ab = s0 + i
+                        if ab and ab % _pr == 0:
+                            _full[drm_ids] = ys[i, _r0:]
+                            drm_rec.record(ab, _full)
+                    return ys[:, :_r0]
 
         # fixed-base buildings: load the prescribed base displacement
         # series (bldgs_load_fixedbase_disps, buildings.c:975-1146) and
@@ -622,7 +638,6 @@ class Simulation:
                      and getattr(p, "stiffness_method",
                                  "effective") == "conventional"))
         if (solver in ("auto", "bricks", "pallas")
-                and drm_rec is None
                 and fb_ids is None
                 and (nl is None
                      or (fused_possible and not nl["geostatic"]))
@@ -763,7 +778,8 @@ class Simulation:
                         chunk=chunk, on_chunk=hook, interpret=interpret,
                         state=state, start_step=start_step,
                         on_snap=snap_hook, snap_every=snap_every,
-                        nl=mesh_nl, drm=mesh_drm)
+                        nl=mesh_nl, drm=mesh_drm,
+                        on_samples=on_samples)
 
                 try:
                     state, samples = _mesh()
@@ -803,7 +819,8 @@ class Simulation:
                         st_nodes=st_nodes, st_phi=st_phi, dtype=dtype,
                         chunk=chunk, on_chunk=hook, interpret=interpret,
                         state=state, start_step=start_step,
-                        on_snap=snap_hook, snap_every=snap_every)
+                        on_snap=snap_hook, snap_every=snap_every,
+                        on_samples=on_samples)
 
                 # compile-failure fallback chain (packed -> unpacked ->
                 # brick): a Mosaic lowering gap must degrade the path,
@@ -852,7 +869,8 @@ class Simulation:
                     steps, p.delta_t, st_nodes=st_nodes, st_phi=st_phi,
                     dtype=dtype, chunk=chunk, on_chunk=hook,
                     state=state, start_step=start_step,
-                    on_snap=snap_hook, snap_every=snap_every)
+                    on_snap=snap_hook, snap_every=snap_every,
+                    on_samples=on_samples)
         if plan is None:
             state = None
             if init_state is not None:
@@ -883,7 +901,8 @@ class Simulation:
                 dtype=dtype, chunk=chunk, on_chunk=hook, nl=nl,
                 drm=drm, state=state, start_step=start_step,
                 fb_ids=fb_ids, fb_series=fb_series,
-                on_snap=snap_hook, snap_every=snap_every)
+                on_snap=snap_hook, snap_every=snap_every,
+                on_samples=on_samples)
         if drm_rec is not None:
             drm_rec.close()
         if outputs is not None:

@@ -362,7 +362,8 @@ def init_brick_state(meta, TOT, damping, dtype=jnp.float32,
 def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                      st_nodes=None, st_phi=None, dtype=jnp.float32,
                      chunk=None, state=None, on_chunk=None,
-                     start_step=0, on_snap=None, snap_every=None):
+                     start_step=0, on_snap=None, snap_every=None,
+                     on_samples=None):
     """Chunked brick time loop; same contract as solver.step.run_solver."""
     from .chunking import run_chunked
 
@@ -383,7 +384,8 @@ def run_brick_solver(plan, tables, src_ids, src_forces, total_steps, dt,
     return run_chunked(step, state, make_xs, total_steps,
                        start_step=start_step, chunk=chunk,
                        on_chunk=on_chunk, on_snap=on_snap,
-                       snap_every=snap_every, consts=d)
+                       snap_every=snap_every, consts=d,
+                       on_samples=on_samples)
 
 
 def brick_u_global(plan, u_cat, N):

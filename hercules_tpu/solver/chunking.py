@@ -24,7 +24,8 @@ import numpy as np
 
 def run_chunked(step, state, make_xs, total_steps, start_step=0,
                 chunk=1000, on_chunk=None, on_snap=None,
-                snap_every=None, consts=None, snap_of=None):
+                snap_every=None, consts=None, snap_of=None,
+                on_samples=None):
     """Drive `step` over [start_step, total_steps).
 
     step: scan-able (carry, x) -> (carry, sample); with `consts`, the
@@ -34,6 +35,10 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
         remote compilation for production-scale meshes (hundreds of MB)
     make_xs(s, k): xs pytree with leading dim k for steps [s, s+k)
     on_chunk(done, state): fires at every chunk boundary
+    on_samples(s0, ys): consumes each chunk's per-step sample rows
+        (steps [s0, s0+len)) as they land on host and returns what to
+        accumulate — lets callers stream large sample streams (e.g.
+        DRM part-1 records) to disk instead of holding them
     on_snap(done, (u, up)): fires every `snap_every` steps (host-side,
         with numpy copies of the first two carry slots)
     snap_of(carry): (u, up) views of a carry whose layout is not
@@ -103,6 +108,8 @@ def run_chunked(step, state, make_xs, total_steps, start_step=0,
                 su, sp = snap_of(state)
                 on_snap(s + k, (jax.tree.map(np.asarray, su),
                                 jax.tree.map(np.asarray, sp)))
+        if on_samples is not None:
+            samples = on_samples(s, samples)
         outs.append(samples)
         if on_chunk is not None:
             on_chunk(s + k, state)

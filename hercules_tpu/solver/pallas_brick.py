@@ -1428,7 +1428,7 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                       dt, st_nodes=None, st_phi=None,
                       dtype=jnp.float32, chunk=None, state=None,
                       on_chunk=None, interpret=False, start_step=0,
-                      on_snap=None, snap_every=None):
+                      on_snap=None, snap_every=None, on_samples=None):
     """Chunked time loop; same contract as run_brick_solver."""
     from .chunking import run_chunked
 
@@ -1484,7 +1484,8 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                                  start_step=start_step, chunk=chunk,
                                  on_chunk=on_chunk, on_snap=on_snap,
                                  snap_every=snap_every, consts=consts,
-                                 snap_of=snap_of)
+                                 snap_of=snap_of,
+                                 on_samples=on_samples)
     if packed:
         state = packed_snap_of(state)
     return state, samples

@@ -1024,7 +1024,8 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                     st_nodes=None, st_phi=None, dtype=jnp.float32,
                     chunk=None, state=None, on_chunk=None,
                     interpret=False, start_step=0, on_snap=None,
-                    snap_every=None, nl=None, drm=None):
+                    snap_every=None, nl=None, drm=None,
+                    on_samples=None):
     """Chunked time loop; same contract as run_brick_solver.
     nl: attach_nonlinear_mesh bundle (elastic packed mode only);
     drm: attach_drm_mesh bundle (packed mode only)."""
@@ -1052,5 +1053,6 @@ def run_mesh_solver(plan, tables, src_ids, src_forces, total_steps, dt,
                                  on_chunk=on_chunk, on_snap=on_snap,
                                  snap_every=snap_every, consts=consts,
                                  snap_of=lambda c:
-                                 mesh_carry_views(c)[:2])
+                                 mesh_carry_views(c)[:2],
+                                 on_samples=on_samples)
     return state, samples

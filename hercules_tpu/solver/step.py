@@ -343,7 +343,8 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
                st_nodes=None, st_phi=None, dtype=jnp.float64,
                chunk=None, state=None, start_step=0,
                on_chunk=None, nl=None, fb_ids=None, fb_series=None,
-               drm=None, on_snap=None, snap_every=None):
+               drm=None, on_snap=None, snap_every=None,
+               on_samples=None):
     """Run the time loop in jitted chunks.
 
     src_forces: [T, L, 3] host array (unscaled; dt^2 applied here).
@@ -377,4 +378,4 @@ def run_solver(tables, src_ids, src_forces, total_steps, dt,
     return run_chunked(step, state, make_xs, total_steps,
                        start_step=start_step, chunk=chunk,
                        on_chunk=on_chunk, on_snap=on_snap,
-                       snap_every=snap_every)
+                       snap_every=snap_every, on_samples=on_samples)

@@ -154,3 +154,43 @@ def test_drm_reproduces_interior_field(setup, tmp_path):
     # the packed mesh path replays the same effective forces exactly
     np.testing.assert_allclose(u_m / scale, u2 / scale, rtol=0,
                                atol=5e-12)
+
+
+def test_sim_part1_streams_records(tmp_path):
+    """The sim-level part1 wiring records interface displacements via
+    in-scan one-hot station sampling streamed through on_samples (full
+    chunking on any solver path), matching a manual one-hot run; the
+    regular station samples come back unpolluted."""
+    import jax.numpy as jnp
+    from hercules_tpu.drm import classify, read_displacements
+    from hercules_tpu.sim import Simulation
+
+    sim = Simulation.setup(f"{SIMPLE}/in/physics.in",
+                           f"{SIMPLE}/in/numerical.in",
+                           cvmdb=f"{SIMPLE}/simple_case.e")
+    cfg = _cfg(tmp_path, "part1")
+    sim.drm_plan = classify(sim.mesh, cfg)
+    sim.drm_dir = str(tmp_path)
+    T = 50
+    sim.src_forces = sim.src_forces[:T]
+    state, samples = sim.run(total_steps=T, chunk=20,
+                             dtype=jnp.float64)
+    n_st = len(sim.stations.ids) if sim.stations else 0
+    assert samples.shape[1] == n_st       # drm rows sliced off
+
+    plan = sim.drm_plan
+    L = len(plan.node_ids)
+    st_nodes = np.zeros((L, 8), np.int32)
+    st_nodes[:, 0] = plan.node_ids
+    st_phi = np.zeros((L, 8))
+    st_phi[:, 0] = 1.0
+    _, rec = run_solver(sim.tables, sim.src_ids, sim.src_forces, T,
+                        sim.params.delta_t, st_nodes=st_nodes,
+                        st_phi=st_phi, dtype=jnp.float64)
+
+    got = read_displacements(str(tmp_path), L)    # [nrec, L, 3]
+    assert got.shape[0] == T          # steps 0..T-1 at print_rate 1
+    np.testing.assert_allclose(got[0], 0.0)
+    scale = max(np.abs(np.asarray(rec)).max(), 1e-30)
+    np.testing.assert_allclose(got[1:] / scale,
+                               np.asarray(rec)[1:] / scale, atol=1e-12)
