@@ -639,14 +639,13 @@ class Simulation:
                                  "effective") == "conventional"))
         if (solver in ("auto", "bricks", "pallas")
                 and fb_ids is None
-                and (nl is None
-                     or (fused_possible and not nl["geostatic"]))
+                and (nl is None or fused_possible)
                 and (drm is None or fused_possible)):
-            # nonlinear and DRM part-2 ride ONLY the packed mesh path
-            # (fused kernels skip nl elements / an XLA subset pass adds
-            # the plastic, damping and DRM effective forces); geostatic
-            # loading and the plain brick/XLA paths keep the
-            # unstructured solver
+            # nonlinear (incl. geostatic loading) and DRM part-2 ride
+            # ONLY the packed mesh path (fused kernels skip nl
+            # elements / XLA subset passes add the plastic, damping,
+            # gravity and DRM effective forces); the plain brick/XLA
+            # paths keep the unstructured solver
             try:
                 from .solver.bricks import build_plan
                 plan = build_plan(self.mesh)

@@ -454,11 +454,12 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
     from ..nonlinear import nl_device_tables
 
     t = nl_tables
-    if t.cfg.geostatic_loading_t > 0:
-        raise RuntimeError(
-            "geostatic loading: unstructured path only")
+    geostatic = t.cfg.geostatic_loading_t > 0
     if tables.damping == "bkt":
         raise RuntimeError("nonlinear+BKT: unstructured path only")
+    if geostatic and len(plan.loose_eidx):
+        raise RuntimeError("geostatic loading with loose elements: "
+                           "unstructured path only")
     NB = len(plan.bricks)
     # global element index -> concat element column
     valid_cols = np.flatnonzero(plan.evalid_cat)
@@ -475,48 +476,108 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
                            "unstructured path only")
 
     Enl = len(t.eidx)
-    pos = np.zeros((Enl, 8), np.int64)       # within-brick positions
-    brick_of = np.zeros(Enl, np.int64)
     g = plan.gnid_cat
-    for bi, b in enumerate(plan.bricks):
-        m = (cols >= b.off) & (cols < b.off + b.nb)
-        if not m.any():
-            continue
-        brick_of[m] = bi
-        offs = np.asarray(b.corner_offsets())
-        pos[m] = (cols[m] - b.off)[:, None] + offs[None, :]
-        # the brick corner order must be elem_lnid's corner order
-        if not (g[b.off + pos[m]]
-                == mesh.elem_lnid[t.eidx[m]]).all():
-            raise RuntimeError(
-                f"brick {bi}: corner order does not match elem_lnid; "
-                f"unstructured path only")
-
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
+
+    def corner_positions(eidx, ecols):
+        """Within-brick node positions of each element's 8 corners (in
+        elem_lnid's corner order — verified) + owning brick index."""
+        E_ = len(eidx)
+        pos = np.zeros((E_, 8), np.int64)
+        brick_of = np.zeros(E_, np.int64)
+        for bi, b in enumerate(plan.bricks):
+            m = (ecols >= b.off) & (ecols < b.off + b.nb)
+            if not m.any():
+                continue
+            brick_of[m] = bi
+            offs = np.asarray(b.corner_offsets())
+            pos[m] = (ecols[m] - b.off)[:, None] + offs[None, :]
+            if not (g[b.off + pos[m]]
+                    == mesh.elem_lnid[eidx[m]]).all():
+                raise RuntimeError(
+                    f"brick {bi}: corner order does not match "
+                    f"elem_lnid; unstructured path only")
+        return pos, brick_of
+
+    def subset_plans(pos, brick_of, corner0=0):
+        """(gather, scatter) per-brick plans over the flat
+        (element, corner) index space; the scatter covers corners
+        [corner0:8] with inv_mass folded per target column."""
+        nc = 8 - corner0
+        flat_pos = pos[:, corner0:].ravel()
+        flat_brick = np.repeat(brick_of, nc)
+        dst = np.arange(len(flat_pos))
+        gth, sct = [], []
+        for bi, b in enumerate(plan.bricks):
+            m = flat_brick == bi
+            if not m.any():
+                continue
+            loc = flat_pos[m]
+            gth.append((bi, i32(loc), i32(dst[m])))
+            order = np.argsort(loc, kind="stable")
+            uniq, seg = np.unique(loc[order], return_inverse=True)
+            invm_u = tables.inv_mass[g[b.off + uniq]]
+            sct.append((bi, i32(dst[m][order]), i32(seg),
+                        int(len(uniq)), i32(uniq), f(invm_u)[:, None]))
+        return gth, sct
+
+    pos, brick_of = corner_positions(t.eidx, cols)
+    gth, sct = subset_plans(pos, brick_of)
     bundle = {
         "d": nl_device_tables(t, dtype), "n": Enl,
         "dt": params.delta_t, "dt2": params.delta_t ** 2,
         "rows": t.eidx, "cols": cols,
         "c3": f(tables.c3[t.eidx]), "c4": f(tables.c4[t.eidx]),
         "mcat": f(tables.m48.T),
-        "gather": [], "scatter": [],
+        "gather": gth, "scatter": sct,
+        "geostatic": geostatic,
     }
-    flat_pos = pos.ravel()
-    flat_brick = np.repeat(brick_of, 8)
-    dst = np.arange(Enl * 8)
-    for bi, b in enumerate(plan.bricks):
-        m = flat_brick == bi
-        if not m.any():
-            continue
-        loc = flat_pos[m]
-        bundle["gather"].append((bi, i32(loc), i32(dst[m])))
-        order = np.argsort(loc, kind="stable")
-        uniq, seg = np.unique(loc[order], return_inverse=True)
-        invm_u = tables.inv_mass[g[b.off + uniq]]
-        bundle["scatter"].append(
-            (bi, i32(dst[m][order]), i32(seg), int(len(uniq)),
-             i32(uniq), f(invm_u)[:, None]))
+
+    if geostatic:
+        from ..nonlinear import smooth_rise_factor
+        dt2 = params.delta_t ** 2
+        final = t.cfg.geostatic_final_step(params.delta_t)
+        ngeo = int(t.cfg.geostatic_loading_t / params.delta_t)
+        bundle["final_step"] = final
+        bundle["rise"] = f(smooth_rise_factor(np.arange(final + 2),
+                                              ngeo))
+        # gravity: a CONSTANT per-node z-force row (the per-step work
+        # is one rise-scaled elementwise add per brick — the reference
+        # re-scatters E*8 corner weights every step,
+        # compute_addforce_gravity nonlinear.c:1365); inv_mass folded
+        all_cols = col_of[np.arange(tables.E)]
+        apos, abrick = corner_positions(np.arange(tables.E), all_cols)
+        gw = np.repeat(t.grav_W * dt2, 8)
+        bundle["grav_nb"] = []
+        for bi, b in enumerate(plan.bricks):
+            row = np.zeros(b.nb)
+            m = abrick == bi
+            np.add.at(row, apos[m].ravel(), gw[np.repeat(m, 8)])
+            row *= tables.inv_mass[g[b.off:b.off + b.nb]]
+            bundle["grav_nb"].append(row)
+        # bottom elements: reaction capture at the geostatic final
+        # step + replay (nonlinear.c:1436-1504)
+        be = t.bot_eidx
+        bundle["bot"] = None
+        if len(be):
+            bcols = col_of[be]
+            bpos, bbrick = corner_positions(be, bcols)
+            bgth, _ = subset_plans(bpos, bbrick)
+            _, bsct = subset_plans(bpos, bbrick, corner0=4)
+            bundle["bot"] = {
+                "n": len(be), "gather": bgth, "scatter": bsct,
+                "bc1": f(tables.c1[be]), "bc2": f(tables.c2[be]),
+                "botW": f(mesh.props["rho"][be]
+                          * mesh.edge_m[be] ** 3 * 9.8 * 0.125 * dt2),
+            }
+        # bottom-node displacement pin during loading: multiply EVERY
+        # concat copy's z row (geostatic_displacements_fix)
+        botn = np.unique(mesh.elem_lnid[be][:, 4:]) if len(be)             else np.zeros(0, np.int64)
+        pin_pos = np.flatnonzero(np.isin(g, botn))
+        arr, loc = locate_concat(plan, pin_pos)
+        bundle["pin"] = [(int(a), i32(loc[arr == a]))
+                         for a in np.unique(arr)]
     return bundle
 
 
@@ -591,6 +652,15 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                  in zip(mt.geo, mt.tiers)]
     NB = mt.NB
     consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
+    if mt.nl is not None and mt.nl["geostatic"]:
+        # per-brick gravity/inv_mass node rows, padded to each brick's
+        # LEN (large arrays ride the consts argument, not the closure)
+        rows = []
+        for geo_, gnb in zip(mt.geo, mt.nl["grav_nb"]):
+            row = np.zeros((1, geo_[4]))
+            row[0, :len(gnb)] = gnb
+            rows.append(jnp.asarray(row, dtype))
+        consts["nlg"] = tuple(rows)
 
     nl = mt.nl
     drm = mt.drm
@@ -624,7 +694,8 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                 upe_f = upe_f.at[dsti].set(Ss[bi][3:6][:, loc].T)
             ue = ue_f.reshape(Enl, 24)
             upe = upe_f.reshape(Enl, 24)
-            nlstate = nl_state_update(nl["d"], ue, nlstate, nl["dt"])
+            nlstate = (nl_state_update(nl["d"], ue, nlstate[:3],
+                                       nl["dt"]) + tuple(nlstate[3:]))
 
         # ---- per-brick fused kernels ---------------------------------
         new_conv = []
@@ -642,7 +713,7 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
         # ---- nonlinear subset forces (pre-reconciliation) -------------
         if nl is not None:
             from ..nonlinear import nl_force
-            fnl = nl_force(nl["d"], nlstate, nl["dt2"])   # [Enl, 24]
+            fnl = nl_force(nl["d"], nlstate[:3], nl["dt2"])  # [Enl,24]
             du = ue - upe
             a = nl["c3"][:, None] * du
             b_ = nl["c4"][:, None] * du
@@ -653,6 +724,40 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                                            num_segments=nseg,
                                            indices_are_sorted=True)
                 Sns[bi] = Sns[bi].at[0:3, uniq].add((sums * invm_u).T)
+            if nl["geostatic"]:
+                # gravity as one rise-scaled constant row per brick
+                # (compute_addforce_gravity, nonlinear.c:1365)
+                rise = nl["rise"][jnp.minimum(
+                    step_idx, nl["rise"].shape[0] - 1)]
+                for b in range(NB):
+                    Sns[b] = Sns[b].at[2:3].add(rise * cd["nlg"][b])
+                bt = nl["bot"]
+                if bt is not None:
+                    # bottom reactions captured exactly at the final
+                    # geostatic step, replayed after (nonlinear.c:1436)
+                    Eb = bt["n"]
+                    ub_f = jnp.zeros((Eb * 8, 3), dtype)
+                    for bi, loc, dsti in bt["gather"]:
+                        ub_f = ub_f.at[dsti].set(Ss[bi][0:3][:, loc].T)
+                    ub = ub_f.reshape(Eb, 24)
+                    kf = (jnp.concatenate(
+                        [bt["bc1"][:, None] * ub,
+                         bt["bc2"][:, None] * ub], 1)
+                        @ nl["mcat"].T).reshape(Eb, 8, 3)
+                    new_r = kf[:, 4:, 2] - bt["botW"][:, None]
+                    reactions = jnp.where(
+                        step_idx == nl["final_step"], new_r,
+                        nlstate[3])
+                    nlstate = nlstate[:3] + (reactions,)
+                    radd = jnp.where(step_idx > nl["final_step"],
+                                     1.0, 0.0)
+                    rflat = reactions.reshape(-1)[:, None]
+                    for bi, perm, seg, nseg, uniq, invm_u                             in bt["scatter"]:
+                        sums = jax.ops.segment_sum(
+                            rflat[perm], seg, num_segments=nseg,
+                            indices_are_sorted=True)
+                        Sns[bi] = Sns[bi].at[2, uniq].add(
+                            radd * (sums * invm_u)[:, 0])
 
         # ---- loose elements (XLA gather/scatter) ---------------------
         S_l = Ss[NB]
@@ -703,6 +808,13 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
         # ---- direct (single-copy) source injection -------------------
         for a, pp, rows, iv in mt.src_direct:
             Sns[a] = Sns[a].at[0:3, pp].add((srcf[rows] * iv).T)
+
+        if nl is not None and nl["geostatic"]:
+            # geostatic_displacements_fix: bottom z pinned during
+            # loading (every concat copy)
+            keep = jnp.where(step_idx <= nl["final_step"], 0.0, 1.0)
+            for bi, cols_p in nl["pin"]:
+                Sns[bi] = Sns[bi].at[2, cols_p].multiply(keep)
 
         if bkt:
             conv_out = (tuple(new_conv[:NB])
@@ -888,7 +1000,12 @@ def init_mesh_state(mt: MeshPallasTables):
         if mt.nl is not None:
             Enl = mt.nl["n"]
             z6 = jnp.zeros((Enl, 8, 6), mt.dtype)
-            return (Ss, (z6, z6, jnp.zeros((Enl, 8), mt.dtype)))
+            nlstate = (z6, z6, jnp.zeros((Enl, 8), mt.dtype))
+            if mt.nl["geostatic"]:
+                bt = mt.nl["bot"]
+                Eb = bt["n"] if bt is not None else 0
+                nlstate = nlstate + (jnp.zeros((Eb, 4), mt.dtype),)
+            return (Ss, nlstate)
         if mt.damping != "bkt":
             return (Ss,)
         conv = tuple(jnp.zeros((mt.conv_rows_node, geo[4]),
@@ -951,6 +1068,9 @@ def restore_mesh_state(mt: MeshPallasTables, plan, u_now, u_prev,
             Enl = mt.nl["n"]
             flat = list(conv_flat)
             want = [(Enl, 8, 6), (Enl, 8, 6), (Enl, 8)]
+            if mt.nl["geostatic"]:
+                bt = mt.nl["bot"]
+                want.append((bt["n"] if bt is not None else 0, 4))
             got = [tuple(np.shape(a)) for a in flat]
             if got != want:
                 raise RuntimeError(

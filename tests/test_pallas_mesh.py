@@ -443,3 +443,78 @@ def test_mesh_pallas_nonlinear_matches_unstructured(tmp_path):
                                    rtol=0, atol=5e-12 * sb)
     # ... and plasticity actually fired (ep > 0 somewhere)
     assert float(np.abs(np.asarray(nlstate_m[2])).max()) > 0
+
+
+def test_mesh_pallas_nonlinear_geostatic_matches(tmp_path):
+    """Geostatic loading on the packed mesh path: precomputed gravity
+    rows, bottom-reaction capture/replay, and the bottom-node z pin
+    reproduce the unstructured oracle exactly (f64)."""
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.nonlinear import (NonlinearConfig,
+                                        build_nonlinear_tables)
+    from hercules_tpu.solver.pallas_mesh import (attach_nonlinear_mesh,
+                                                 mesh_carry_views,
+                                                 mesh_u_global,
+                                                 run_mesh_solver)
+    from hercules_tpu.solver.step import attach_nonlinear, run_solver
+    from hercules_tpu.tools.makecvm import build_layered_cvm
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    build_layered_cvm(f"{tmp_path}/l.e", 1000.0, 1000.0, 500.0, 62.5,
+                      [[0.0, 3000.0, 1500.0, 2300.0],
+                       [250.0, 6000.0, 3464.0, 2700.0]])
+    cvm = CVM(f"{tmp_path}/l.e")
+    p.freq = 2.0
+    p.vscut = 0.0
+    p.finalize()
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+
+    cfg = NonlinearConfig()
+    cfg.material_model = "vonMises"
+    cfg.properties_type = "alphakay"
+    cfg.plasticity_type = "rate_independant"
+    cfg.vs_cut = 2000.0
+    cfg.vs_min = 0.0
+    cfg.vs_limits = np.array([0.0, 1e10])
+    cfg.alpha_cohes = np.array([0.0, 0.0])
+    cfg.kay_phis = np.array([1e4, 1e4])
+    cfg.strain_rates = np.array([1e-3, 1e-3])
+    cfg.sensitivities = np.array([1.0, 1.0])
+    cfg.hardening = np.array([0.0, 0.0])
+    cfg.geostatic_loading_t = 0.02      # loading window inside the run
+    cfg.geostatic_cushion_t = 0.01
+    nlt = build_nonlinear_tables(mesh, p, cfg)
+    assert 0 < nlt.n < mesh.lenum and len(nlt.bot_eidx) > 0
+
+    T = 60
+    nid = np.array([mesh.elem_lnid[nlt.eidx[len(nlt.eidx) // 2], 0]],
+                   np.int32)
+    forces = np.zeros((T, 1, 3))
+    forces[30:40] = 1e9                 # source after loading settles
+
+    nl_u = attach_nonlinear(mesh, p, tables, nlt, dtype=jnp.float64)
+    state_u, _ = run_solver(tables, nid, forces, T, p.delta_t,
+                            dtype=jnp.float64, nl=nl_u)
+    u_ref = np.asarray(state_u[0])
+
+    plan = build_plan(mesh)
+    mesh_nl = attach_nonlinear_mesh(mesh, p, tables, nlt, plan,
+                                    dtype=jnp.float64)
+    assert mesh_nl["geostatic"] and mesh_nl["bot"] is not None
+    state_m, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                                 p.delta_t, dtype=jnp.float64,
+                                 chunk=20, interpret=True, nl=mesh_nl)
+    us, ups, tail = mesh_carry_views(state_m)
+    u_m = mesh_u_global(plan, us, mesh.nnum)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_ref, rtol=0, atol=5e-12 * scale)
+    # full plastic state including the captured bottom reactions
+    (nlstate_m,) = tail
+    assert len(nlstate_m) == 4
+    for a, b in zip(nlstate_m, state_u[3]):
+        sb = max(np.abs(np.asarray(b)).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-12 * sb)
+    assert float(np.abs(np.asarray(nlstate_m[3])).max()) > 0
