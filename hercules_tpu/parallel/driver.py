@@ -685,12 +685,15 @@ def _build_scan(path: _PathBase, mesh_dev: Mesh, snap=False):
 def run_multichip(path: _PathBase, mesh_dev: Mesh, src_forces,
                   total_steps, dt, chunk=None, state=None,
                   start_step=0, on_chunk=None, on_snap=None,
-                  snap_every=None):
+                  snap_every=None, on_samples=None):
     """Drive the full production loop over [start_step, total_steps).
 
     src_forces: [T, L, 3] host array/memmap (unscaled; dt^2 applied
     here, streamed chunk by chunk).
     on_chunk(done, state): chunk-boundary hook (checkpoints, monitor).
+    on_samples(s0, ys): consumes each chunk's per-step sample rows
+    (steps [s0, s0+len)) as they land on host and returns what to
+    accumulate — streams large sample sets (DRM part-1 records).
     on_snap(done, uget, upget): rate-strided snapshot tap; uget()/
     upget() lazily assemble the global [N,3] fields.
     Returns (state, station_samples [T, S, 3])."""
@@ -729,6 +732,8 @@ def run_multichip(path: _PathBase, mesh_dev: Mesh, src_forces,
             state, (ys, snaps) = scan_snap(path.tdev, state, xs)
             ys = np.asarray(ys)          # [n_dev, K, snap, S, 3]
             ys = ys.sum(axis=0).reshape((k,) + ys.shape[3:])
+            if on_samples is not None:
+                ys = on_samples(s, ys)
             if on_snap is not None:
                 for i in range(K):
                     pseudo = jax.tree.map(lambda a, _i=i: a[:, _i],
@@ -750,6 +755,8 @@ def run_multichip(path: _PathBase, mesh_dev: Mesh, src_forces,
             xs = make_xs(s, k)
             state, ys = scan_plain(path.tdev, state, xs)
             ys = np.asarray(ys).sum(axis=0)           # [k, S, 3]
+            if on_samples is not None:
+                ys = on_samples(s, ys)
             if (on_snap is not None and snap_every
                     and (s + k) % snap_every == 0):
                 memo = {}

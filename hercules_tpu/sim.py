@@ -566,8 +566,11 @@ class Simulation:
                 # chunk-boundary recorder forced chunk == print_rate
                 # and a full-field device->host copy per record)
                 drm_ids = np.asarray(self.drm_plan.node_ids)
-                dn_ = np.zeros((len(drm_ids), 8), np.int32)
-                dn_[:, 0] = drm_ids
+                # all 8 slots carry the SAME node so the row is local
+                # to whichever device owns it (the multi-chip station
+                # plan requires one owner for a whole row)
+                dn_ = np.repeat(drm_ids[:, None], 8,
+                                axis=1).astype(np.int32)
                 dphi_ = np.zeros((len(drm_ids), 8))
                 dphi_[:, 0] = 1.0
                 drm_row0 = 0 if st_nodes is None else len(st_nodes)
@@ -607,16 +610,16 @@ class Simulation:
             env = os.environ.get("HT_NDEV")
             ndev = int(env) if env else 0
         if ndev and ndev > 1:
-            if drm_rec is not None or fb_ids is not None:
-                print("WARNING: DRM part1 recording / fixed-base "
-                      "buildings are not wired into the multi-chip "
-                      "driver; running single-device", file=sys.stderr)
+            if fb_ids is not None:
+                print("WARNING: fixed-base buildings are not wired "
+                      "into the multi-chip driver; running "
+                      "single-device", file=sys.stderr)
             else:
                 state, samples = self._run_multichip(
                     ndev, dtype=dtype, chunk=chunk, steps=steps,
                     on_chunk=on_chunk, outputs=outputs, rundir=rundir,
                     st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path,
-                    drm=drm)
+                    drm=drm, on_samples=on_samples)
                 samples = self._replay_nl_stations(samples, nl_st_rows,
                                                    n_st, st)
                 return state, samples
@@ -936,7 +939,7 @@ class Simulation:
 
     def _run_multichip(self, ndev, dtype, chunk, steps, on_chunk,
                        outputs, rundir, st_nodes, st_phi, prefer=None,
-                       drm=None):
+                       drm=None, on_samples=None):
         """The full production loop sharded over `ndev` devices:
         stations, 4-D/plane taps, checkpoint write AND restart, and
         chunked source streaming — the complete solver_run surface
@@ -1033,7 +1036,8 @@ class Simulation:
         state, samples = run_multichip(
             path, mesh_dev, self.src_forces, steps, p.delta_t,
             chunk=chunk, state=state, start_step=start_step,
-            on_chunk=hook, on_snap=snap_fn, snap_every=snap_every)
+            on_chunk=hook, on_snap=snap_fn, snap_every=snap_every,
+            on_samples=on_samples)
         if outputs is not None:
             outputs.close()
         self.nl_station_extras = {}

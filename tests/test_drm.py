@@ -194,3 +194,20 @@ def test_sim_part1_streams_records(tmp_path):
     scale = max(np.abs(np.asarray(rec)).max(), 1e-30)
     np.testing.assert_allclose(got[1:] / scale,
                                np.asarray(rec)[1:] / scale, atol=1e-12)
+
+    # ... and through the multi-chip driver (8 virtual devices)
+    mc_dir = tmp_path / "mc"
+    mc_dir.mkdir()
+    sim2 = Simulation.setup(f"{SIMPLE}/in/physics.in",
+                            f"{SIMPLE}/in/numerical.in",
+                            cvmdb=f"{SIMPLE}/simple_case.e")
+    sim2.drm_plan = classify(sim2.mesh, _cfg(mc_dir, "part1"))
+    sim2.drm_dir = str(mc_dir)
+    sim2.src_forces = sim2.src_forces[:T]
+    _, samples2 = sim2.run(total_steps=T, chunk=20,
+                           dtype=jnp.float64, ndev=8)
+    assert samples2.shape[1] == n_st
+    got2 = read_displacements(str(mc_dir), L)
+    assert got2.shape[0] == T
+    np.testing.assert_allclose(got2[1:] / scale,
+                               np.asarray(rec)[1:] / scale, atol=1e-9)
