@@ -518,3 +518,43 @@ def test_mesh_pallas_nonlinear_geostatic_matches(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-12 * sb)
     assert float(np.abs(np.asarray(nlstate_m[3])).max()) > 0
+
+
+def test_mesh_packed_snapshots():
+    """Rate-strided (u, up) snapshots from the packed mesh carry (the
+    4-D/plane output tap path): each emitted pair equals the state of
+    an equal-length plain run."""
+    from hercules_tpu.solver.pallas_mesh import mesh_carry_views
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    mesh = _depth_graded_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh, min_brick_elems=512)
+
+    T = 30
+    rng = np.random.default_rng(13)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0]], np.int32)
+    forces = rng.standard_normal((T, 1, 3)) * 1e8
+
+    snaps = {}
+
+    def on_snap(done, pair):
+        us, ups = pair
+        snaps[done] = (mesh_u_global(plan, us, mesh.nnum),
+                       mesh_u_global(plan, ups, mesh.nnum))
+
+    state, _ = run_mesh_solver(plan, tables, nid, forces, T,
+                               p.delta_t, dtype=jnp.float64, chunk=20,
+                               interpret=True, on_snap=on_snap,
+                               snap_every=10)
+    assert sorted(snaps) == [10, 20, 30]
+    for done in (10, 20):
+        st_k, _ = run_mesh_solver(plan, tables, nid, forces, done,
+                                  p.delta_t, dtype=jnp.float64,
+                                  chunk=done, interpret=True)
+        us, ups, _ = mesh_carry_views(st_k)
+        np.testing.assert_array_equal(
+            snaps[done][0], mesh_u_global(plan, us, mesh.nnum))
+        np.testing.assert_array_equal(
+            snaps[done][1], mesh_u_global(plan, ups, mesh.nnum))
