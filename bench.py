@@ -133,6 +133,10 @@ def terashake_bench():
     p = load_params(f"{R}/physics.in", f"{R}/numerical.in")
     freq = float(os.environ.get("BENCH_TERA_FREQ", p.freq))   # 0.1 Hz
     p.freq = freq
+    # BENCH_TERA_DAMPING=bkt measures the attenuation production
+    # config (per-brick uniform-Q node-basis kernels on layered CVMs)
+    p.type_of_damping = os.environ.get("BENCH_TERA_DAMPING",
+                                       p.type_of_damping)
     p.finalize()
     tmp = tempfile.mkdtemp(prefix="ht_tera_")
     layers = [[0.0, 1200.0, 500.0, 2000.0],
