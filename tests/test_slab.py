@@ -264,3 +264,36 @@ def test_slab_unaffected_by_axis_reorder(monkeypatch):
                              dtype=jnp.float64, chunk=10)
     u = slab_u_global(st, sh[0], mesh.nnum)
     np.testing.assert_allclose(u, u_ref, rtol=1e-9, atol=1e-18)
+
+
+def test_bkt_corner_stack_roundtrip():
+    """The multi-chip corner->node checkpoint conversion
+    (driver._bkt_corner_stack_to_node) inverts conv_node_to_corner
+    exactly on the valid columns (uniform-Q invariant)."""
+    import jax.numpy as jnp
+    from hercules_tpu.parallel.driver import _bkt_corner_stack_to_node
+    from hercules_tpu.solver.pallas_brick import conv_node_to_corner
+
+    rng = np.random.default_rng(2)
+    offs = (0, 1, 10, 11, 100, 101, 110, 111)
+    n_dev, LEN, R2s, R = 3, 256, 16, 96
+    valid = np.zeros((n_dev, LEN))
+    node = np.zeros((n_dev, R2s, LEN))
+    corner = np.zeros((n_dev, R, LEN))
+    for d in range(n_dev):
+        ecols = rng.choice(LEN - offs[-1] - 1, size=40, replace=False)
+        valid[d, ecols] = 1.0
+        nb = rng.standard_normal((R2s, LEN))
+        nb[12:] = 0.0                      # padding rows
+        node[d] = nb
+        corner[d] = conv_node_to_corner(offs, valid[d] != 0, nb, R)
+    back = np.asarray(_bkt_corner_stack_to_node(
+        offs, valid, corner, R2s, jnp.float64))
+    # node values at every touched column round-trip exactly
+    # (rows 12: are padding and come back zero)
+    for d in range(n_dev):
+        e = np.flatnonzero(valid[d])
+        touched = np.unique((e[:, None] + np.asarray(offs)).ravel())
+        want = np.concatenate([node[d][:12], np.zeros((4, LEN))])
+        np.testing.assert_allclose(back[d][:, touched],
+                                   want[:, touched], rtol=0, atol=0)
