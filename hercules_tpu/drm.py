@@ -155,6 +155,15 @@ class DRMRecorder:
         self.count += 1
         return True
 
+    def record_rows(self, step, rows):
+        """Like record, but takes the [L, 3] interface rows directly
+        (the in-scan sampling path — no full-field staging)."""
+        if step % self.plan.cfg.print_rate:
+            return False
+        np.asarray(rows).astype("<f8").tofile(self.fp)
+        self.count += 1
+        return True
+
     def close(self):
         self.fp.close()
 

@@ -579,14 +579,12 @@ class Simulation:
                 st_phi = (dphi_ if st_phi is None
                           else np.concatenate([st_phi, dphi_]))
                 _pr = max(int(dcfg.print_rate), 1)
-                _full = np.zeros((self.mesh.nnum, 3))
 
                 def on_samples(s0, ys, _r0=drm_row0):
                     for i in range(ys.shape[0]):
                         ab = s0 + i
                         if ab and ab % _pr == 0:
-                            _full[drm_ids] = ys[i, _r0:]
-                            drm_rec.record(ab, _full)
+                            drm_rec.record_rows(ab, ys[i, _r0:])
                     return ys[:, :_r0]
 
         # fixed-base buildings: load the prescribed base displacement
@@ -622,6 +620,8 @@ class Simulation:
                     drm=drm, on_samples=on_samples)
                 samples = self._replay_nl_stations(samples, nl_st_rows,
                                                    n_st, st)
+                if drm_rec is not None:
+                    drm_rec.close()
                 return state, samples
 
         plan = None

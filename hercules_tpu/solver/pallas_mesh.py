@@ -449,8 +449,10 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
     active for all elements) into the packed next-step arrays before
     interface reconciliation — by linearity u_next += F * inv_mass, so
     the injected force flows through the reconciler's force recovery
-    like any kernel force.  Geostatic loading keeps the unstructured
-    solver (raise -> sim falls back)."""
+    like any kernel force.  Geostatic loading rides the same path
+    (precomputed gravity rows, bottom-reaction capture/replay, bottom
+    z pin); only loose-element plans fall back to the unstructured
+    solver."""
     from ..nonlinear import nl_device_tables
 
     t = nl_tables
@@ -568,12 +570,12 @@ def attach_nonlinear_mesh(mesh, params, tables, nl_tables, plan,
             bundle["bot"] = {
                 "n": len(be), "gather": bgth, "scatter": bsct,
                 "bc1": f(tables.c1[be]), "bc2": f(tables.c2[be]),
-                "botW": f(mesh.props["rho"][be]
-                          * mesh.edge_m[be] ** 3 * 9.8 * 0.125 * dt2),
+                "botW": f(t.grav_W[be] * dt2),
             }
         # bottom-node displacement pin during loading: multiply EVERY
         # concat copy's z row (geostatic_displacements_fix)
-        botn = np.unique(mesh.elem_lnid[be][:, 4:]) if len(be)             else np.zeros(0, np.int64)
+        botn = (np.unique(mesh.elem_lnid[be][:, 4:]) if len(be)
+                else np.zeros(0, np.int64))
         pin_pos = np.flatnonzero(np.isin(g, botn))
         arr, loc = locate_concat(plan, pin_pos)
         bundle["pin"] = [(int(a), i32(loc[arr == a]))
@@ -752,7 +754,8 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                     radd = jnp.where(step_idx > nl["final_step"],
                                      1.0, 0.0)
                     rflat = reactions.reshape(-1)[:, None]
-                    for bi, perm, seg, nseg, uniq, invm_u                             in bt["scatter"]:
+                    for bi, perm, seg, nseg, uniq, invm_u in \
+                            bt["scatter"]:
                         sums = jax.ops.segment_sum(
                             rflat[perm], seg, num_segments=nseg,
                             indices_are_sorted=True)
