@@ -86,6 +86,124 @@ def _butterfly(slabs):
     return slabs
 
 
+def _mxu_mode(default="b3"):
+    """Per-kernel MXU precision default, overridable by HT_MXU_PREC.
+
+    Elastic kernels default to "b3": manual split-bf16 3-pass matmul
+    (_mxu_dot) — ~2^-17 relative force error (golden 20k-step
+    seismogram error 5.9e-4 vs 1.17e-4 at exact f32, budget 1e-2),
+    ~12% faster steps than XLA's bf16x6.  The BKT kernels default to
+    "highest": their [48, C] operand doubles the split overhead and b3
+    measures ~2x SLOWER there.  HT_MXU_PREC=highest restores exact f32
+    everywhere; f64 (validation) runs always take the precise path."""
+    return os.environ.get("HT_MXU_PREC", default)
+
+
+def _mxu_dot(A, W, mode, prec):
+    """Constant-operator matmul on the MXU.
+
+    mode "b3"/"b4": manual split-bf16 passes, each at single-pass MXU
+    speed — A and W split into bf16 hi+lo parts, cross terms summed in
+    f32.  b3 = Ah·Wh + Ah·Wl + Al·Wh drops the lo·lo term (~2^-17
+    relative force error); b4 keeps it (~2^-20).  XLA's own HIGHEST
+    (bf16x6) is the exact-f32 reference; Precision.HIGH lowers
+    catastrophically under Mosaic (measured 7x slower than HIGHEST) —
+    use b3 instead.  f64 runs (validation) always take the precise
+    path."""
+    if mode not in ("b3", "b4") or A.dtype == jnp.float64:
+        return jax.lax.dot(A, W, precision=prec)
+    bd = lambda a, w: jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=A.dtype)
+    Ah = A.astype(jnp.bfloat16)
+    Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
+    Wh = W.astype(jnp.bfloat16)
+    Wl = (W - Wh.astype(W.dtype)).astype(jnp.bfloat16)
+    F = bd(Ah, Wh) + bd(Ah, Wl) + bd(Al, Wh)
+    if mode == "b4":
+        F = F + bd(Al, Wl)
+    return F
+
+
+def _gather_windows(load, offs, c0, W0, roll):
+    """Per-corner rolled gather windows, minimizing vector work:
+
+    - one region load per distinct 128-aligned base (x-neighbor
+      corners share a base and differ only in lane shift),
+    - one lane-roll per shift class, over the CONCAT of that class's
+      regions (a roll of [3, W] pads to 8 sublanes anyway, so rolling
+      [9, W] for three corners costs ~half of three separate rolls).
+
+    load(start) -> [nr, W0] region at 128-aligned lane offset start.
+    Returns the per-corner list of [nr, W0] windows (entries shared
+    when corners alias the same (base, shift))."""
+    bases = sorted({o - o % 128 for o in offs})
+    gv = {b: load(c0 + b) for b in bases}
+    nr = None
+    by_s = {}
+    order = []
+    for o in offs:
+        s = o % 128
+        key = (o - s, s)
+        order.append(key)
+        if key not in by_s.setdefault(s, {}):
+            by_s[s][key] = None
+    out = {}
+    for s, kv in by_s.items():
+        ks = list(kv)
+        if s == 0:
+            for b, _ in ks:
+                out[(b, 0)] = gv[b]
+            continue
+        parts = [gv[b] for b, _ in ks]
+        g = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                             axis=0)
+        nr = parts[0].shape[0]
+        r = roll(g, W0 - s)
+        for i, k in enumerate(ks):
+            out[k] = r[nr * i:nr * i + nr]
+    return [out[k] for k in order]
+
+
+def _class_rolled_rows(Fv, offs, roll):
+    """Per-corner [3, W] force rows shifted to their 128-aligned
+    scatter base: one lane-roll per shift class, rolling only the
+    concat of that class's rows."""
+    classes = {}
+    for j, o in enumerate(offs):
+        classes.setdefault(o % 128, []).append(j)
+    rows = {}
+    for s, js in classes.items():
+        if s == 0:
+            for j in js:
+                rows[j] = Fv[3 * j:3 * j + 3]
+            continue
+        sel = (Fv[3 * js[0]:3 * js[0] + 3] if len(js) == 1
+               else jnp.concatenate([Fv[3 * j:3 * j + 3] for j in js],
+                                    axis=0))
+        Rv = roll(sel, s)
+        for i, j in enumerate(js):
+            rows[j] = Rv[3 * i:3 * i + 3]
+    return rows
+
+
+def _merged_scatter(nf, rows, offs, c0, W0):
+    """Accumulate the shifted per-corner force rows into nf with ONE
+    read-modify-write per distinct 128-aligned target: x-neighbor
+    corner pairs (offsets o, o+1) share a target base, so their rows
+    sum in registers first — half the nf VMEM traffic of per-corner
+    adds.  c0 may be a tracer (dynamic chunk grids)."""
+    contrib = {}
+    for j, o in enumerate(offs):
+        contrib.setdefault(o - o % 128, []).append(rows[j])
+    for b, rs in contrib.items():
+        acc = rs[0]
+        for r in rs[1:]:
+            acc = acc + r
+        idx = pl.ds(c0 + b, W0)
+        nf[:, idx] = nf[:, idx] + acc
+
+
 def pallas_fits(offs) -> bool:
     """The fused kernel's tile+halo design needs the stencil reach
     (o7 = one xy node plane) to fit a VMEM tile: o7 + 129 <= 32768.
@@ -262,13 +380,13 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # exactly like the concat gather
     scatter_val = (use_mxu and os.environ.get("HT_PALLAS_SCATTER",
                                               "val") == "val")
-    # elastic MXU precision: HIGHEST = bf16x6 passes (exact f32),
-    # "high" = bf16x3 (covers the f32 mantissa to ~2^-21), "default"
-    # single-pass bf16 trades ~3 decimal digits for MXU time
+    # elastic MXU precision (HT_MXU_PREC): "highest" = XLA bf16x6
+    # (exact f32), "b3"/"b4" = manual split-bf16 passes (_mxu_dot),
+    # "default" single-pass bf16 trades ~3 decimal digits for MXU time
+    mxu_mode = _mxu_mode()
     mxu_prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH}.get(
-        os.environ.get("HT_MXU_PREC", "highest"),
-        jax.lax.Precision.DEFAULT)
+        mxu_mode, jax.lax.Precision.DEFAULT)
     M1d, M2d = stiffness_matrices_24()
     if tier == "umat":
         am_np = np.zeros((48, 24))
@@ -365,22 +483,8 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                     scr_f[:, :C] = F
                     scr_f[:, C:] = jnp.zeros((24, 128), dtype)
                     Fv = scr_f[...]
-                for s, js in CLASSES.items():
-                    if s == 0:
-                        for j in js:
-                            a = c0 + offs[j]
-                            nf[:, a:a + W0] = (nf[:, a:a + W0]
-                                               + Fv[3 * j:3 * j + 3])
-                        continue
-                    sel = (Fv[3 * js[0]:3 * js[0] + 3] if len(js) == 1
-                           else jnp.concatenate(
-                               [Fv[3 * j:3 * j + 3] for j in js],
-                               axis=0))
-                    Rv = roll(sel, s)
-                    for i, j in enumerate(js):
-                        a = c0 + (offs[j] - s)
-                        nf[:, a:a + W0] = (nf[:, a:a + W0]
-                                           + Rv[3 * i:3 * i + 3])
+                rows = _class_rolled_rows(Fv, offs, roll)
+                _merged_scatter(nf, rows, offs, c0, W0)
             else:
                 ue = jnp.concatenate([ua[...], ub[...]], axis=1)
                 upe = jnp.concatenate([upa[...], upb[...]], axis=1)
@@ -433,16 +537,31 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         wv = None     # register-resident W (gather_concat path)
         regs = {}
         if staged and preshift:
+            # tile-wide pre-rolled classes (scr_sv): every corner
+            # window is an aligned slice — zero per-chunk rolls
             cls = {s: k for k, s in enumerate(NR)}
-            for j, o in enumerate(offs):
-                s = o % 128
-                start = c0 + (o - s)
-                if s == 0:
-                    scr_w[3 * j:3 * j + 3] = scr_s[:, pl.ds(start, C)]
-                else:
-                    k = 3 * cls[s]
-                    scr_w[3 * j:3 * j + 3] = \
-                        scr_sv[k:k + 3, pl.ds(start, C)]
+            if gather_concat and use_mxu:
+                parts = []
+                for j, o in enumerate(offs):
+                    s = o % 128
+                    start = c0 + (o - s)
+                    if s == 0:
+                        parts.append(scr_s[:, pl.ds(start, C)])
+                    else:
+                        k = 3 * cls[s]
+                        parts.append(scr_sv[k:k + 3, pl.ds(start, C)])
+                wv = jnp.concatenate(parts, axis=0)
+            else:
+                for j, o in enumerate(offs):
+                    s = o % 128
+                    start = c0 + (o - s)
+                    if s == 0:
+                        scr_w[3 * j:3 * j + 3] = \
+                            scr_s[:, pl.ds(start, C)]
+                    else:
+                        k = 3 * cls[s]
+                        scr_w[3 * j:3 * j + 3] = \
+                            scr_sv[k:k + 3, pl.ds(start, C)]
         elif staged:
             if ablate == "nogather":
                 pass
@@ -455,17 +574,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 # canonical layouts, so the [24, C] MXU operand is
                 # built as one register concat -- no scr_w VMEM
                 # round-trip (the staging copies are ~1/3 of the
-                # kernel's non-DMA time, see bench ablations)
-                parts = []
-                for j, o in enumerate(offs):
-                    s = o % 128
-                    start = c0 + (o - s)
-                    key = (o - s, s)
-                    if key not in regs:
-                        g = scr_s[:, pl.ds(start, W0)]
-                        regs[key] = g if s == 0 else roll(g, W0 - s)
-                    parts.append(regs[key][:, :C])
-                wv = jnp.concatenate(parts, axis=0)
+                # kernel's non-DMA time, see bench ablations); rolls
+                # are class-batched (_gather_windows)
+                wins = _gather_windows(
+                    lambda b: scr_s[:, pl.ds(b, W0)], offs, c0, W0,
+                    roll)
+                wv = jnp.concatenate([w[:, :C] for w in wins], axis=0)
             else:
                 for j, o in enumerate(offs):
                     s = o % 128
@@ -492,9 +606,9 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             if ablate == "noop":
                 return Wv * (c1 != 0.0).astype(dtype)
             if tier == "umat":
-                F = jax.lax.dot(amv[:24], Wv, precision=mxu_prec)
+                F = _mxu_dot(amv[:24], Wv, mxu_mode, mxu_prec)
                 return F * (c1 != 0.0).astype(dtype)
-            Y = jax.lax.dot(amv, Wv, precision=mxu_prec)
+            Y = _mxu_dot(amv, Wv, mxu_mode, mxu_prec)
             return Y[:24] * c1 + Y[24:] * c2
 
         Z = bf24(scr_w[...])
@@ -598,7 +712,6 @@ def _make_bkt_kernel(offs, B, o7, T, C, dtype,
 
     NC = B // C
     W0 = C + 128
-    NR = sorted({o % 128 for o in offs} - {0})
     kmu, kk = bkt_matrices_24()
     fm_np = np.concatenate([kmu, kk], axis=1)   # [24, 48]
     if conv_dtype is None:
@@ -610,7 +723,7 @@ def _make_bkt_kernel(offs, B, o7, T, C, dtype,
         return pltpu.roll(x, jnp.int32(shift), 1)
 
     def kernel(ua, ub, upa, upb, bk, mm, invm, fm, conv, out,
-               conv_out, tail, nf, scr_u, scr_p, scr_w, scr_f):
+               conv_out, tail, nf, scr_u, scr_p):
         t = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -635,22 +748,12 @@ def _make_bkt_kernel(offs, B, o7, T, C, dtype,
             gp = scr_p[:, pl.ds(start, W0)]
             return jnp.concatenate([gu, gu - gp], axis=0)
 
-        # gather u and (u - up) corner windows into scr_w [48, C]
-        regs = {}
-        for j, o in enumerate(offs):
-            s = o % 128
-            start = o - s          # + c0 at slice time (tracer)
-            key = (start, s)
-            if key not in regs:
-                g = region(c0 + start)
-                regs[key] = g if s == 0 else roll(g, W0 - s)
-            r = regs[key]
-            scr_w[3 * j:3 * j + 3] = r[0:3, :C]
-            scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
-
-        # nodal-basis recursion + force: no corner transform needed
-        U48 = scr_w[...]
-        u24, du24 = U48[0:24], U48[24:48]
+        # register-concat gather of the [6, W0] (u; u - up) corner
+        # windows, rolls class-batched (_gather_windows) — no scr_w
+        # VMEM round-trip
+        wins = _gather_windows(region, offs, c0, W0, roll)
+        u24 = jnp.concatenate([w[0:3, :C] for w in wins], axis=0)
+        du24 = jnp.concatenate([w[3:6, :C] for w in wins], axis=0)
         up24 = u24 - du24
         bkv = bk[...]
 
@@ -673,32 +776,25 @@ def _make_bkt_kernel(offs, B, o7, T, C, dtype,
 
         dvs = bkv[8:9] * du24 + u24 - bkv[6:7] * s0n - bkv[7:8] * s1n
         imf = 9 if shear_only else 18   # mu_f/kappa_f rows (bk_row_names)
-        prec = (jax.lax.Precision.HIGHEST
-                if os.environ.get("HT_MXU_PREC", "highest") == "highest"
+        mode = _mxu_mode("highest")
+        prec = (jax.lax.Precision.HIGHEST if mode == "highest"
                 else jax.lax.Precision.DEFAULT)
         fmv = fm[...]
         if os.environ.get("HT_BKT_OP", "dot48") == "dot48":
             X = jnp.concatenate([dvs * bkv[imf:imf + 1],
                                  dvk * bkv[imf + 1:imf + 2]], axis=0)
-            F = jax.lax.dot(fmv, X, precision=prec)
+            F = _mxu_dot(fmv, X, mode, prec)
         else:
-            F = (jax.lax.dot(fmv[:, 0:24], dvs * bkv[imf:imf + 1],
-                             precision=prec)
-                 + jax.lax.dot(fmv[:, 24:48], dvk * bkv[imf + 1:imf + 2],
-                               precision=prec))
+            F = (_mxu_dot(fmv[:, 0:24], dvs * bkv[imf:imf + 1],
+                          mode, prec)
+                 + _mxu_dot(fmv[:, 24:48], dvk * bkv[imf + 1:imf + 2],
+                            mode, prec))
 
-        # scatter through the zero-padded roll scratch (see _make_kernel)
-        scr_f[:, :C] = F
-        scr_f[:, C:] = jnp.zeros((24, 128), dtype)
-        Fv = scr_f[...]
-        R = {0: Fv}
-        for s in NR:
-            R[s] = roll(Fv, s)
-        for j, o in enumerate(offs):
-            s = o % 128
-            a = c0 + (o - s)
-            nf[:, pl.ds(a, W0)] = nf[:, pl.ds(a, W0)] \
-                + R[s][3 * j:3 * j + 3]
+        # value scatter (dot result has the canonical layout), rolls
+        # class-batched, targets merged (see _merged_scatter)
+        Fv = jnp.concatenate([F, jnp.zeros((24, 128), dtype)], axis=1)
+        rows = _class_rolled_rows(Fv, offs, roll)
+        _merged_scatter(nf, rows, offs, c0, W0)
 
         @pl.when(c == NC - 1)
         def _():
@@ -757,9 +853,7 @@ def build_bkt_call(offs, B, o7, T, LEN, dtype, chunk=None,
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM((48, C), dtype),
-                        pltpu.VMEM((24, C + 128), dtype)],
+                        pltpu.VMEM((3, B + o7 + 128), dtype)],
         interpret=interpret,
     )
     return lambda u, ub, up, upb, bk, mm, invm, conv: call(
@@ -795,10 +889,6 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     C = min(chunk, B)
     W0 = C + 128
     H = o7 + 128
-    NR = sorted({o % 128 for o in offs} - {0})
-    CLASSES = {}
-    for j, o in enumerate(offs):
-        CLASSES.setdefault(o % 128, []).append(j)
     if conv_dtype is None:
         conv_dtype = dtype
     R2 = 6 if shear_only else 12         # meaningful conv rows
@@ -839,7 +929,7 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
     def kernel(Sa, Sb, K, cva, cvb, fm, out, conv_out, tail, nf,
-               scr_v, scr_w, scr_f):
+               scr_v):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -866,38 +956,25 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
 
         valid = Kv[4:5]
         for c0 in range(0, B, C):
-            regs = {}
-            for j, o in enumerate(offs):
-                sh = o % 128
-                start = c0 + (o - sh)
-                key = (o - sh, sh)
-                if key not in regs:
-                    g = scr_v[:, pl.ds(start, W0)]
-                    regs[key] = g if sh == 0 else roll(g, W0 - sh)
-                r = regs[key]
-                scr_w[3 * j:3 * j + 3] = r[0:3, :C]
-                scr_w[24 + 3 * j:24 + 3 * j + 3] = r[3:6, :C]
-            F = jax.lax.dot(fm[...], scr_w[...],
-                            precision=jax.lax.Precision.HIGHEST)
+            # register-concat gather of the [6, W0] (dvs; dvk) node
+            # fields, rolls class-batched; MXU operand [48, C] with
+            # dvs rows 0:24, dvk rows 24:48 — no scr_w round-trip
+            wins = _gather_windows(
+                lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, W0, roll)
+            wv = jnp.concatenate(
+                [w[0:3, :C] for w in wins]
+                + [w[3:6, :C] for w in wins], axis=0)
+            mode = _mxu_mode("highest")
+            F = _mxu_dot(fm[...], wv, mode,
+                         jax.lax.Precision.HIGHEST
+                         if mode == "highest"
+                         else jax.lax.Precision.DEFAULT)
             F = F * valid[:, c0:c0 + C]
-            scr_f[:, :C] = F
-            scr_f[:, C:] = jnp.zeros((24, 128), dtype)
-            Fv = scr_f[...]
-            for sh, js in CLASSES.items():
-                if sh == 0:
-                    for j in js:
-                        a = c0 + offs[j]
-                        nf[:, a:a + W0] = (nf[:, a:a + W0]
-                                           + Fv[3 * j:3 * j + 3])
-                    continue
-                sel = (Fv[3 * js[0]:3 * js[0] + 3] if len(js) == 1
-                       else jnp.concatenate(
-                           [Fv[3 * j:3 * j + 3] for j in js], axis=0))
-                Rv = roll(sel, sh)
-                for i, j in enumerate(js):
-                    a = c0 + (offs[j] - sh)
-                    nf[:, a:a + W0] = (nf[:, a:a + W0]
-                                       + Rv[3 * i:3 * i + 3])
+            # value scatter (dot result has the canonical layout)
+            Fv = jnp.concatenate([F, jnp.zeros((24, 128), dtype)],
+                                 axis=1)
+            rows = _class_rolled_rows(Fv, offs, roll)
+            _merged_scatter(nf, rows, offs, c0, W0)
 
         force = jnp.concatenate(
             [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
@@ -940,9 +1017,7 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM((6, B + o7 + 128), dtype),
-                        pltpu.VMEM((48, C), dtype),
-                        pltpu.VMEM((24, C + 128), dtype)],
+                        pltpu.VMEM((6, B + o7 + 128), dtype)],
         interpret=interpret,
     )
     return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
@@ -1189,6 +1264,12 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     hb = _halo_block(B, o7)
     nh = B // hb
     blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    # in-place S: out block t only depends on S blocks >= t and the
+    # ascending grid writes strictly behind every read, so aliasing
+    # the state stream is exact; measured faster on v5e (read+write
+    # to the same pages, see tools/hbm_ceiling.py "aliased")
+    alias = (os.environ.get("HT_PALLAS_ALIAS", "0") == "1"
+             and not interpret)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -1200,6 +1281,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
         ],
         out_specs=pl.BlockSpec((8, B), blk),
         out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
+        input_output_aliases={0: 0} if alias else {},
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM(scr_s, dtype),
