@@ -6,6 +6,7 @@
 # outputs when available.
 set -e
 cd "$(dirname "$0")"
+export PYTHONPATH="$(cd ../..; pwd)${PYTHONPATH:+:$PYTHONPATH}"
 REF=${REF:-/root/reference/examples/simple}
 RUN=${RUN:-run}
 rm -rf "$RUN"; mkdir -p "$RUN/out/stations" "$RUN/out/srctmp"

@@ -7,6 +7,7 @@
 # chip; raise FREQ/END for production scale.
 set -e
 cd "$(dirname "$0")"
+export PYTHONPATH="$(cd ../..; pwd)${PYTHONPATH:+:$PYTHONPATH}"
 REF=${REF:-/root/reference/examples/terashake}
 RUN=${RUN:-run}
 FREQ=${FREQ:-0.0125}

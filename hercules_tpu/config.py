@@ -107,6 +107,46 @@ class ConfigFile:
         return a.reshape(rows, cols)
 
 
+class ChainedConfig:
+    """Two config files looked up in order.  The reference aliases
+    physicsin to numericalin (psolve.c:644-648) so every key lives in one
+    merged namespace; examples nonetheless split keys across the two
+    files (e.g. test1 puts output_displacement in numerical.in).  Each
+    lookup context prefers its historical file and falls back to the
+    other."""
+
+    def __init__(self, primary: ConfigFile, fallback: ConfigFile):
+        self._primary = primary
+        self._fallback = fallback
+        self.path = primary.path
+
+    def _get(self, name, key, *args, required=False, **kw):
+        hit = getattr(self._primary, name)(key, *args, **kw)
+        if hit is None:
+            hit = getattr(self._fallback, name)(key, *args, **kw)
+        if hit is None and required:
+            raise KeyError(f"{self.path}: missing config key {key!r}")
+        return hit
+
+    def get_double(self, key, default=None, required=False):
+        v = self._get("get_double", key, required=required)
+        return default if v is None else v
+
+    def get_int(self, key, default=None, required=False):
+        v = self._get("get_int", key, required=required)
+        return default if v is None else v
+
+    def get_string(self, key, default=None, required=False):
+        v = self._get("get_string", key, required=required)
+        return default if v is None else v
+
+    def get_array(self, key, count=None):
+        return self._get("get_array", key, count)
+
+    def get_table(self, key, rows, cols):
+        return self._get("get_table", key, rows, cols)
+
+
 @dataclass
 class Params:
     """Full simulation parameter set (Param struct, psolve.c:193-286)."""
@@ -221,6 +261,8 @@ def load_params(physics_in: str, numerical_in: Optional[str] = None) -> Params:
     aliased to the same file, psolve.c:644-648) into Params."""
     phys = ConfigFile(physics_in)
     num = ConfigFile(numerical_in) if numerical_in else phys
+    if num is not phys:
+        phys, num = ChainedConfig(phys, num), ChainedConfig(num, phys)
 
     p = Params()
     p.physics_path = physics_in

@@ -144,6 +144,61 @@ def search_quality_table(q: np.ndarray) -> np.ndarray:
     return np.where(q > 500.0, -1, idx)
 
 
+def bkt_attenuation(vp, vs, params):
+    """BKT attenuation coefficients + Q-based velocity dispersion
+    correction for element arrays (vp, vs) — the damping block of
+    mesh_correct_properties (psolve.c:7240-7331), factored out so the
+    physics validation suite can drive it directly.
+
+    Returns (props_update, vp_new, vs_new): props_update maps
+    '{a0,a1,g0,g1,b}_{shear,kappa}' to per-element arrays; vp_new/vs_new
+    carry the dispersion correction (identical to the inputs when
+    params.freq_vel == 0)."""
+    E = len(vp)
+    props = {}
+    vksq = vp * vp - 4.0 / 3.0 * vs * vs
+    vs_vp = vs / vp
+    vskm = vs * 0.001
+    L = 4.0 / 3.0 * vs_vp * vs_vp
+    # Brocher (2008) fit (psolve.c:7258)
+    qs = 10.5 + vskm * (-16. + vskm * (153. + vskm * (-103. + vskm * (
+        34.7 + vskm * (-5.29 + vskm * 0.31)))))
+    qp = 2.0 * qs
+    if params.use_infinite_qk:
+        qk = np.full(E, 1000.0)
+    else:
+        qk = (1.0 - L) / (1.0 / qp - L / qs)
+
+    for name, q in (("shear", qs), ("kappa", qk)):
+        idx = search_quality_table(q)
+        none = idx < 0
+        safe = np.maximum(idx, 0)
+        for ci, coef in enumerate(("a0", "a1", "g0", "g1", "b")):
+            col = QTABLE[safe, ci + 1]
+            props[f"{coef}_{name}"] = np.where(none, 0.0, col)
+
+    # Q-based velocity dispersion correction (psolve.c:7313-7328)
+    if params.freq_vel != 0.0:
+        w = params.freq_vel / params.freq
+        a0s, a1s = props["a0_shear"], props["a1_shear"]
+        g0s, g1s = props["g0_shear"], props["g1_shear"]
+        active = (a0s != 0) & (a1s != 0)
+        corr = np.sqrt(np.maximum(0.0, 1.0 - (
+            a0s * g0s * g0s / (g0s * g0s + w * w)
+            + a1s * g1s * g1s / (g1s * g1s + w * w))))
+        vs = np.where(active, corr * vs, vs)
+        a0k, a1k = props["a0_kappa"], props["a1_kappa"]
+        g0k, g1k = props["g0_kappa"], props["g1_kappa"]
+        activek = (a0k != 0)  # reference checks a0 twice (:7322)
+        corrk = np.sqrt(np.maximum(0.0, 1.0 - (
+            a0k * g0k * g0k / (g0k * g0k + w * w)
+            + a1k * g1k * g1k / (g1k * g1k + w * w))))
+        vp = np.where(
+            activek,
+            np.sqrt(corrk * corrk * vksq + 4.0 / 3.0 * vs * vs), vp)
+    return props, vp, vs
+
+
 def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin,
                        buildings=None):
     """mesh_correct_properties (psolve.c:7104-7331): re-query the CVM at
@@ -214,48 +269,10 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin,
     props = {"Vp": vp, "Vs": vs, "rho": rho}
 
     if params.type_of_damping == "bkt":
-        vksq = vp * vp - 4.0 / 3.0 * vs * vs
-        vs_vp = vs / vp
-        vskm = vs * 0.001
-        L = 4.0 / 3.0 * vs_vp * vs_vp
-        # Brocher (2008) fit (psolve.c:7258)
-        qs = 10.5 + vskm * (-16. + vskm * (153. + vskm * (-103. + vskm * (
-            34.7 + vskm * (-5.29 + vskm * 0.31)))))
-        qp = 2.0 * qs
-        if params.use_infinite_qk:
-            qk = np.full(E, 1000.0)
-        else:
-            qk = (1.0 - L) / (1.0 / qp - L / qs)
-
-        for name, q in (("shear", qs), ("kappa", qk)):
-            idx = search_quality_table(q)
-            none = idx < 0
-            safe = np.maximum(idx, 0)
-            for ci, coef in enumerate(("a0", "a1", "g0", "g1", "b")):
-                col = QTABLE[safe, ci + 1]
-                props[f"{coef}_{name}"] = np.where(none, 0.0, col)
-
-        # Q-based velocity dispersion correction (psolve.c:7313-7328)
-        if params.freq_vel != 0.0:
-            w = params.freq_vel / params.freq
-            a0s, a1s = props["a0_shear"], props["a1_shear"]
-            g0s, g1s = props["g0_shear"], props["g1_shear"]
-            active = (a0s != 0) & (a1s != 0)
-            corr = np.sqrt(np.maximum(0.0, 1.0 - (
-                a0s * g0s * g0s / (g0s * g0s + w * w)
-                + a1s * g1s * g1s / (g1s * g1s + w * w))))
-            vs = np.where(active, corr * vs, vs)
-            a0k, a1k = props["a0_kappa"], props["a1_kappa"]
-            g0k, g1k = props["g0_kappa"], props["g1_kappa"]
-            activek = (a0k != 0)  # reference checks a0 twice (:7322)
-            corrk = np.sqrt(np.maximum(0.0, 1.0 - (
-                a0k * g0k * g0k / (g0k * g0k + w * w)
-                + a1k * g1k * g1k / (g1k * g1k + w * w))))
-            vp = np.where(
-                activek,
-                np.sqrt(corrk * corrk * vksq + 4.0 / 3.0 * vs * vs), vp)
-            props["Vp"] = vp
-            props["Vs"] = vs
+        upd, vp, vs = bkt_attenuation(vp, vs, params)
+        props.update(upd)
+        props["Vp"] = vp
+        props["Vs"] = vs
     else:
         zeros = np.zeros(E)
         for name in ("shear", "kappa"):
