@@ -65,6 +65,31 @@ def build(target_elems=1_000_000, damping="rayleigh", graded=False):
         p.delta_t = 0.4 * (1000.0 / 2 ** lv_fine) / 6000.0
     else:
         mesh = generate_mesh(p, cvm)
+    if os.environ.get("BENCH_MESH") == "qlayers":
+        # heterogeneous-Q production shape: depth-layered material
+        # (distinct Qs(Vs)->QTABLE rows per layer) on the uniform
+        # brick -- exercises the general node-basis BKT tier
+        # (pallas_brick.bkt_nodeq_tables) instead of uniform-Q
+        from hercules_tpu.material import bkt_attenuation
+        E = mesh.lenum
+        z = mesh.elem_z.astype(np.float64)
+        layer = np.digitize(z, np.quantile(z, [0.25, 0.5, 0.75]))
+        vs = np.array([600.0, 1200.0, 2200.0, 3464.0])[layer]
+        vp = 2.0 * vs
+        rho = np.array([2100.0, 2350.0, 2550.0, 2700.0])[layer]
+        props = {"Vp": vp, "Vs": vs, "rho": rho}
+        if damping == "bkt":
+            upd, vp2, vs2 = bkt_attenuation(vp.copy(), vs.copy(), p)
+            props.update(upd)
+            props["Vp"], props["Vs"] = vp2, vs2
+        else:
+            for name in ("shear", "kappa"):
+                for c in ("a0", "a1", "g0", "g1", "b"):
+                    props[f"{c}_{name}"] = np.zeros(E)
+        mesh.props = props
+        # stability for the softened bottom layer
+        p.delta_t = min(p.delta_t,
+                        0.4 * float(mesh.edge_m.min()) / vp.max())
     t_mesh = time.time() - t0
     t0 = time.time()
     tables = assemble(mesh, p)
@@ -563,12 +588,20 @@ def main():
     hb = _halo_block(Btile, int(plan.bricks[0].corner_offsets()[7]))
     Ttile = LEN // Btile
     if tables.damping == "bkt" and which == "packed":
-        # uniform-Q node-basis BKT: S r/w + K (8 phys rows each) +
-        # conv r/w (shear-only: 8 f32 rows; full: 16 bf16 rows = 8
-        # f32-equivalents each way, +halo on S and conv)
-        from hercules_tpu.solver.pallas_brick import bkt_kappa_zero
+        # node-basis BKT: S r/w + K + conv r/w (shear-only: 8 f32
+        # rows; full: 16 bf16 rows = 8 f32-equivalents each way,
+        # +halo on S and conv).  The uniform-Q tier streams an 8-row
+        # K; the general (heterogeneous-Q) tier a 16/24-row K with
+        # per-node coefficient rows and its own K halo.
+        from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
+                                                      bkt_kappa_zero)
         shear_only = bkt_kappa_zero(tables.bkt)
-        rows, halo_rows = 24 + 16, 16
+        ptq = PallasBrickTables(plan, tables)
+        if getattr(ptq, "bkt_nodeq", False):
+            RK = 16 if shear_only else 24
+            rows, halo_rows = 32 + RK, 16 + RK
+        else:
+            rows, halo_rows = 24 + 16, 16
         conv_bytes = 0
     elif tables.damping == "bkt" and which.startswith("pallas"):
         # BKT: u/up/mm/invm/out f32 (8 phys rows each) + bk rows

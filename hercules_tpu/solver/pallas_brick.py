@@ -1023,6 +1023,279 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
     return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
 
 
+# ---------------------------------------------------------------------------
+# Heterogeneous-Q BKT: node-basis general kernel + mixed-element epilogue
+#
+# The uniform-Q node-basis collapse (_make_bkt_uniform_kernel) needs ONE
+# coefficient set; a real CVM's Qs(Vs) fit (psolve.c:7252-7311) gives
+# per-element sets quantized to the <=18-row QTABLE, so production
+# attenuation runs used to fall back to the corner-basis kernel (8x the
+# convolution traffic).  Observation: the memory-variable recursion
+# (calc_conv, damping.c:110-222) is driven purely by the NODE
+# displacement -- the coefficients may vary per NODE with zero extra
+# vector work (row-vector multiplies cost the same as scalar
+# broadcasts).  So:
+#
+#   - assign every node the coefficient set of one adjacent element
+#     (assign_bkt_node_coeffs), stream the 9 (shear; 18 full)
+#     per-node recursion rows in a widened K block, and run the same
+#     node-basis kernel dataflow;
+#   - elements whose 8 corner nodes all carry the element's own set
+#     (everything except one element plane per material interface in a
+#     layered model) are then EXACT;
+#   - the few "mixed" elements get an XLA epilogue: carry their
+#     corner-basis state [R2, 8, M], recompute both the element-basis
+#     and the node-basis damping vectors at their corners, and add
+#     FM @ (mu_f (dvs_e - dvs_n)) through the same linear update --
+#     restoring exactness (for matching corners the difference is
+#     identically zero).
+#
+# mu_f / kappa_f (element material scales, damping.c:376-377) stay
+# per-element rows applied to the gathered MXU operand, so arbitrary
+# heterogeneous MATERIAL is exact in-kernel; only heterogeneous Q-bins
+# touch the epilogue.
+# ---------------------------------------------------------------------------
+
+# per-channel recursion/combine coefficient row order of the node table
+BKN_COEF = ("c1", "c2", "c3", "c4", "e0", "e1", "a0", "a1", "coef")
+BKN_HDR = 6   # K rows: mass_minusaM 0:3, inv_mass 3, mu_f 4, kappa_f 5
+
+
+def bkn_coef_keys(shear_only: bool):
+    """bkt-table keys of the per-element recursion rows, channel-major
+    in BKN_COEF order (mu_f/kappa_f live in the K header instead)."""
+    def chan(name):
+        return [f"{name}_c1", f"{name}_c2", f"{name}_c3", f"{name}_c4",
+                f"{name}_e0", f"{name}_e1", f"a0_{name}", f"a1_{name}",
+                f"{name}_coef"]
+    return chan("shear") + ([] if shear_only else chan("kappa"))
+
+
+def assign_bkt_node_coeffs(coef_e, evalid, offs):
+    """Node coefficient assignment for the general-Q node-basis kernel.
+
+    coef_e: [RC, LEN] per-element recursion rows (zero at invalid
+    columns).  Every node column gets the rows of one adjacent valid
+    element (the last corner writer in ascending-j order -- on the
+    z-major brick layout the element ABOVE an interface, so exactly one
+    element plane per interface ends up mixed).  Returns
+    (node_rows [RC, LEN], node_src [LEN] int64 source element column or
+    -1, mixed_cols [M] element columns whose corners carry a foreign
+    set)."""
+    LEN = coef_e.shape[1]
+    ecols = np.flatnonzero(np.asarray(evalid))
+    node_src = np.full(LEN, -1, np.int64)
+    for o in offs:
+        node_src[ecols + o] = ecols
+    # coefficient-set ids (identical values from different elements
+    # dedupe, so e.g. a Q-uniform region never counts as mixed)
+    _, cid_e = np.unique(coef_e[:, ecols].T, axis=0, return_inverse=True)
+    cid = np.full(LEN, -1, np.int64)
+    cid[ecols] = cid_e
+    ns = np.maximum(node_src, 0)
+    node_rows = np.where(node_src >= 0, coef_e[:, ns], 0.0)
+    node_cid = np.where(node_src >= 0, cid[ns], -1)
+    mixed = np.zeros(len(ecols), bool)
+    for o in offs:
+        mixed |= node_cid[ecols + o] != cid[ecols]
+    return node_rows, node_src, ecols[mixed]
+
+
+def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
+                     shear_only, dtype):
+    """Device tables for the general-Q node-basis tier from padded
+    per-element arrays (shared by the single-brick and multi-brick
+    table builders).
+
+    coef_e [RC, LEN]: per-element recursion rows (bkn_coef_keys order);
+    muf/kaf/invm [LEN]; mm [3, LEN]; evalid [LEN] bool.  Returns a dict
+    with the node assignment (always), "declined" (HT_BKT_NODEQ=0 or
+    mixed fraction above HT_BKT_NODEQ_MAX_MIXED), and -- when accepted
+    -- the K block and the mixed-element epilogue constants."""
+    from ..physics.kmats import bkt_matrices_24
+
+    RC = 9 if shear_only else 18
+    RK = 16 if shear_only else 24
+    LEN = coef_e.shape[1]
+    node_rows, node_src, mixed = assign_bkt_node_coeffs(
+        coef_e, evalid, offs)
+    out = {"node_src": node_src, "mixed_cols": mixed,
+           "M": len(mixed), "declined": True}
+    n_valid = max(int(np.asarray(evalid).sum()), 1)
+    max_mixed = float(os.environ.get("HT_BKT_NODEQ_MAX_MIXED", "0.25"))
+    if (os.environ.get("HT_BKT_NODEQ", "1") == "0"
+            or len(mixed) > max_mixed * n_valid):
+        return out
+    out["declined"] = False
+    f = lambda x: jnp.asarray(x, dtype)
+    # K block: mass_minusaM 0:3, inv_mass 3, mu_f 4, kappa_f 5,
+    # coefficient rows BKN_HDR:BKN_HDR+RC, zero-padded to RK
+    K = np.zeros((RK, LEN))
+    K[0:3] = mm
+    K[3] = invm
+    K[4] = muf
+    K[5] = kaf
+    K[BKN_HDR:BKN_HDR + RC] = node_rows
+    out["K"] = f(K)
+    M = len(mixed)
+    if M:
+        idx24 = (np.asarray(offs, np.int64)[:, None]
+                 + mixed[None, :])                        # [8, M]
+        out["mix_idx"] = jnp.asarray(idx24, jnp.int32)
+        out["mix_ce"] = f(coef_e[:, mixed][:, None, :])   # [RC, 1, M]
+        out["mix_cn"] = f(node_rows[:, idx24])            # [RC, 8, M]
+        out["mix_invm"] = f(invm[idx24])                  # [8, M]
+        out["mix_muf"] = f(muf[mixed])                    # [M]
+        out["mix_kaf"] = f(kaf[mixed])
+        kmu, kk = bkt_matrices_24()
+        fm = kmu if shear_only else np.concatenate([kmu, kk], axis=1)
+        out["mix_fm"] = f(fm)
+    return out
+
+
+def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
+                          conv_dtype=None, chunk=None, interpret=False):
+    """General-Q BKT kernel: node-basis memory variables with PER-NODE
+    recursion coefficients (rows BKN_HDR.. of the K block) and
+    per-element mu_f/kappa_f rows scaling the gathered MXU operand.
+    Same dataflow as _make_bkt_uniform_kernel; the only extra HBM
+    stream is the widened K block."""
+    from ..physics.kmats import bkt_matrices_24
+
+    if chunk is None:
+        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
+    C = min(chunk, B)
+    W0 = C + 128
+    H = o7 + 128
+    if conv_dtype is None:
+        conv_dtype = dtype
+    R2 = 6 if shear_only else 12
+    R2s = 8 if shear_only else 16
+    RC = 9 if shear_only else 18
+    RK = 16 if shear_only else 24        # BKN_HDR + RC padded to 8-row tiles
+
+    kmu, kk = bkt_matrices_24()
+    fm_np = np.concatenate([kmu, kk], axis=1)   # [24, 48]
+
+    def roll(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=1)
+        return pltpu.roll(x, jnp.int32(shift), 1)
+
+    def rec(u3, up3, cv, cf):
+        """(conv_next [R2, W], dvs [3, W], dvk [3, W]) node fields;
+        cf [RC, W] = per-node coefficient rows (BKN_COEF per channel).
+        Identical op order to _make_bkt_uniform_kernel's rec so the
+        epilogue's XLA recomputation reproduces the kernel values."""
+        du = u3 - up3
+        s0, s1 = cv[0:3], cv[3:6]
+        s0n = cf[1:2] * u3 + cf[0:1] * up3 + cf[4:5] * s0
+        s1n = cf[3:4] * u3 + cf[2:3] * up3 + cf[5:6] * s1
+        dvs = cf[8:9] * du + u3 - cf[6:7] * s0n - cf[7:8] * s1n
+        if shear_only:
+            return jnp.concatenate([s0n, s1n], axis=0), dvs, u3
+        g = cf[9:18]
+        k0, k1 = cv[6:9], cv[9:12]
+        k0n = g[1:2] * u3 + g[0:1] * up3 + g[4:5] * k0
+        k1n = g[3:4] * u3 + g[2:3] * up3 + g[5:6] * k1
+        dvk = g[8:9] * du + u3 - g[6:7] * k0n - g[7:8] * k1n
+        return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
+
+    def kernel(Sa, Sb, Ka, Kb, cva, cvb, fm, out, conv_out, tail, nf,
+               scr_v):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            tail[...] = jnp.zeros_like(tail)
+
+        nf[...] = jnp.zeros_like(nf)
+        Sv = Sa[...]
+        u, up = Sv[0:3], Sv[3:6]
+        Kv = Ka[...]
+        Sbv = Sb[...]
+        Kbv = Kb[...]
+
+        cn_t, dvs_t, dvk_t = rec(u, up, cva[...][:R2].astype(dtype),
+                                 Kv[BKN_HDR:BKN_HDR + RC])
+        cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
+                                 cvb[...][:R2, :H].astype(dtype),
+                                 Kbv[BKN_HDR:BKN_HDR + RC, :H])
+        pad = jnp.zeros((R2s - R2, B), dtype)
+        conv_out[...] = jnp.concatenate([cn_t, pad],
+                                        axis=0).astype(conv_dtype)
+        scr_v[0:3, :B] = dvs_t
+        scr_v[0:3, B:] = dvs_h
+        scr_v[3:6, :B] = dvk_t
+        scr_v[3:6, B:] = dvk_h
+
+        muf = Kv[4:5]
+        kaf = Kv[5:6]
+        for c0 in range(0, B, C):
+            wins = _gather_windows(
+                lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, W0, roll)
+            # invalid elements have mu_f = kappa_f = 0, so no validity
+            # row is needed -- the operand scaling zeroes their force
+            mu_c = muf[:, c0:c0 + C]
+            ka_c = kaf[:, c0:c0 + C]
+            wv = jnp.concatenate(
+                [w[0:3, :C] * mu_c for w in wins]
+                + [w[3:6, :C] * ka_c for w in wins], axis=0)
+            mode = _mxu_mode("highest")
+            F = _mxu_dot(fm[...], wv, mode,
+                         jax.lax.Precision.HIGHEST
+                         if mode == "highest"
+                         else jax.lax.Precision.DEFAULT)
+            Fv = jnp.concatenate([F, jnp.zeros((24, 128), dtype)],
+                                 axis=1)
+            rows = _class_rolled_rows(Fv, offs, roll)
+            _merged_scatter(nf, rows, offs, c0, W0)
+
+        force = jnp.concatenate(
+            [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
+        tail[...] = nf[:, B:B + o7]
+        un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
+        out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
+
+    return kernel, jnp.asarray(fm_np, dtype), R2s, RK
+
+
+def build_bkt_node_call(offs, B, o7, T, LEN, dtype, shear_only=False,
+                        conv_dtype=None, interpret=False):
+    """pallas_call for the general-Q node-basis BKT kernel:
+    (S, S_halo, K, K_halo, conv, conv_halo) -> (S_next [8, LEN],
+    conv_next [R2s, LEN]).  K rows: mass_minusaM 0:3, inv_mass 3,
+    mu_f 4, kappa_f 5, then RC per-node coefficient rows."""
+    kernel, fm, R2s, RK = _make_bkt_node_kernel(
+        offs, B, o7, T, dtype, shear_only=shear_only,
+        conv_dtype=conv_dtype, interpret=interpret)
+    if conv_dtype is None:
+        conv_dtype = dtype
+    blk = lambda t: (0, t)
+    hb = _halo_block(B, o7)
+    nh = B // hb
+    blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    call = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
+            pl.BlockSpec((RK, B), blk), pl.BlockSpec((RK, hb), blk1),
+            pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
+            pl.BlockSpec((24, 48), lambda t: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((8, B), blk),
+                   pl.BlockSpec((R2s, B), blk)],
+        out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                   jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM((6, B + o7 + 128), dtype)],
+        interpret=interpret,
+    )
+    return lambda S, Sb, K, Kb, cv, cvb: call(S, Sb, K, Kb, cv, cvb, fm)
+
+
 def detect_bkt_uniform(bkt_tables, eidx, evalid, shear_only):
     """One coefficient set across the valid elements of a (sub)plan
     slice -> {row_name: float} for the node-basis uniform-Q kernel
@@ -1077,6 +1350,58 @@ def conv_node_to_corner(offs, evalid, conv_node, R):
     return out
 
 
+def conv_corner_to_nodeq(offs, node_src, conv_corner):
+    """Corner-basis conv [R, LEN] -> the general-Q node basis
+    [R2, LEN]: node n takes the variable of its ASSIGNED element
+    node_src[n] at the corner j with n = node_src[n] + offs[j] -- the
+    one the node-basis recursion would have produced (exact, unlike
+    the any-corner pick of conv_corner_to_node under heterogeneous
+    Q)."""
+    conv_corner = np.asarray(conv_corner, np.float64)
+    R, LEN = conv_corner.shape
+    nvar = R // 24
+    out = np.zeros((3 * nvar, LEN))
+    node_src = np.asarray(node_src)
+    n_all = np.flatnonzero(node_src >= 0)
+    for j, o in enumerate(offs):
+        n = n_all[node_src[n_all] == n_all - o]
+        for v in range(nvar):
+            out[3 * v:3 * v + 3, n] = \
+                conv_corner[24 * v + 3 * j:24 * v + 3 * j + 3, n - o]
+    return out
+
+
+def conv_mix_of_corner(offs, mixed_cols, conv_corner):
+    """Corner-basis conv -> the mixed-element epilogue carry
+    [R2, 8, M] (element-basis state of the mixed elements)."""
+    conv_corner = np.asarray(conv_corner, np.float64)
+    nvar = conv_corner.shape[0] // 24
+    M = len(mixed_cols)
+    out = np.zeros((3 * nvar, 8, M))
+    for j in range(8):
+        for v in range(nvar):
+            out[3 * v:3 * v + 3, j, :] = \
+                conv_corner[24 * v + 3 * j:24 * v + 3 * j + 3,
+                            mixed_cols]
+    return out
+
+
+def conv_nodeq_to_corner(offs, evalid, mixed_cols, conv_node, conv_mix,
+                         R):
+    """(node-basis conv, mixed-element carry) -> corner basis [R, LEN]
+    (exact: non-mixed corners read the node field, mixed elements read
+    their epilogue state)."""
+    out = conv_node_to_corner(offs, evalid, conv_node, R)
+    if conv_mix is not None and len(mixed_cols):
+        cm = np.asarray(conv_mix, np.float64)
+        nvar = R // 24
+        for j in range(8):
+            for v in range(nvar):
+                out[24 * v + 3 * j:24 * v + 3 * j + 3, mixed_cols] = \
+                    cm[3 * v:3 * v + 3, j, :]
+    return out
+
+
 class PallasBrickTables:
     """Padded device tables + geometry for the fused kernel."""
 
@@ -1107,6 +1432,11 @@ class PallasBrickTables:
         def etab(k):
             return etab_arr(getattr(tables, k))
 
+        # element-validity mask over the padded columns (needed by the
+        # BKT tier detection below and by conv basis conversions)
+        self.evalid = np.zeros(LEN, bool)
+        self.evalid[:len(plan.evalid_cat)] = plan.evalid_cat
+
         self.damping = tables.damping
         self.tier, self.kco = "general", None
         if tables.damping == "bkt":
@@ -1121,6 +1451,8 @@ class PallasBrickTables:
             # elements -> node-basis memory variables (8x less conv
             # traffic; see _make_bkt_uniform_kernel)
             self.bkt_uniform, self.bk_scal = False, None
+            self.bkt_nodeq = False
+            self.mix_M = 0
             if os.environ.get("HT_BKT_UNIFORM", "1") != "0":
                 scal = detect_bkt_uniform(tables.bkt, plan.eidx_cat,
                                           plan.evalid_cat,
@@ -1138,6 +1470,8 @@ class PallasBrickTables:
                     self.conv_dtype_node = (
                         dtype if self.bkt_shear_only
                         else bkt_conv_dtype(dtype))
+            if not self.bkt_uniform:
+                self._init_bkt_nodeq(plan, tables, f, pad1, etab_arr)
         else:
             c1, c2, c3 = etab("c1"), etab("c2"), etab("c3")
             # c3 = beta*c1 and c4 = beta*c2 with the same beta = b*dt
@@ -1154,11 +1488,8 @@ class PallasBrickTables:
                        for c in range(3)])
         self.mm = f(mm)
         self.invm = f(pad1(tables.inv_mass[g]))[None, :]
-        # element-validity mask (padding / ghost columns), needed as a
-        # streamed row by kernels whose coefficients are trace-time
-        # scalars (uniform-Q BKT), and for conv basis conversions
-        self.evalid = np.zeros(LEN, bool)
-        self.evalid[:len(plan.evalid_cat)] = plan.evalid_cat
+        # validity as a streamed row, for kernels whose coefficients
+        # are trace-time scalars (uniform-Q BKT)
         self.evalid_row = f(self.evalid.astype(np.float64))[None, :]
 
         self.f1e, self.f2e = spectral_factors()
@@ -1177,6 +1508,40 @@ class PallasBrickTables:
             self.st_pos = jnp.asarray(
                 pos.reshape(np.shape(st_nodes)), jnp.int32)
             self.st_phi = f(st_phi)
+
+    def _init_bkt_nodeq(self, plan, tables, f, pad1, etab_arr):
+        """Heterogeneous-Q node-basis tier (see the module block above
+        _make_bkt_node_kernel): per-node coefficient rows + the
+        mixed-element epilogue tables.  Declines (keeping the
+        corner-basis fallback) when the mixed fraction exceeds
+        HT_BKT_NODEQ_MAX_MIXED -- the epilogue's gather/scatter cost
+        then outweighs the 8x convolution-traffic saving."""
+        shear_only = self.bkt_shear_only
+        coef_e = np.stack([pad1(etab_arr(tables.bkt[k]))
+                           for k in bkn_coef_keys(shear_only)])
+        muf = pad1(etab_arr(tables.bkt["mu_f"]))
+        kaf = pad1(etab_arr(tables.bkt["kappa_f"]))
+        invm = pad1(tables.inv_mass[plan.gnid_cat])
+        mm = np.stack([pad1(tables.mass_minusaM[plan.gnid_cat][:, c])
+                       for c in range(3)])
+        nq = bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, self.evalid,
+                              self.offs, shear_only, self.dtype)
+        # assignment + mixed set are kept even when the tier is
+        # declined: exact conv-basis conversions on restore need them
+        self.bkn_node_src = nq["node_src"]
+        self.bkn_mixed_cols = nq["mixed_cols"]
+        if nq["declined"]:
+            return
+        self.bkt_nodeq = True
+        self.mix_M = nq["M"]
+        self.conv_rows_node = 8 if shear_only else 16
+        self.conv_dtype_node = (self.dtype if shear_only
+                                else bkt_conv_dtype(self.dtype))
+        self.bkn_K = nq["K"]
+        if nq["M"]:
+            for k in ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
+                      "mix_muf", "mix_kaf", "mix_fm"):
+                setattr(self, k, nq[k])
 
 
 def _tier_kco(c1, c2, beta, valid):
@@ -1362,8 +1727,10 @@ def make_packed_pallas_step(pt: PallasBrickTables, interpret=False):
     physics, half the physical HBM bytes per step (see _make_kernel
     packed_state)."""
     if pt.damping == "bkt":
+        if getattr(pt, "bkt_nodeq", False):
+            return _make_packed_bkt_node_step(pt, interpret=interpret)
         assert pt.bkt_uniform, \
-            "packed BKT requires the uniform-Q tier"
+            "packed BKT requires the uniform-Q or general node tier"
         return _make_packed_bkt_uniform_step(pt, interpret=interpret)
     B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
     dtype = pt.dtype
@@ -1423,11 +1790,97 @@ def _make_packed_bkt_uniform_step(pt: PallasBrickTables,
     return step, consts
 
 
+def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm):
+    """Exact force correction for the mixed elements of the general-Q
+    node-basis tier (see the module block above _make_bkt_node_kernel):
+    recompute the damping vectors at the 24 corner slots under both the
+    element-basis state cm and the node-basis state the kernel used,
+    and add FM @ (mu_f (dvs_e - dvs_n)) through the linear update.
+    mx: the mix_* constants (bkt_nodeq_tables).  Returns (Sn', cm')."""
+    R2 = 6 if shear_only else 12
+    idx = mx["mix_idx"]
+    u8 = S[0:3][:, idx]                  # [3, 8, M]
+    up8 = S[3:6][:, idx]
+    du8 = u8 - up8
+    cvg = cv[:R2][:, idx].astype(dtype)  # node conv PREV
+    cm = cm.astype(dtype)
+    ce, cn = mx["mix_ce"], mx["mix_cn"]
+
+    def rec3(cf, s0, s1):
+        # same op order as the kernel's rec, so matching corners
+        # cancel identically
+        s0n = cf[1] * u8 + cf[0] * up8 + cf[4] * s0
+        s1n = cf[3] * u8 + cf[2] * up8 + cf[5] * s1
+        dv = cf[8] * du8 + u8 - cf[6] * s0n - cf[7] * s1n
+        return s0n, s1n, dv
+
+    s0e, s1e, dvs_e = rec3(ce[:9], cm[0:3], cm[3:6])
+    _, _, dvs_n = rec3(cn[:9], cvg[0:3], cvg[3:6])
+    parts = [mx["mix_muf"] * (dvs_e - dvs_n)]
+    newcm = [s0e, s1e]
+    if not shear_only:
+        k0e, k1e, dvk_e = rec3(ce[9:], cm[6:9], cm[9:12])
+        _, _, dvk_n = rec3(cn[9:], cvg[6:9], cvg[9:12])
+        parts.append(mx["mix_kaf"] * (dvk_e - dvk_n))
+        newcm += [k0e, k1e]
+    # [3, 8, M] comp-major -> FM row order 3j+c
+    X = jnp.concatenate(
+        [p.transpose(1, 0, 2).reshape(24, -1) for p in parts], axis=0)
+    dF = jax.lax.dot(mx["mix_fm"], X,
+                     precision=jax.lax.Precision.HIGHEST)  # [24, M]
+    M = X.shape[-1]
+    vals = dF.reshape(8, 3, M) * mx["mix_invm"][:, None, :]
+    tgt = idx.reshape(-1)
+    Sn = Sn.at[0:3, tgt].add(vals.transpose(1, 0, 2).reshape(3, -1))
+    return Sn, jnp.concatenate(newcm, axis=0)
+
+
+def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
+    """General-Q BKT packed step: carry = (S [8, LEN], conv [R2s, LEN]
+    node basis[, conv_mix [R2, 8, M] when the plan has mixed
+    elements])."""
+    B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
+    dtype = pt.dtype
+    call = build_bkt_node_call(pt.offs, B, o7, T, LEN, dtype,
+                               shear_only=pt.bkt_shear_only,
+                               conv_dtype=pt.conv_dtype_node,
+                               interpret=interpret)
+    consts = {"K": pt.bkn_K}
+    invm_row = pt.bkn_K[3]
+
+    def step(cd, carry, x):
+        srcf, _step = x
+        S, cv = carry[0], carry[1]
+        if pt.st_pos is not None:
+            sample = jnp.einsum("sn,csn->sc", pt.st_phi,
+                                S[0:3][:, pt.st_pos])
+        else:
+            sample = jnp.zeros((0, 3), dtype)
+        Sn, cvn = call(S, S, cd["K"], cd["K"], cv, cv)
+        if pt.mix_M:
+            mx = {k: getattr(pt, k) for k in
+                  ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
+                   "mix_muf", "mix_kaf", "mix_fm")}
+            Sn, cmn = bkt_mix_epilogue(mx, pt.bkt_shear_only, dtype,
+                                       S, Sn, cv, carry[2])
+        if pt.src_pos is not None:
+            Sn = Sn.at[0:3, pt.src_pos].add(
+                srcf.T * invm_row[pt.src_pos][None, :])
+        out = (Sn, cvn, cmn) if pt.mix_M else (Sn, cvn)
+        return out, sample
+
+    return step, consts
+
+
 def init_packed_state(pt: PallasBrickTables):
     S = jnp.zeros((8, pt.LEN), pt.dtype)
     if pt.damping == "bkt":
-        return (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
-                             pt.conv_dtype_node))
+        st = (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
+                           pt.conv_dtype_node))
+        if getattr(pt, "bkt_nodeq", False) and pt.mix_M:
+            R2 = 6 if pt.bkt_shear_only else 12
+            st = st + (jnp.zeros((R2, 8, pt.mix_M), pt.dtype),)
+        return st
     return (S,)
 
 
@@ -1486,10 +1939,11 @@ def _fit_conv_node(pt, cv):
     return jnp.asarray(out, pt.conv_dtype_node)
 
 
-def _fit_conv_corner(pt, cv):
+def _fit_conv_corner(pt, cv, mix=None):
     """Fit a restored BKT conv array to the corner basis
-    [conv_rows, LEN]; converts node-basis (uniform-tier) checkpoints
-    via conv_node_to_corner."""
+    [conv_rows, LEN]; converts node-basis (uniform- or general-tier)
+    checkpoints via conv_node_to_corner, patching mixed elements from
+    the general tier's epilogue carry when present."""
     if cv is None:
         return jnp.zeros((pt.conv_rows, pt.LEN), pt.conv_dtype)
     cva = np.asarray(cv, np.float64)
@@ -1499,11 +1953,63 @@ def _fit_conv_corner(pt, cv):
             "for the fused kernel; restart with the solver path that "
             "wrote the checkpoint")
     if cva.shape[0] not in (48, 96):
-        cva = conv_node_to_corner(pt.offs, _col_valid(pt, cva.shape[1]),
-                                  cva, pt.conv_rows)
+        full = np.zeros((cva.shape[0], pt.LEN))
+        full[:, :min(pt.LEN, cva.shape[1])] = cva[:, :pt.LEN]
+        mixed = getattr(pt, "bkn_mixed_cols", None)
+        cva = conv_nodeq_to_corner(
+            pt.offs, _col_valid(pt, pt.LEN),
+            mixed if mixed is not None else np.zeros(0, np.int64),
+            full, mix, pt.conv_rows)
     out = np.zeros((pt.conv_rows, pt.LEN))
     out[:, :cva.shape[1]] = cva
     return jnp.asarray(out, pt.conv_dtype)
+
+
+def _fit_conv_nodeq(pt, parts):
+    """Restored conv state -> the general-Q tier's carry tail
+    (conv_node [Rn, LEN][, conv_mix [R2, 8, M]]).  Accepts this tier's
+    own (node, mix) pair, a corner-basis array (exact split via the
+    node assignment), or a bare node-basis array (mix backfilled from
+    the node fields at the mixed corners -- exact only where the
+    coefficient sets agreed)."""
+    R2 = 6 if pt.bkt_shear_only else 12
+    M = pt.mix_M
+    mix = np.zeros((R2, 8, M)) if M else None
+    if not parts or parts[0] is None:
+        node = np.zeros((R2, pt.LEN))
+    else:
+        a = np.asarray(parts[0], np.float64)
+        if a.ndim != 2 or a.shape[0] not in (6, 8, 12, 16, 48, 96):
+            raise RuntimeError(
+                "checkpointed BKT conv state has an unsupported "
+                "layout for the fused kernel; restart with the solver "
+                "path that wrote the checkpoint")
+        full = np.zeros((a.shape[0], pt.LEN))
+        full[:, :min(pt.LEN, a.shape[1])] = a[:, :pt.LEN]
+        if a.shape[0] in (48, 96):
+            node = conv_corner_to_nodeq(pt.offs, pt.bkn_node_src, full)
+            if M:
+                mix = conv_mix_of_corner(pt.offs, pt.bkn_mixed_cols,
+                                         full)
+        else:
+            node = full[:R2]
+            if M and len(parts) > 1 and parts[1] is not None:
+                mix = np.asarray(parts[1], np.float64)
+                if mix.shape != (R2, 8, M):
+                    raise RuntimeError(
+                        "checkpointed BKT mixed-element state does "
+                        "not match this mesh's mixed set")
+            elif M:
+                mix = np.stack(
+                    [node[:, pt.bkn_mixed_cols + o] for o in pt.offs],
+                    axis=1)
+    out = np.zeros((pt.conv_rows_node, pt.LEN))
+    r = min(R2, node.shape[0])
+    out[:r] = node[:r]
+    tail = (jnp.asarray(out, pt.conv_dtype_node),)
+    if M:
+        tail += (jnp.asarray(mix, pt.dtype),)
+    return tail
 
 
 def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
@@ -1517,7 +2023,8 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
     pt = PallasBrickTables(plan, tables, src_ids=src_ids,
                            st_nodes=st_nodes, st_phi=st_phi, dtype=dtype)
     packed = ((tables.damping != "bkt"
-               or getattr(pt, "bkt_uniform", False))
+               or getattr(pt, "bkt_uniform", False)
+               or getattr(pt, "bkt_nodeq", False))
               and os.environ.get("HT_PALLAS_STATE", "packed")
               != "legacy")
     snap_of = None
@@ -1534,8 +2041,11 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
             S = jnp.concatenate(
                 [u, up, jnp.zeros((2, pt.LEN), dtype)], axis=0)
             if tables.damping == "bkt":
-                cv = state[2] if len(state) > 2 else None
-                state = (S, _fit_conv_node(pt, cv))
+                if getattr(pt, "bkt_nodeq", False):
+                    state = (S,) + _fit_conv_nodeq(pt, state[2:])
+                else:
+                    cv = state[2] if len(state) > 2 else None
+                    state = (S, _fit_conv_node(pt, cv))
             else:
                 state = (S,)
         snap_of = packed_snap_of
@@ -1553,7 +2063,8 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
                           for x in state[:2])
             if tables.damping == "bkt":
                 state = state + (_fit_conv_corner(
-                    pt, conv[0] if conv else None),)
+                    pt, conv[0] if conv else None,
+                    mix=conv[1] if len(conv) > 1 else None),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt

@@ -186,7 +186,7 @@ def test_bkt_uniform_tier_matches_corner_kernel(bkt_problem,
                                                 monkeypatch):
     """Uniform-Q node-basis BKT kernel (packed state, 12-row conv,
     _make_bkt_uniform_kernel) vs the corner-basis kernel
-    (HT_BKT_UNIFORM=0) on the homogeneous mesh: identical
+    (HT_BKT_UNIFORM=0 + HT_BKT_NODEQ=0) on the homogeneous mesh: identical
     trajectories (f64 interpret)."""
     from hercules_tpu.solver.pallas_brick import PallasBrickTables
 
@@ -207,11 +207,13 @@ def test_bkt_uniform_tier_matches_corner_kernel(bkt_problem,
         interpret=True)
 
     monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    monkeypatch.setenv("HT_BKT_NODEQ", "0")
     state_c, samp_c = run_pallas_solver(
         plan, tables, nid, forces, T, p.delta_t,
         st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64,
         interpret=True)
     monkeypatch.delenv("HT_BKT_UNIFORM")
+    monkeypatch.delenv("HT_BKT_NODEQ")
 
     u_u = pallas_u_global(plan, state_u[0], mesh.nnum)
     u_c = pallas_u_global(plan, state_c[0], mesh.nnum)
@@ -234,11 +236,13 @@ def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
     forces = rng.standard_normal((T, 2, 3)) * 1e8
 
     monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    monkeypatch.setenv("HT_BKT_NODEQ", "0")
     state_ref, _ = run_pallas_solver(
         plan, tables, nid, forces, T, p.delta_t,
         dtype=jnp.float64, interpret=True)
     u_ref = pallas_u_global(plan, state_ref[0], mesh.nnum)
     monkeypatch.delenv("HT_BKT_UNIFORM")
+    monkeypatch.delenv("HT_BKT_NODEQ")
 
     # first half on the uniform tier -> (u, up, conv_node)
     half, _ = run_pallas_solver(
@@ -248,11 +252,13 @@ def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
 
     # resume the second half on the corner-basis kernel
     monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    monkeypatch.setenv("HT_BKT_NODEQ", "0")
     state2, _ = run_pallas_solver(
         plan, tables, nid, forces, T, p.delta_t,
         dtype=jnp.float64, interpret=True,
         state=tuple(np.asarray(x) for x in half), start_step=H)
     monkeypatch.delenv("HT_BKT_UNIFORM")
+    monkeypatch.delenv("HT_BKT_NODEQ")
     u2 = pallas_u_global(plan, state2[0], mesh.nnum)
     scale = np.abs(u_ref).max()
     assert scale > 0
@@ -260,10 +266,12 @@ def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
 
     # and the reverse: corner half resumed on the uniform tier
     monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    monkeypatch.setenv("HT_BKT_NODEQ", "0")
     halfc, _ = run_pallas_solver(
         plan, tables, nid, forces[:H], H, p.delta_t,
         dtype=jnp.float64, interpret=True)
     monkeypatch.delenv("HT_BKT_UNIFORM")
+    monkeypatch.delenv("HT_BKT_NODEQ")
     assert halfc[2].shape[0] in (48, 96)
     state3, _ = run_pallas_solver(
         plan, tables, nid, forces, T, p.delta_t,

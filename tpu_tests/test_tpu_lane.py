@@ -131,11 +131,12 @@ def test_bkt_fused_mosaic_vs_interpret(exact_mxu):
 
 def test_bkt_corner_basis_mosaic_vs_interpret(exact_mxu, monkeypatch):
     """The corner-basis BKT kernel (non-uniform-Q fallback) lowers
-    correctly: force it via HT_BKT_UNIFORM=0."""
+    correctly: force it via HT_BKT_UNIFORM=0 + HT_BKT_NODEQ=0."""
     from hercules_tpu.solver.pallas_brick import (pallas_u_global,
                                                   run_pallas_solver)
     p, mesh, tables, plan, src_ids, forces, T = _bkt_problem()
     monkeypatch.setenv("HT_BKT_UNIFORM", "0")
+    monkeypatch.setenv("HT_BKT_NODEQ", "0")
     us = []
     for interp in (False, True):
         state, _ = run_pallas_solver(plan, tables, src_ids, forces,
