@@ -101,7 +101,9 @@ def golden_check():
     """BENCH_GOLDEN=1: the FULL 20000-step examples/simple run on the
     production TPU f32 path (fused pallas kernel), diffed against the
     committed golden seismograms.  Prints one JSON line with the worst
-    relative error."""
+    relative error, and compares it against the per-MXU-mode committed
+    number (tests/goldens/golden_fp32_errors.json) so a "faster"
+    precision mode cannot silently spend the 1e-2 budget."""
     import bz2
     import jax
     import jax.numpy as jnp
@@ -125,8 +127,21 @@ def golden_check():
         scale = np.abs(g[:n, 1:4]).max()
         worst = max(worst, float(
             np.abs(samples[:n, i] - g[:n, 1:4]).max() / scale))
+    mode = os.environ.get("HT_MXU_PREC", "b3")
+    committed = None
+    gj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tests", "goldens", "golden_fp32_errors.json")
+    if os.path.exists(gj):
+        with open(gj) as fh:
+            committed = json.load(fh).get("full", {}).get(mode)
+    note = ""
+    if committed:
+        note = (f", committed[{mode}] {committed:.3e} "
+                f"(x{worst / committed:.2f})")
+        if worst > 2.0 * committed:
+            note += "  REGRESSION: >2x the committed error"
     print(f"# golden fp32 run: {samples.shape[0]} steps in {el:.1f}s, "
-          f"worst station error {worst:.3e} (budget 1e-2)",
+          f"worst station error {worst:.3e} (budget 1e-2){note}",
           file=sys.stderr)
     print(json.dumps({"metric": "golden-fp32-rel-error", "value": worst,
                       "unit": "relative", "vs_baseline": worst / 1e-2}))
@@ -466,6 +481,39 @@ def main():
     print(f"# mesh: {E} elements, {mesh.nnum} nodes "
           f"(mesh {t_mesh:.1f}s, assemble {t_asm:.1f}s) on "
           f"{jax.devices()[0]}", file=sys.stderr)
+
+    if path == "sharded":
+        # the unstructured sharded path (gather/scatter halo dataflow,
+        # parallel/sharded.py): the fallback a production mesh pays
+        # when it misses the fused gslab/slab shapes.  Published as a
+        # measured number so the fallback cost is a fact, not
+        # folklore.
+        from jax.sharding import Mesh
+        from hercules_tpu.parallel.driver import (choose_path,
+                                                  run_multichip)
+        nid = int(mesh.elem_lnid[E // 2, 0])
+        src_ids = np.array([nid], np.int32)
+        pobj = choose_path(mesh, tables, 1, src_ids=src_ids,
+                           dtype=jnp.float32, prefer="sharded")
+        m = Mesh(np.array(jax.devices()[:1]), ("d",))
+        forces = np.ones((steps, 1, 3), np.float32)
+        state, _ = run_multichip(pobj, m, forces, steps, p.delta_t,
+                                 chunk=steps)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+        t0 = time.time()
+        state, _ = run_multichip(pobj, m, forces, steps, p.delta_t,
+                                 chunk=steps)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+        dt = time.time() - t0
+        eups = E * steps / dt
+        print(f"# sharded fallback: {steps} steps in {dt:.3f}s",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "element-updates/sec/chip (sharded fallback)",
+            "value": eups, "unit": "elem-updates/s",
+            "vs_baseline": eups / 1e7,
+        }))
+        return
 
     plan = build_plan(mesh)
     nid = int(mesh.elem_lnid[E // 2, 0])

@@ -21,8 +21,12 @@ z-fragment of every brick:
 
 Interface structure is verified exhaustively at build time by
 PlaneReconciler.build; meshes that don't decompose into full z-planes
-(or whose per-brick layer counts don't divide the device count) raise,
-and callers fall back to the unstructured sharded path.
+raise, and callers fall back to the unstructured sharded path (its
+cost is a published bench number: BENCH_PATH=sharded).  Per-brick
+layer counts need NOT divide the device count -- uneven splits give
+the first nz % n_dev devices one extra layer (ez_of), with every
+fragment padded to the static buffer; the only shape requirement is
+>= 1 element layer per device per brick.
 """
 
 from __future__ import annotations

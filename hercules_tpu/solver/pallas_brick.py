@@ -99,6 +99,39 @@ def _mxu_mode(default="b3"):
     return os.environ.get("HT_MXU_PREC", default)
 
 
+def _bf16_gather_mode(tier, dtype, mxu_mode):
+    """Stage the b3/b4 split-bf16 operand halves per TILE instead of
+    splitting per chunk: the staged scratch holds (Wh; Wl) bf16 rows,
+    gathers/rolls move the same bytes as the f32 W they replace, and
+    the per-chunk convert+sub+convert (the bulk of the split-matmul's
+    vector time) disappears.  Bit-identical to the per-chunk split
+    (same Wh/Wl values).  f32 + staged tiers only.
+
+    DEFAULT OFF: the current Mosaic release crashes lowering
+    pltpu.roll on bf16 operands (tpu_compile_helper exit 1; verified
+    by a standalone probe), and the gather pipeline needs the rolled
+    halves.  Correct in interpret mode (bit-identity test in
+    tests/test_pallas.py); kept for when the toolchain catches up."""
+    import os
+    return (tier in ("ubeta", "umat") and dtype == jnp.float32
+            and mxu_mode in ("b3", "b4")
+            and os.environ.get("HT_PALLAS_BF16GATHER", "0") == "1")
+
+
+def _mxu_dot_presplit(A, Wh, Wl, mode):
+    """Split-bf16 matmul with the W halves already staged (see
+    _bf16_gather_mode); A is the f32 constant operator."""
+    bd = lambda a, w: jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Ah = A.astype(jnp.bfloat16)
+    Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
+    F = bd(Ah, Wh) + bd(Ah, Wl) + bd(Al, Wh)
+    if mode == "b4":
+        F = F + bd(Al, Wl)
+    return F
+
+
 def _mxu_dot(A, W, mode, prec):
     """Constant-operator matmul on the MXU.
 
@@ -387,6 +420,11 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     mxu_prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH}.get(
         mxu_mode, jax.lax.Precision.DEFAULT)
+    # staged-bf16 gather: Wh/Wl split once per tile (see
+    # _bf16_gather_mode); must agree with the builders' scratch dtype
+    bf16g = (staged and not preshift and gather_concat and use_mxu
+             and not ablate
+             and _bf16_gather_mode(tier, dtype, mxu_mode))
     M1d, M2d = stiffness_matrices_24()
     if tier == "umat":
         am_np = np.zeros((48, 24))
@@ -435,8 +473,22 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             L = B + H
             ut0, ub0 = ua[...], ub[:, :H]
             up0, upb0 = upa[...], upb[:, :H]
-            scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
-            scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
+            if bf16g:
+                # rows 0:3 = Wh, 3:6 = Wl (bf16): same staged bytes as
+                # one f32 W, no per-chunk split
+                Wt = ut0 + beta_s * (ut0 - up0)
+                Wh = Wt.astype(jnp.bfloat16)
+                scr_s[0:3, :B] = Wh
+                scr_s[3:6, :B] = (Wt - Wh.astype(dtype)).astype(
+                    jnp.bfloat16)
+                Wb = ub0 + beta_s * (ub0 - upb0)
+                Whb = Wb.astype(jnp.bfloat16)
+                scr_s[0:3, B:] = Whb
+                scr_s[3:6, B:] = (Wb - Whb.astype(dtype)).astype(
+                    jnp.bfloat16)
+            else:
+                scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
+                scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
             if preshift:
                 sv = scr_s[...]
                 for k, s in enumerate(NR):
@@ -579,7 +631,15 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 wins = _gather_windows(
                     lambda b: scr_s[:, pl.ds(b, W0)], offs, c0, W0,
                     roll)
-                wv = jnp.concatenate([w[:, :C] for w in wins], axis=0)
+                if bf16g:
+                    # (Wh, Wl) bf16 operand pair, already split
+                    wv = (jnp.concatenate([w[0:3, :C] for w in wins],
+                                          axis=0),
+                          jnp.concatenate([w[3:6, :C] for w in wins],
+                                          axis=0))
+                else:
+                    wv = jnp.concatenate([w[:, :C] for w in wins],
+                                         axis=0)
             else:
                 for j, o in enumerate(offs):
                     s = o % 128
@@ -605,6 +665,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             Wv = wv if wv is not None else scr_w[...]
             if ablate == "noop":
                 return Wv * (c1 != 0.0).astype(dtype)
+            if isinstance(Wv, tuple):
+                A = amv[:24] if tier == "umat" else amv
+                F = _mxu_dot_presplit(A, Wv[0], Wv[1], mxu_mode)
+                if tier == "umat":
+                    return F * (c1 != 0.0).astype(dtype)
+                return F[:24] * c1 + F[24:] * c2
             if tier == "umat":
                 F = _mxu_dot(amv[:24], Wv, mxu_mode, mxu_prec)
                 return F * (c1 != 0.0).astype(dtype)
@@ -1058,7 +1124,6 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
 
 # per-channel recursion/combine coefficient row order of the node table
 BKN_COEF = ("c1", "c2", "c3", "c4", "e0", "e1", "a0", "a1", "coef")
-BKN_HDR = 6   # K rows: mass_minusaM 0:3, inv_mass 3, mu_f 4, kappa_f 5
 
 
 def bkn_coef_keys(shear_only: bool):
@@ -1081,7 +1146,8 @@ def assign_bkt_node_coeffs(coef_e, evalid, offs):
     element plane per interface ends up mixed).  Returns
     (node_rows [RC, LEN], node_src [LEN] int64 source element column or
     -1, mixed_cols [M] element columns whose corners carry a foreign
-    set)."""
+    set, sets [nsets, RC] distinct coefficient sets, node_bin [LEN]
+    set index per node with nsets = "no adjacent element")."""
     LEN = coef_e.shape[1]
     ecols = np.flatnonzero(np.asarray(evalid))
     node_src = np.full(LEN, -1, np.int64)
@@ -1089,7 +1155,8 @@ def assign_bkt_node_coeffs(coef_e, evalid, offs):
         node_src[ecols + o] = ecols
     # coefficient-set ids (identical values from different elements
     # dedupe, so e.g. a Q-uniform region never counts as mixed)
-    _, cid_e = np.unique(coef_e[:, ecols].T, axis=0, return_inverse=True)
+    sets, cid_e = np.unique(coef_e[:, ecols].T, axis=0,
+                            return_inverse=True)
     cid = np.full(LEN, -1, np.int64)
     cid[ecols] = cid_e
     ns = np.maximum(node_src, 0)
@@ -1098,7 +1165,8 @@ def assign_bkt_node_coeffs(coef_e, evalid, offs):
     mixed = np.zeros(len(ecols), bool)
     for o in offs:
         mixed |= node_cid[ecols + o] != cid[ecols]
-    return node_rows, node_src, ecols[mixed]
+    node_bin = np.where(node_cid >= 0, node_cid, len(sets))
+    return node_rows, node_src, ecols[mixed], sets, node_bin
 
 
 def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
@@ -1114,28 +1182,29 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
     -- the K block and the mixed-element epilogue constants."""
     from ..physics.kmats import bkt_matrices_24
 
-    RC = 9 if shear_only else 18
-    RK = 16 if shear_only else 24
     LEN = coef_e.shape[1]
-    node_rows, node_src, mixed = assign_bkt_node_coeffs(
-        coef_e, evalid, offs)
+    node_rows, node_src, mixed, sets, node_bin = \
+        assign_bkt_node_coeffs(coef_e, evalid, offs)
     out = {"node_src": node_src, "mixed_cols": mixed,
-           "M": len(mixed), "declined": True}
+           "M": len(mixed), "declined": True,
+           "sets": sets, "node_bin": node_bin.astype(np.float64)}
     n_valid = max(int(np.asarray(evalid).sum()), 1)
     max_mixed = float(os.environ.get("HT_BKT_NODEQ_MAX_MIXED", "0.25"))
+    max_bins = int(os.environ.get("HT_BKT_NODEQ_MAX_BINS", "18"))
     if (os.environ.get("HT_BKT_NODEQ", "1") == "0"
-            or len(mixed) > max_mixed * n_valid):
+            or len(mixed) > max_mixed * n_valid
+            or len(sets) > max_bins):
         return out
     out["declined"] = False
     f = lambda x: jnp.asarray(x, dtype)
-    # K block: mass_minusaM 0:3, inv_mass 3, mu_f 4, kappa_f 5,
-    # coefficient rows BKN_HDR:BKN_HDR+RC, zero-padded to RK
-    K = np.zeros((RK, LEN))
+    # K block (build_bkt_node_call layout): mass_minusaM 0:3,
+    # inv_mass 3, mu_f 4, kappa_f 5, set index 6
+    K = np.zeros((8, LEN))
     K[0:3] = mm
     K[3] = invm
     K[4] = muf
     K[5] = kaf
-    K[BKN_HDR:BKN_HDR + RC] = node_rows
+    K[6] = out["node_bin"]
     out["K"] = f(K)
     M = len(mixed)
     if M:
@@ -1153,13 +1222,27 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
     return out
 
 
-def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
-                          conv_dtype=None, chunk=None, interpret=False):
+def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
+                          shear_only=False, conv_dtype=None,
+                          chunk=None, interpret=False):
     """General-Q BKT kernel: node-basis memory variables with PER-NODE
-    recursion coefficients (rows BKN_HDR.. of the K block) and
-    per-element mu_f/kappa_f rows scaling the gathered MXU operand.
-    Same dataflow as _make_bkt_uniform_kernel; the only extra HBM
-    stream is the widened K block."""
+    recursion coefficients.
+
+    The coefficient sets take at most len(QTABLE) distinct values per
+    brick, so instead of streaming RC coefficient rows (+ their halo --
+    which blows the 16 MB scoped-VMEM budget at production tiles), the
+    kernel streams a one-row SET INDEX and reconstructs each
+    coefficient row as a masked sum of trace-time constants,
+        cf_r = sum_b (bin == b) * sets[b][r]
+    -- exactly one term is nonzero per node, so the rows equal the
+    streamed-row values bit-for-bit.  The bin row rides in the conv
+    carry's padding row R2 (the conv halo operand already streams it),
+    so the K block stays 8 rows with NO halo: same VMEM and HBM
+    footprint as the uniform-Q kernel, plus nsets*RC cheap row-MACs.
+
+    K rows: mass_minusaM 0:3, inv_mass 3, mu_f 4, kappa_f 5, bin 6.
+    mu_f/kappa_f scale the gathered MXU operand (per-element material,
+    exact in-kernel)."""
     from ..physics.kmats import bkt_matrices_24
 
     if chunk is None:
@@ -1172,7 +1255,9 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
     R2 = 6 if shear_only else 12
     R2s = 8 if shear_only else 16
     RC = 9 if shear_only else 18
-    RK = 16 if shear_only else 24        # BKN_HDR + RC padded to 8-row tiles
+    sets = [list(map(float, s)) for s in np.asarray(sets)]
+    nb = len(sets)
+    assert R2 < R2s, "no spare conv row for the bin index"
 
     kmu, kk = bkt_matrices_24()
     fm_np = np.concatenate([kmu, kk], axis=1)   # [24, 48]
@@ -1181,6 +1266,18 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
         if interpret:
             return jnp.roll(x, shift, axis=1)
         return pltpu.roll(x, jnp.int32(shift), 1)
+
+    def cf_rows(binrow):
+        """[RC, W] per-node coefficient rows from the set index row
+        (nodes with bin == nb -- no adjacent element -- get zeros)."""
+        ms = [(binrow == float(b)).astype(dtype) for b in range(nb)]
+        rows = []
+        for r in range(RC):
+            acc = ms[0] * sets[0][r]
+            for b in range(1, nb):
+                acc = acc + ms[b] * sets[b][r]
+            rows.append(acc)
+        return jnp.concatenate(rows, axis=0)
 
     def rec(u3, up3, cv, cf):
         """(conv_next [R2, W], dvs [3, W], dvk [3, W]) node fields;
@@ -1201,7 +1298,7 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
         dvk = g[8:9] * du + u3 - g[6:7] * k0n - g[7:8] * k1n
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
-    def kernel(Sa, Sb, Ka, Kb, cva, cvb, fm, out, conv_out, tail, nf,
+    def kernel(Sa, Sb, Ka, cva, cvb, fm, out, conv_out, tail, nf,
                scr_v):
         t = pl.program_id(0)
 
@@ -1214,15 +1311,18 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
         u, up = Sv[0:3], Sv[3:6]
         Kv = Ka[...]
         Sbv = Sb[...]
-        Kbv = Kb[...]
+        cvav = cva[...].astype(dtype)
+        cvbv = cvb[...][:, :H].astype(dtype)
 
-        cn_t, dvs_t, dvk_t = rec(u, up, cva[...][:R2].astype(dtype),
-                                 Kv[BKN_HDR:BKN_HDR + RC])
+        cn_t, dvs_t, dvk_t = rec(u, up, cvav[:R2],
+                                 cf_rows(Kv[6:7]))
         cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
-                                 cvb[...][:R2, :H].astype(dtype),
-                                 Kbv[BKN_HDR:BKN_HDR + RC, :H])
-        pad = jnp.zeros((R2s - R2, B), dtype)
-        conv_out[...] = jnp.concatenate([cn_t, pad],
+                                 cvbv[:R2],
+                                 cf_rows(cvbv[R2:R2 + 1]))
+        # padding rows carry the (constant) bin index so the halo
+        # stream serves next tile's cf_rows without a K halo operand
+        pad = jnp.zeros((R2s - R2 - 1, B), dtype)
+        conv_out[...] = jnp.concatenate([cn_t, Kv[6:7], pad],
                                         axis=0).astype(conv_dtype)
         scr_v[0:3, :B] = dvs_t
         scr_v[0:3, B:] = dvs_h
@@ -1257,17 +1357,19 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, shear_only=False,
         un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
         out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
 
-    return kernel, jnp.asarray(fm_np, dtype), R2s, RK
+    return kernel, jnp.asarray(fm_np, dtype), R2s
 
 
-def build_bkt_node_call(offs, B, o7, T, LEN, dtype, shear_only=False,
-                        conv_dtype=None, interpret=False):
+def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
+                        shear_only=False, conv_dtype=None,
+                        interpret=False):
     """pallas_call for the general-Q node-basis BKT kernel:
-    (S, S_halo, K, K_halo, conv, conv_halo) -> (S_next [8, LEN],
+    (S, S_halo, K, conv, conv_halo) -> (S_next [8, LEN],
     conv_next [R2s, LEN]).  K rows: mass_minusaM 0:3, inv_mass 3,
-    mu_f 4, kappa_f 5, then RC per-node coefficient rows."""
-    kernel, fm, R2s, RK = _make_bkt_node_kernel(
-        offs, B, o7, T, dtype, shear_only=shear_only,
+    mu_f 4, kappa_f 5, bin 6; conv row R2 carries the bin index (must
+    be pre-filled by init/restore)."""
+    kernel, fm, R2s = _make_bkt_node_kernel(
+        offs, B, o7, T, dtype, sets, shear_only=shear_only,
         conv_dtype=conv_dtype, interpret=interpret)
     if conv_dtype is None:
         conv_dtype = dtype
@@ -1275,12 +1377,20 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, shear_only=False,
     hb = _halo_block(B, o7)
     nh = B // hb
     blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    # bricks whose stencil reach o7 is ~B/2 make every halo operand a
+    # full extra tile; the double-buffered blocks then sit just above
+    # Mosaic's default 16 MB scoped-VMEM budget -- raise the
+    # per-kernel cap mildly (v5e has 128 MB VMEM/core)
+    params = None
+    if not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
-            pl.BlockSpec((RK, B), blk), pl.BlockSpec((RK, hb), blk1),
+            pl.BlockSpec((8, B), blk),
             pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
             pl.BlockSpec((24, 48), lambda t: (0, 0)),
         ],
@@ -1292,8 +1402,9 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, shear_only=False,
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM((6, B + o7 + 128), dtype)],
         interpret=interpret,
+        compiler_params=params,
     )
-    return lambda S, Sb, K, Kb, cv, cvb: call(S, Sb, K, Kb, cv, cvb, fm)
+    return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
 
 
 def detect_bkt_uniform(bkt_tables, eidx, evalid, shear_only):
@@ -1538,6 +1649,8 @@ class PallasBrickTables:
         self.conv_dtype_node = (self.dtype if shear_only
                                 else bkt_conv_dtype(self.dtype))
         self.bkn_K = nq["K"]
+        self.bkn_sets = nq["sets"]
+        self.bkn_bin = nq["node_bin"]
         if nq["M"]:
             for k in ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
                       "mix_muf", "mix_kaf", "mix_fm"):
@@ -1564,7 +1677,17 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
     scr_w = (24, C) if packed else (8, 128)    # unpacked: token-sized
     scr_f = (24, C + 128) if packed else (8, 128)
     staged = packed and tier in ("ubeta", "umat")
-    scr_s = (3, B + o7 + 128) if staged else (8, 128)
+    # staged-bf16 gather: (Wh; Wl) bf16 scratch (must mirror
+    # _make_kernel's bf16g predicate)
+    bf16g = (staged and _use_mxu()
+             and os.environ.get("HT_PALLAS_PRESHIFT", "0") != "1"
+             and os.environ.get("HT_PALLAS_GATHER", "concat")
+             == "concat"
+             and not os.environ.get("HT_PALLAS_ABLATE", "")
+             and _bf16_gather_mode(tier, dtype, _mxu_mode()))
+    scr_s_dtype = jnp.bfloat16 if bf16g else dtype
+    scr_s = ((6, B + o7 + 128) if bf16g
+             else (3, B + o7 + 128)) if staged else (8, 128)
     # the preshift scratch is only read when HT_PALLAS_PRESHIFT=1
     # (off by default); keep it token-sized otherwise so it doesn't
     # eat into the 16 MB scoped-VMEM headroom
@@ -1595,7 +1718,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM(scr_s, dtype),
+                        pltpu.VMEM(scr_s, scr_s_dtype),
                         pltpu.VMEM(scr_sv, dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
@@ -1618,7 +1741,17 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     scr_w = (24, C) if packed else (8, 128)
     scr_f = (24, C + 128) if packed else (8, 128)
     staged = packed and tier in ("ubeta", "umat")
-    scr_s = (3, B + o7 + 128) if staged else (8, 128)
+    # staged-bf16 gather: (Wh; Wl) bf16 scratch (must mirror
+    # _make_kernel's bf16g predicate)
+    bf16g = (staged and _use_mxu()
+             and os.environ.get("HT_PALLAS_PRESHIFT", "0") != "1"
+             and os.environ.get("HT_PALLAS_GATHER", "concat")
+             == "concat"
+             and not os.environ.get("HT_PALLAS_ABLATE", "")
+             and _bf16_gather_mode(tier, dtype, _mxu_mode()))
+    scr_s_dtype = jnp.bfloat16 if bf16g else dtype
+    scr_s = ((6, B + o7 + 128) if bf16g
+             else (3, B + o7 + 128)) if staged else (8, 128)
     preshift = (staged
                 and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
     nshift = len({o % 128 for o in offs} - {0})
@@ -1649,7 +1782,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
         input_output_aliases={0: 0} if alias else {},
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM(scr_s, dtype),
+                        pltpu.VMEM(scr_s, scr_s_dtype),
                         pltpu.VMEM(scr_sv, dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
@@ -1842,10 +1975,19 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
     B, o7, T, LEN = pt.B, pt.o7, pt.T, pt.LEN
     dtype = pt.dtype
     call = build_bkt_node_call(pt.offs, B, o7, T, LEN, dtype,
+                               pt.bkn_sets,
                                shear_only=pt.bkt_shear_only,
                                conv_dtype=pt.conv_dtype_node,
                                interpret=interpret)
+    # the mixed-element tables ride the consts argument (closure
+    # capture would embed them in the module as HLO literals --
+    # tens of MB at production interface counts, pathological
+    # compiles)
     consts = {"K": pt.bkn_K}
+    if pt.mix_M:
+        consts["mix"] = {k: getattr(pt, k) for k in
+                         ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
+                          "mix_muf", "mix_kaf", "mix_fm")}
     invm_row = pt.bkn_K[3]
 
     def step(cd, carry, x):
@@ -1856,13 +1998,10 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
                                 S[0:3][:, pt.st_pos])
         else:
             sample = jnp.zeros((0, 3), dtype)
-        Sn, cvn = call(S, S, cd["K"], cd["K"], cv, cv)
+        Sn, cvn = call(S, S, cd["K"], cv, cv)
         if pt.mix_M:
-            mx = {k: getattr(pt, k) for k in
-                  ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
-                   "mix_muf", "mix_kaf", "mix_fm")}
-            Sn, cmn = bkt_mix_epilogue(mx, pt.bkt_shear_only, dtype,
-                                       S, Sn, cv, carry[2])
+            Sn, cmn = bkt_mix_epilogue(cd["mix"], pt.bkt_shear_only,
+                                       dtype, S, Sn, cv, carry[2])
         if pt.src_pos is not None:
             Sn = Sn.at[0:3, pt.src_pos].add(
                 srcf.T * invm_row[pt.src_pos][None, :])
@@ -1872,15 +2011,28 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
     return step, consts
 
 
+def nodeq_conv_init(rows, LEN, node_bin, R2, conv_dtype):
+    """Zero node-basis conv with the (constant) set-index row
+    pre-filled at row R2 (the general-Q kernel reads it from the conv
+    stream; see _make_bkt_node_kernel)."""
+    cv = np.zeros((rows, LEN))
+    cv[R2, :len(node_bin)] = node_bin
+    return jnp.asarray(cv, conv_dtype)
+
+
 def init_packed_state(pt: PallasBrickTables):
     S = jnp.zeros((8, pt.LEN), pt.dtype)
     if pt.damping == "bkt":
-        st = (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
-                           pt.conv_dtype_node))
-        if getattr(pt, "bkt_nodeq", False) and pt.mix_M:
+        if getattr(pt, "bkt_nodeq", False):
             R2 = 6 if pt.bkt_shear_only else 12
-            st = st + (jnp.zeros((R2, 8, pt.mix_M), pt.dtype),)
-        return st
+            st = (S, nodeq_conv_init(pt.conv_rows_node, pt.LEN,
+                                     pt.bkn_bin, R2,
+                                     pt.conv_dtype_node))
+            if pt.mix_M:
+                st = st + (jnp.zeros((R2, 8, pt.mix_M), pt.dtype),)
+            return st
+        return (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
+                             pt.conv_dtype_node))
     return (S,)
 
 
@@ -2006,6 +2158,7 @@ def _fit_conv_nodeq(pt, parts):
     out = np.zeros((pt.conv_rows_node, pt.LEN))
     r = min(R2, node.shape[0])
     out[:r] = node[:r]
+    out[R2, :len(pt.bkn_bin)] = pt.bkn_bin    # constant set-index row
     tail = (jnp.asarray(out, pt.conv_dtype_node),)
     if M:
         tail += (jnp.asarray(mix, pt.dtype),)

@@ -32,13 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bricks import BrickPlan
-from .pallas_brick import (_tier_kco, bk_row_names, bkt_conv_dtype,
-                           bkt_kappa_zero, build_bkt_call,
+from .pallas_brick import (_tier_kco, bk_row_names, bkn_coef_keys,
+                           bkt_conv_dtype, bkt_kappa_zero,
+                           bkt_mix_epilogue, bkt_nodeq_tables,
+                           build_bkt_call, build_bkt_node_call,
                            build_bkt_uniform_call, build_call,
                            build_call_packed, conv_corner_to_node,
-                           conv_node_to_corner, detect_bkt_uniform,
-                           diag_dd, pallas_fits, pallas_geometry,
-                           spectral_factors)
+                           conv_corner_to_nodeq, conv_mix_of_corner,
+                           conv_node_to_corner, conv_nodeq_to_corner,
+                           detect_bkt_uniform, diag_dd, pallas_fits,
+                           pallas_geometry, spectral_factors)
 
 
 def mesh_plan_applies(plan: BrickPlan, damping: str,
@@ -177,27 +180,81 @@ class MeshPallasTables:
         rec_ok = (self.plane_rec is not None
                   or len(plan.ex_pos) == 0)
         packed_env = os.environ.get("HT_MESH_PACKED", "1") != "0"
-        # per-brick Q-uniformity is detected regardless of the packed
-        # gate: _fit_mesh_conv needs it to accept node-basis
-        # checkpoints even when resuming with the legacy kernels
-        self.bk_scal = None
-        if bkt and os.environ.get("HT_BKT_UNIFORM", "1") != "0":
+
+        # ---- per-brick geometry (tile sizing) -------------------------
+        # size the tile to the brick: big enough for the halo
+        # (o7 + 130) AND to cover a large brick with full tiles (a tile
+        # sized to a small o7 on a multi-million-node brick spends ~all
+        # its streaming on the halo), but no bigger than the brick
+        # needs (small bricks skip the 32k pad)
+        self.geo = []        # (offs, B, o7, T, LEN) per brick
+        for b in plan.bricks:
+            offs = tuple(b.corner_offsets())
+            o7 = offs[7]
+            tb = tile
+            if tb is None:
+                cap = int(os.environ.get("HT_PALLAS_TILE", 32768))
+                want = max(o7 + 130, min(b.nb, cap), 512)
+                tb = min(cap, 1 << int(np.ceil(np.log2(want))))
+            B, T, LEN = pallas_geometry(offs, b.nb, tile=tb)
+            self.geo.append((offs, B, o7, T, LEN))
+
+        mm_rows = tables.mass_minusaM[g].T       # [3, TOT]
+        invm_row = tables.inv_mass[g]
+
+        # ---- per-brick BKT mode --------------------------------------
+        # "uniform" (one coefficient set -> folded scalars,
+        # _make_bkt_uniform_kernel) or "nodeq" (heterogeneous Q ->
+        # per-node coefficient rows + mixed epilogue,
+        # pallas_brick.bkt_nodeq_tables); detected regardless of the
+        # packed gate (_fit_mesh_conv needs the node assignment for
+        # exact cross-basis restores).
+        self.bk_scal = None      # list iff EVERY brick is uniform
+        self.bkt_modes = None
+        if bkt:
             shear_only = bkt_kappa_zero(tables.bkt)
-            scals = [detect_bkt_uniform(
-                tables.bkt, ei[b.off:b.off + b.nb],
-                ev[b.off:b.off + b.nb], shear_only)
-                for b in plan.bricks]
-            if all(s is not None for s in scals):
-                self.bk_scal = scals
+            uni_ok = os.environ.get("HT_BKT_UNIFORM", "1") != "0"
+            self.bkt_modes = []
+            for bi, b in enumerate(plan.bricks):
+                lo, hi = b.off, b.off + b.nb
+                offs, _, _, _, LEN = self.geo[bi]
+                scal = (detect_bkt_uniform(
+                    tables.bkt, ei[lo:hi], ev[lo:hi], shear_only)
+                    if uni_ok else None)
+                if scal is not None:
+                    self.bkt_modes.append(("uniform", scal))
+                    continue
+
+                def padb(x):
+                    out = np.zeros(LEN)
+                    out[:b.nb] = x[lo:hi]
+                    return out
+
+                coef_e = np.stack(
+                    [padb(etab_arr(tables.bkt[k]))
+                     for k in bkn_coef_keys(shear_only)])
+                ev_pad = np.zeros(LEN, bool)
+                ev_pad[:b.nb] = ev[lo:hi]
+                nq = bkt_nodeq_tables(
+                    coef_e, padb(etab_arr(tables.bkt["mu_f"])),
+                    padb(etab_arr(tables.bkt["kappa_f"])),
+                    np.stack([padb(mm_rows[c]) for c in range(3)]),
+                    padb(invm_row), ev_pad, offs, shear_only, dtype)
+                self.bkt_modes.append(
+                    ("nodeq" if not nq["declined"] else None, nq))
+            if all(m[0] == "uniform" for m in self.bkt_modes):
+                self.bk_scal = [m[1] for m in self.bkt_modes]
+
         self.packed = (packed_env and rec_ok
-                       and (not bkt or self.bk_scal is not None))
+                       and (not bkt
+                            or all(m[0] is not None
+                                   for m in self.bkt_modes)))
         if (nl is not None or drm is not None) and not self.packed:
             raise RuntimeError(
                 "nonlinear/DRM ride the packed mesh path; this plan "
                 "needs the index epilogue — unstructured path only")
 
-        # ---- per-brick geometry + padded constant tables -------------
-        self.geo = []        # (offs, B, o7, T, LEN) per brick
+        # ---- per-brick padded constant tables -------------------------
         self.cm = []
         self.bk = []
         self.mm = []
@@ -234,24 +291,8 @@ class MeshPallasTables:
             bk_rows = np.stack(
                 [etab_arr(tables.bkt[k])
                  for k in bk_row_names(self.bkt_shear_only)])
-        mm_rows = tables.mass_minusaM[g].T       # [3, TOT]
-        invm_row = tables.inv_mass[g]
-        for b in plan.bricks:
-            offs = tuple(b.corner_offsets())
-            o7 = offs[7]
-            # size the tile to the brick: big enough for the halo
-            # (o7 + 130) AND to cover a large brick with full tiles
-            # (a tile sized to a small o7 on a multi-million-node
-            # brick spends ~all its streaming on the halo), but no
-            # bigger than the brick needs (small bricks skip the 32k
-            # pad)
-            tb = tile
-            if tb is None:
-                cap = int(os.environ.get("HT_PALLAS_TILE", 32768))
-                want = max(o7 + 130, min(b.nb, cap), 512)
-                tb = min(cap, 1 << int(np.ceil(np.log2(want))))
-            B, T, LEN = pallas_geometry(offs, b.nb, tile=tb)
-            self.geo.append((offs, B, o7, T, LEN))
+        for bi, b in enumerate(plan.bricks):
+            offs, B, o7, T, LEN = self.geo[bi]
             lo, hi = b.off, b.off + b.nb
 
             def pad2(rows):
@@ -278,7 +319,12 @@ class MeshPallasTables:
                 evb_pad = np.zeros(LEN, bool)
                 evb_pad[:b.nb] = ev[lo:hi]
                 self.evalid_b.append(evb_pad)
-                if self.packed:
+                if self.packed and self.bkt_modes[bi][0] == "nodeq":
+                    # general-Q K block (build_bkt_node_call layout),
+                    # already LEN-padded by bkt_nodeq_tables
+                    self.Kp.append(self.bkt_modes[bi][1]["K"])
+                    self.bk.append(None)
+                elif self.packed:
                     # uniform-Q node-basis kernel consts: mass_minusaM
                     # 0:3, inv_mass 3, element validity 4
                     # (build_bkt_uniform_call's K layout)
@@ -327,6 +373,18 @@ class MeshPallasTables:
                 for k in ("c1", "c2", "c3", "c4"):
                     setattr(self, f"l_{k}", f(getattr(tables, k)[le]))
                 self.mcat = f(tables.m48.T)
+
+        # ---- mixed-element carry slots (general-Q BKT bricks) --------
+        # the conv carry tuple is (per-brick conv, [loose 4-tuple],
+        # then one [R2, 8, M] epilogue carry per nodeq brick with
+        # mixed elements, in brick order)
+        self.mix_slots = {}
+        if bkt and self.bkt_modes is not None:
+            base = NB + (1 if El else 0)
+            for bi, (mode, mval) in enumerate(self.bkt_modes):
+                if mode == "nodeq" and mval["M"]:
+                    self.mix_slots[bi] = base
+                    base += 1
 
         # ---- reconciliation plan in (array, local) coordinates -------
         locate = lambda pos: locate_concat(plan, pos)
@@ -640,12 +698,21 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
     mablate = set(os.environ.get("HT_MESH_ABLATE", "").split(","))
 
     if bkt:
-        calls = [build_bkt_uniform_call(
-            offs, B, o7, T, LEN, dtype, scal,
-            shear_only=mt.bkt_shear_only,
-            conv_dtype=mt.conv_dtype_node, interpret=interpret)
-            for (offs, B, o7, T, LEN), scal
-            in zip(mt.geo, mt.bk_scal)]
+        calls = []
+        for (offs, B, o7, T, LEN), (mode, mval) in zip(mt.geo,
+                                                       mt.bkt_modes):
+            if mode == "uniform":
+                calls.append(build_bkt_uniform_call(
+                    offs, B, o7, T, LEN, dtype, mval,
+                    shear_only=mt.bkt_shear_only,
+                    conv_dtype=mt.conv_dtype_node,
+                    interpret=interpret))
+            else:
+                calls.append(build_bkt_node_call(
+                    offs, B, o7, T, LEN, dtype, mval["sets"],
+                    shear_only=mt.bkt_shear_only,
+                    conv_dtype=mt.conv_dtype_node,
+                    interpret=interpret))
     else:
         calls = [build_call_packed(offs, B, o7, T, LEN, f1e, f2e,
                                    dtype, interpret=interpret,
@@ -654,6 +721,15 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                  in zip(mt.geo, mt.tiers)]
     NB = mt.NB
     consts = {"K": tuple(mt.Kp), "mm_l": mt.mm_l, "invm_l": mt.invm_l}
+    if bkt and mt.mix_slots:
+        # mixed-element epilogue tables ride the consts argument
+        # (closure capture would embed tens of MB of HLO literals at
+        # production interface counts -- pathological compiles)
+        consts["mix"] = {
+            bi: {k: mt.bkt_modes[bi][1][k] for k in
+                 ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
+                  "mix_muf", "mix_kaf", "mix_fm")}
+            for bi in mt.mix_slots}
     if mt.nl is not None and mt.nl["geostatic"]:
         # per-brick gravity/inv_mass node rows, padded to each brick's
         # LEN (large arrays ride the consts argument, not the closure)
@@ -701,11 +777,25 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
 
         # ---- per-brick fused kernels ---------------------------------
         new_conv = []
+        new_mix = {}
         if bkt:
             Sns = []
             for b in range(NB):
-                Sn, cv = calls[b](Ss[b], Ss[b], cd["K"][b], conv[b],
-                                  conv[b])
+                mode, mval = mt.bkt_modes[b]
+                if mode == "uniform":
+                    Sn, cv = calls[b](Ss[b], Ss[b], cd["K"][b],
+                                      conv[b], conv[b])
+                else:
+                    Sn, cv = calls[b](Ss[b], Ss[b], cd["K"][b],
+                                      conv[b], conv[b])
+                    slot = mt.mix_slots.get(b)
+                    if slot is not None:
+                        # pre-reconciliation, like the nl subset
+                        # forces: the reconciler's force recovery then
+                        # includes the correction
+                        Sn, new_mix[slot] = bkt_mix_epilogue(
+                            cd["mix"][b], mt.bkt_shear_only, dtype,
+                            Ss[b], Sn, conv[b], conv[slot])
                 Sns.append(Sn)
                 new_conv.append(cv)
         else:
@@ -821,7 +911,8 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
 
         if bkt:
             conv_out = (tuple(new_conv[:NB])
-                        + ((new_conv[NB],) if mt.El else ()))
+                        + ((new_conv[NB],) if mt.El else ())
+                        + tuple(new_mix[s] for s in sorted(new_mix)))
             return (tuple(Sns), conv_out), sample
         if nl is not None:
             return (tuple(Sns), nlstate), sample
@@ -1011,11 +1102,21 @@ def init_mesh_state(mt: MeshPallasTables):
             return (Ss, nlstate)
         if mt.damping != "bkt":
             return (Ss,)
-        conv = tuple(jnp.zeros((mt.conv_rows_node, geo[4]),
-                               mt.conv_dtype_node) for geo in mt.geo)
+        from .pallas_brick import nodeq_conv_init
+        R2 = 6 if mt.bkt_shear_only else 12
+        conv = tuple(
+            nodeq_conv_init(mt.conv_rows_node, geo[4],
+                            mode[1]["node_bin"], R2,
+                            mt.conv_dtype_node)
+            if mode[0] == "nodeq" else
+            jnp.zeros((mt.conv_rows_node, geo[4]), mt.conv_dtype_node)
+            for geo, mode in zip(mt.geo, mt.bkt_modes))
         if mt.El:
             conv = conv + (tuple(jnp.zeros((mt.El, 8, 3), mt.dtype)
                                  for _ in range(4)),)
+        for bi in sorted(mt.mix_slots, key=mt.mix_slots.get):
+            conv = conv + (jnp.zeros(
+                (R2, 8, mt.bkt_modes[bi][1]["M"]), mt.dtype),)
         return (Ss, conv)
     us = tuple(jnp.zeros((3, geo[4]), mt.dtype) for geo in mt.geo) \
         + (jnp.zeros((3, mt.NL), mt.dtype),)
@@ -1094,41 +1195,91 @@ def _fit_mesh_conv(mt: MeshPallasTables, conv_flat, node_basis):
     """Fit checkpointed BKT memory variables to the solver's basis.
     Per-brick arrays may arrive in either the corner basis
     ([conv_rows, LEN], legacy kernels) or the node basis
-    ([conv_rows_node, LEN], packed uniform-Q kernels); under one
-    coefficient set per brick the two are exactly interconvertible
-    (conv_corner_to_node / conv_node_to_corner)."""
+    ([conv_rows_node, LEN], packed kernels — uniform-Q or general
+    nodeq, the latter with trailing [R2, 8, M] mixed-element carries);
+    the bases are exactly interconvertible (conv_corner_to_node /
+    conv_corner_to_nodeq / conv_node(q)_to_corner)."""
     dtype = mt.dtype
     n_loose = 4 if mt.El else 0
     arrays = list(conv_flat)
-    if len(arrays) != mt.NB + n_loose:
+    # bricks whose nodeq assignment has mixed elements (a nodeq-tier
+    # checkpoint carries one mix array per such brick, in brick order)
+    mix_bricks = [bi for bi, (mode, mval)
+                  in enumerate(mt.bkt_modes or [])
+                  if mode != "uniform" and mval.get("M", 0) > 0]
+    base = mt.NB + n_loose
+    if len(arrays) == base:
+        mixes_in = {}
+    elif len(arrays) == base + len(mix_bricks):
+        mixes_in = {bi: arrays[base + k]
+                    for k, bi in enumerate(mix_bricks)}
+    else:
         raise RuntimeError(
             f"checkpoint BKT state has {len(arrays)} arrays; the "
             f"multi-brick pallas layout wants {mt.NB} brick + "
-            f"{n_loose} loose; restart with the solver path that "
-            f"wrote it")
+            f"{n_loose} loose (+ {len(mix_bricks)} mixed-element "
+            f"carries); restart with the solver path that wrote it")
     out = []
     R2 = 6 if mt.bkt_shear_only else 12
+    mix_out = {}
     for i, geo in enumerate(mt.geo):
         offs, B, o7, T, LEN = geo
         a = np.asarray(arrays[i], np.float64)
         corner = (mt.conv_rows, LEN)
         node = (getattr(mt, "conv_rows_node", -1), LEN)
+        mode, mval = (mt.bkt_modes[i] if mt.bkt_modes is not None
+                      else (None, None))
+        nodeq = mode != "uniform" and isinstance(mval, dict)
         if node_basis:
             if a.shape == node:
-                pass
+                if i in getattr(mt, "mix_slots", {}):
+                    mx = mixes_in.get(i)
+                    if mx is not None:
+                        mx = np.asarray(mx, np.float64)
+                        if mx.shape != (R2, 8, mval["M"]):
+                            raise RuntimeError(
+                                f"brick {i}: mixed-element carry "
+                                f"{mx.shape} does not match "
+                                f"{(R2, 8, mval['M'])}")
+                    else:
+                        # backfill from the node fields at the mixed
+                        # corners (exact where the sets agreed)
+                        mx = np.stack(
+                            [a[:R2][:, mval["mixed_cols"] + o]
+                             for o in offs], axis=1)
+                    mix_out[i] = mx
             elif a.shape == corner:
-                nb_ = conv_corner_to_node(offs, mt.evalid_b[i], a)
-                a = np.zeros((mt.conv_rows_node, LEN))
-                a[:R2] = nb_[:R2]
+                if nodeq:
+                    nb_ = conv_corner_to_nodeq(offs, mval["node_src"],
+                                               a)
+                    if i in getattr(mt, "mix_slots", {}):
+                        mix_out[i] = conv_mix_of_corner(
+                            offs, mval["mixed_cols"], a)
+                else:
+                    nb_ = conv_corner_to_node(offs, mt.evalid_b[i], a)
+                a2 = np.zeros((mt.conv_rows_node, LEN))
+                a2[:R2] = nb_[:R2]
+                a = a2
             else:
                 raise RuntimeError(
                     f"brick {i}: checkpoint BKT state {a.shape} "
                     f"matches neither {corner} nor {node}")
+            if nodeq:
+                # (re)stamp the constant set-index row the general-Q
+                # kernel reads from the conv stream
+                nbn = mval["node_bin"]
+                a = np.array(a, np.float64)
+                a[R2, :len(nbn)] = nbn
             out.append(jnp.asarray(a, mt.conv_dtype_node))
         else:
             if a.shape == corner:
                 pass
-            elif mt.bk_scal is not None and a.shape == node:
+            elif a.shape == node and nodeq:
+                mx = mixes_in.get(i)
+                a = conv_nodeq_to_corner(offs, mt.evalid_b[i],
+                                         mval["mixed_cols"], a, mx,
+                                         mt.conv_rows)
+            elif a.shape == node and mt.bkt_modes is not None:
                 a = conv_node_to_corner(offs, mt.evalid_b[i], a,
                                         mt.conv_rows)
             else:
@@ -1139,7 +1290,10 @@ def _fit_mesh_conv(mt: MeshPallasTables, conv_flat, node_basis):
     conv = tuple(out)
     if mt.El:
         conv = conv + (tuple(jnp.asarray(a, dtype)
-                             for a in arrays[mt.NB:]),)
+                             for a in arrays[mt.NB:mt.NB + 4]),)
+    if node_basis:
+        for bi in sorted(mix_out, key=mt.mix_slots.get):
+            conv = conv + (jnp.asarray(mix_out[bi], dtype),)
     return conv
 
 

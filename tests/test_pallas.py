@@ -279,3 +279,24 @@ def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
         state=tuple(np.asarray(x) for x in halfc), start_step=H)
     u3 = pallas_u_global(plan, state3[0], mesh.nnum)
     np.testing.assert_allclose(u3, u_ref, rtol=0, atol=1e-12 * scale)
+
+
+def test_bf16_staged_gather_bit_identical(problem, monkeypatch):
+    """HT_PALLAS_BF16GATHER=1 (per-tile staged Wh/Wl split, default off
+    until Mosaic lowers bf16 rolls) is bit-identical to the per-chunk
+    b3 split (same Wh/Wl values) -- f32 interpret mode."""
+    p, mesh, tables, plan = problem
+    T = 25
+    rng = np.random.default_rng(41)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3))
+    us = {}
+    for v in ("1", "0"):
+        monkeypatch.setenv("HT_PALLAS_BF16GATHER", v)
+        st, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32,
+                                  interpret=True)
+        us[v] = pallas_u_global(plan, st[0], mesh.nnum)
+    monkeypatch.delenv("HT_PALLAS_BF16GATHER")
+    assert np.array_equal(us["1"], us["0"])
+    assert np.abs(us["0"]).max() > 0

@@ -203,6 +203,93 @@ def test_nodeq_resume_cross_basis(het_shear, monkeypatch):
     np.testing.assert_allclose(u3, u_ref, rtol=0, atol=1e-12 * scale)
 
 
+def _layer_props(mesh, kappa):
+    E = mesh.lenum
+    z = mesh.elem_z.astype(np.float64)
+    layer = np.digitize(z, np.quantile(z, [1 / 3, 2 / 3]))
+    props = {k: np.zeros(E) for k in
+             ("Vp", "Vs", "rho", "a0_shear", "a1_shear", "g0_shear",
+              "g1_shear", "b_shear", "a0_kappa", "a1_kappa",
+              "g0_kappa", "g1_kappa", "b_kappa")}
+    for li, (vp, vs, rho, qs, qk) in enumerate(LAYERS):
+        sel = layer == li
+        props["Vp"][sel] = vp
+        props["Vs"][sel] = vs
+        props["rho"][sel] = rho
+        _qrow(qs, "shear", props, sel)
+        if kappa:
+            _qrow(qk, "kappa", props, sel)
+    return props
+
+
+def test_mesh_nodeq_graded_matches_brick_oracle(monkeypatch):
+    """Multi-brick packed mesh path with heterogeneous-Q bricks (nodeq
+    tier per brick + mixed epilogues, hanging nodes at the grading
+    interface) vs the XLA brick solver (f64 interpret)."""
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.solver.pallas_mesh import (MeshPallasTables,
+                                                 mesh_u_global,
+                                                 run_mesh_solver)
+
+    monkeypatch.setenv("HT_BKT_NODEQ_MAX_MIXED", "0.9")
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.use_infinite_qk = True
+    p.finalize()
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tr, hi, lo, lv):
+        return {"lv": lv}
+
+    def toexpand(tr, hi, lo, lv, rec):
+        # depth-graded (fine near the free surface): full z-plane
+        # brick interface, so the packed path's dense plane
+        # reconciler applies -- the production terashake shape
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        near = z < (1 << 28)
+        return lv < np.where(near, 5, 4)
+
+    tree.refine(setrec, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    mesh.props = _layer_props(mesh, kappa=False)
+    tables = assemble(mesh, p)
+    # the small coarse slab must become a brick (not loose): the
+    # packed path's plane reconciler needs two z-slab bricks
+    plan = build_plan(mesh, min_brick_elems=512)
+    assert len(plan.grp_node) > 0          # hanging/interface nodes
+
+    mt = MeshPallasTables(plan, tables, dtype=jnp.float64)
+    assert mt.packed
+    modes = [m[0] for m in mt.bkt_modes]
+    assert "nodeq" in modes
+    assert len(mt.mix_slots) > 0
+
+    T = 36
+    rng = np.random.default_rng(37)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 3, 0],
+                    mesh.elem_lnid[2, 6]], np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[4, mesh.lenum - 3]]
+    st_phi = np.full((2, 8), 0.125)
+
+    state_b, samp_b = run_brick_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=18)
+    state_m, samp_m = run_mesh_solver(
+        plan, tables, nid, forces, T, p.delta_t,
+        st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float64, chunk=18,
+        interpret=True)
+    u_b = brick_u_global(plan, state_b[0], mesh.nnum)
+    u_m = mesh_u_global(plan, state_m[0], mesh.nnum)
+    scale = np.abs(u_b).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_m, u_b, rtol=0, atol=5e-12 * scale)
+    np.testing.assert_allclose(samp_m, samp_b, rtol=0,
+                               atol=5e-12 * max(np.abs(samp_b).max(), 1))
+
+
 def test_assignment_invariants(het_shear):
     """assign_bkt_node_coeffs: every node carries the rows of one
     adjacent valid element; non-mixed elements see their own set at

@@ -149,7 +149,13 @@ def test_bkt_corner_basis_mosaic_vs_interpret(exact_mxu, monkeypatch):
 def test_golden_seismograms_short_f32(tmp_path):
     """2000-step fp32 PRODUCTION-DEFAULT run vs the committed reference
     seismograms (the full 20000-step check is BENCH_GOLDEN=1) — the
-    absolute-correctness anchor for the chip, b3 MXU mode included."""
+    absolute-correctness anchor for the chip, b3 MXU mode included.
+
+    Regression gate: besides the absolute 1e-3 ceiling, the error must
+    stay within 2x the committed per-MXU-mode number
+    (tests/goldens/golden_fp32_errors.json, "short" table) so a future
+    "faster" precision mode cannot silently spend the golden budget."""
+    import json
     from hercules_tpu.sim import Simulation
     sim = Simulation.setup(f"{S}/in/physics.in", f"{S}/in/numerical.in",
                            cvmdb=f"{S}/simple_case.e")
@@ -170,6 +176,16 @@ def test_golden_seismograms_short_f32(tmp_path):
         worst = max(worst, float(
             np.abs(samples[: len(g), i] - g[:, 1:4]).max() / scale))
     assert worst < 1e-3, worst
+    mode = os.environ.get("HT_MXU_PREC", "b3")
+    gj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "tests", "goldens",
+                      "golden_fp32_errors.json")
+    with open(gj) as fh:
+        committed = json.load(fh)["short"].get(mode)
+    if committed is not None:
+        assert worst <= 2.0 * committed, \
+            (f"golden error {worst:.3e} regressed past 2x the "
+             f"committed {mode} value {committed:.3e}")
 
 
 def test_gslab_one_chip(problem):
