@@ -67,6 +67,124 @@ class DBCtl:
                 f"{self.domain_endpoint_z} ")
 
 
+class FlatCVM:
+    """sliceCVM-equivalent flat-record material model.
+
+    The reference compiled without -DUSECVMDB reads the material from a
+    plain record file instead of an etree (the `cvmdb_input_file` key
+    doubles as its path, psolve.c:1129): a Z-order-sorted array of
+    24-byte records
+
+        int32 x, y, z     point in the ETREE address space
+                          (= octor ticks << 1, psolve.c:1889-1891)
+        float32 Vp, Vs, density
+
+    distributed across ranks by contiguous Z-order slices
+    (sliceCVM, psolve.c:1439-1671) and queried by a floor binary search
+    in Z order (zsearch, psolve.c:1402-1437; setrec :1857-1913).  The
+    TPU build meshes host-globally, so the "slice" is the whole array
+    and a query is a batched floor search over the sorted Morton keys.
+
+    Exposes the same interface as CVM (`query`, `ctl`, `ticksize`) so
+    the one material pass (make_setrec / correct_properties) serves
+    both database formats.  The flat file carries no geographic
+    metadata; the domain geometry comes from the run parameters
+    (the reference reads Param.theDomainX/Y/Z), so the synthesized
+    dbctl pins the mesh origin offset to zero.
+    """
+
+    RECORD = np.dtype([("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+                       ("Vp", "<f4"), ("Vs", "<f4"), ("rho", "<f4")])
+
+    def __init__(self, path: str, domain_x_m: float, domain_y_m: float,
+                 domain_z_m: float, origin_lat: float = 0.0,
+                 origin_lon: float = 0.0):
+        from .etree import morton
+        from .mesh.octree import domain_ticks
+
+        rec = np.fromfile(path, dtype=self.RECORD)
+        if len(rec) == 0:
+            raise ValueError(f"{path}: empty flat CVM record file")
+        # octor tick mapping of the run domain (x = south-north,
+        # y = east-west, z = depth); record coords live at 2x this
+        # resolution (etree address space)
+        self.farendp, self.ticksize = domain_ticks(
+            domain_x_m, domain_y_m, domain_z_m)
+        hi, lo = morton.interleave3(rec["x"].astype(np.uint32),
+                                    rec["y"].astype(np.uint32),
+                                    rec["z"].astype(np.uint32))
+        order = np.lexsort((lo, hi))
+        # the reference requires the file pre-sorted (zsearch is a
+        # plain binary search); sorting here costs one pass and makes
+        # unsorted inputs correct instead of silently wrong
+        self._hi, self._lo = hi[order], lo[order]
+        self._vp = rec["Vp"][order].astype(np.float64)
+        self._vs = rec["Vs"][order].astype(np.float64)
+        self._rho = rec["rho"][order].astype(np.float64)
+        self.ctl = DBCtl(
+            create_model_name="flat", create_author="-", create_date="-",
+            create_field_count="3", create_field_names="Vp,Vs,density",
+            region_origin_latitude_deg=origin_lat,
+            region_origin_longitude_deg=origin_lon,
+            region_length_east_m=domain_y_m,
+            region_length_north_m=domain_x_m,
+            region_depth_shallow_m=0.0, region_depth_deep_m=domain_z_m,
+            domain_endpoint_x=int(self.farendp[1]),
+            domain_endpoint_y=int(self.farendp[0]),
+            domain_endpoint_z=int(self.farendp[2]),
+        )
+
+    @classmethod
+    def from_params(cls, path: str, params) -> "FlatCVM":
+        return cls(path, params.region_length_north_m,
+                   params.region_length_east_m,
+                   params.region_depth_deep_m,
+                   origin_lat=params.region_origin_latitude_deg,
+                   origin_lon=params.region_origin_longitude_deg)
+
+    def query(self, east_m, north_m, depth_m):
+        """Vectorized flat-record query with the CVM.query contract:
+        (ok, Vp, Vs, rho), NaN where out of the domain.  Coordinates
+        quantize to octor ticks and shift into the etree address space
+        exactly as the reference's setrec does (psolve.c:1875-1891);
+        the hit is the Z-order floor record (zsearch semantics)."""
+        from .etree import morton
+        from .etree.reader import floor_indices
+
+        east_m = np.atleast_1d(np.asarray(east_m, dtype=np.float64))
+        north_m = np.atleast_1d(np.asarray(north_m, dtype=np.float64))
+        depth_m = np.atleast_1d(np.asarray(depth_m, dtype=np.float64))
+        ts = self.ticksize
+        x = (north_m / ts).astype(np.int64)     # x = south-north
+        y = (east_m / ts).astype(np.int64)
+        z = (depth_m / ts).astype(np.int64)
+        inb = ((north_m >= 0) & (east_m >= 0) & (depth_m >= 0)
+               & (x < self.farendp[0]) & (y < self.farendp[1])
+               & (z < self.farendp[2]))
+        x, y, z = (np.clip(v, 0, f - 1)
+                   for v, f in zip((x, y, z), self.farendp))
+        q_hi, q_lo = morton.interleave3((x << 1).astype(np.uint32),
+                                        (y << 1).astype(np.uint32),
+                                        (z << 1).astype(np.uint32))
+        idx = floor_indices(self._hi, self._lo, q_hi, q_lo)
+        ok = inb & (idx >= 0)
+        idx = np.maximum(idx, 0)
+        nan = np.where(ok, 1.0, np.nan)
+        return ok, self._vp[idx] * nan, self._vs[idx] * nan, \
+            self._rho[idx] * nan
+
+
+def open_material_db(path: str, params):
+    """Open `cvmdb_input_file` as an etree CVM or, when the file is not
+    an etree (the reference's non-USECVMDB build), as a flat record
+    file (psolve.c:1064-1132 open_cvmdb's two compile-time paths,
+    selected here by sniffing the format)."""
+    try:
+        return CVM(path)
+    except (ValueError, IndexError, OverflowError):
+        return FlatCVM.from_params(path, params)
+
+
 class CVM:
     """Open a CVM etree and answer batched material queries."""
 

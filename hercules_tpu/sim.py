@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 from .config import Params, load_params
-from .cvm import CVM
+from .cvm import CVM, open_material_db
 from .meshgen import generate_mesh
 from .mesh.locate import locate_points, local_coords
 from .physics.consts import critical_dt
@@ -421,7 +421,7 @@ class Simulation:
             cvmdb = params.cvmdb_input_file
             if cvmdb and not os.path.isabs(cvmdb):
                 cvmdb = os.path.join(rundir, cvmdb)
-        cvm = CVM(cvmdb)
+        cvm = open_material_db(cvmdb, params)
         buildings = None
         if params.include_buildings:
             from .buildings import Buildings

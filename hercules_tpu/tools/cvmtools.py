@@ -6,6 +6,8 @@ showdbctl,pickrecord}.c):
   python -m hercules_tpu.tools.cvmtools dumpcvm <db.e> [limit]
   python -m hercules_tpu.tools.cvmtools showdbctl <db.e>
   python -m hercules_tpu.tools.cvmtools pickrecord <db.e> <index>
+  python -m hercules_tpu.tools.cvmtools flatten <db.e> <out.flat> \
+      <domain_x_m> <domain_y_m> <domain_z_m>
 """
 
 from __future__ import annotations
@@ -104,6 +106,50 @@ def pickrecord(db, index, out=None):
     return 0
 
 
+def flatten(db_path, out_path, domain_x_m, domain_y_m, domain_z_m,
+            out=None):
+    """Convert an etree CVM into the flat-record file the reference's
+    non-USECVMDB build consumes (FlatCVM.RECORD layout): one record per
+    leaf octant at its lower corner, emitted in Z order.  For a query
+    point inside a leaf, the Z-order floor record is exactly that
+    leaf's corner record, so the flat file answers every in-domain
+    query identically to the etree (zsearch, psolve.c:1402-1437 vs
+    etree_search's ancestor-floor lookup, etree.c:563-615).
+
+    The etree stores coordinates at its own resolution
+    (ctl.domain_endpoint ticks over region_length); the flat file's
+    address space is the RUN's octor tick grid << 1, so corners are
+    rescaled through meters using the run domain extents."""
+    from ..cvm import FlatCVM
+    from ..mesh.octree import domain_ticks
+
+    out = out or sys.stdout
+    cvm = CVM(db_path)
+    db = cvm.db
+    if db.out_of_core:
+        raise ValueError("flatten: open the source in-memory "
+                         "(unset HT_ETREE_MMAP)")
+    farendp, ts = domain_ticks(domain_x_m, domain_y_m, domain_z_m)
+    ex, ey, ez = morton.deinterleave3(db.hi, db.lo)
+    rec = np.empty(db.n, FlatCVM.RECORD)
+    # etree coords -> meters (one ticksize for all axes, CVM.query's
+    # convention) -> run octor ticks -> etree address space
+    cts = cvm.ticksize
+    for name, v, far in (("x", ex, farendp[0]), ("y", ey, farendp[1]),
+                         ("z", ez, farendp[2])):
+        m = v.astype(np.float64) * cts
+        t = np.minimum((m / ts).astype(np.int64), far - 1)
+        rec[name] = (t << 1).astype(np.int32)
+    fields = db.schema.names
+    rec["Vp"] = db.payload[fields[0]]
+    rec["Vs"] = db.payload[fields[1]]
+    rec["rho"] = db.payload[fields[2]]
+    order = np.lexsort((db.lo, db.hi))
+    rec[order].tofile(out_path)
+    print(f"{out_path}: {db.n} records", file=out)
+    return 0
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 2:
@@ -120,6 +166,9 @@ def main(argv=None):
         return showdbctl(db)
     if cmd == "pickrecord":
         return pickrecord(db, argv[2])
+    if cmd == "flatten":
+        return flatten(db, argv[2], float(argv[3]), float(argv[4]),
+                       float(argv[5]))
     print(__doc__)
     return 2
 
