@@ -104,14 +104,26 @@ def _next_slot(path_dir):
     return 0 if t[0] <= t[1] else 1
 
 
-def checkpoint_read(path):
+def checkpoint_read(path, gnid_maps=None):
     """Read ``checkpoint.in`` (the operator renames the chosen .out, as
     in the reference) or a direct file path.
+
+    Accepts BOTH formats: this package's npz checkpoint and the
+    reference's raw binary (io_checkpoint.c:29-236), sniffed by the
+    leading bytes (npz is a ZIP, ``PK``; the reference file starts with
+    the int32 PE count).  A reference file restores tm1/tm2 only; BKT
+    convolution and nonlinear state come back empty (zero-initialized
+    by the caller), exactly the information a C-Hercules restart has.
 
     Returns (start_step, u_now, u_prev, conv_arrays list, extras dict).
     """
     if os.path.isdir(path):
         path = os.path.join(path, "checkpoint.in")
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"PK":
+        step, u_now, u_prev = read_reference_checkpoint(path, gnid_maps)
+        return step, u_now, u_prev, [], {}
     with np.load(path) as z:
         step = int(z["step"])
         u_now = z["u_now"]
@@ -125,6 +137,104 @@ def checkpoint_read(path):
                   if not (k in ("step", "u_now", "u_prev")
                           or k.startswith("conv"))}
     return step, u_now, u_prev, conv, extras
+
+
+# ---- reference-format (C Hercules) checkpoint interop --------------
+#
+# Layout (io_checkpoint.c): header = 3 native int32 (groupsize, step,
+# nharboredmax), then per PE a fixed-stride slab at
+#   offset = 12 + 2*pe*nharboredmax*sizeof(fvector_t)
+# holding two [nharbored, 3] solver_float fields.  Field roles: the
+# writer runs AFTER the loop-top tm1/tm2 swap (psolve.c:4267-4273) and
+# writes mySolver->tm2 then tm1 (io_checkpoint.c:100-117), so file
+# slab0 = u(step-1) and slab1 = u(step); checkpoint_read loads slab0
+# into tm1 / slab1 into tm2 and the resumed loop's first swap makes
+# tm1 = u(step) current again (io_checkpoint.c:209-224).  Hence
+# slab1 -> u_now, slab0 -> u_prev, resume at header step.
+# solver_float is double, or float under -DSINGLE_PRECISION_SOLVER
+# (psolve.h:60-63); the element width is recovered from the file size.
+
+
+def _ref_layout(path):
+    """(groupsize, step, nharboredmax, float width) of a reference
+    checkpoint file, validating the size equation."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        gs, step, nmax = np.fromfile(f, "<i4", 3)
+    for w in (8, 4):
+        if size == 12 + 2 * int(gs) * int(nmax) * 3 * w:
+            return int(gs), int(step), int(nmax), w
+    raise ValueError(
+        f"{path}: not a reference checkpoint (header gs={gs} "
+        f"nharboredmax={nmax} matches no float width for size {size})")
+
+
+def read_reference_checkpoint(path, gnid_maps=None):
+    """Import a C-Hercules ``checkpoint.in`` (io_checkpoint.c:136-236).
+
+    gnid_maps: for a file written by an N-PE run, a length-N list of
+    int arrays mapping each PE's local (harbored) node order to global
+    node ids — shared nodes carry identical values on every harboring
+    PE, so overlapping writes agree.  A single-PE file (the common
+    migration case: local node order IS the global Z-order) needs no
+    map.  Returns (start_step, u_now [N,3] f64, u_prev [N,3] f64).
+    """
+    gs, step, nmax, w = _ref_layout(path)
+    ft = "<f4" if w == 4 else "<f8"
+    if gnid_maps is None:
+        if gs != 1:
+            raise ValueError(
+                f"{path} was written by {gs} PEs; pass gnid_maps "
+                "(per-PE local->global node id arrays) to import it")
+        gnid_maps = [np.arange(nmax, dtype=np.int64)]
+    if len(gnid_maps) != gs:
+        raise ValueError(f"gnid_maps has {len(gnid_maps)} entries for "
+                         f"a {gs}-PE checkpoint")
+    nn = 1 + max(int(np.max(m)) for m in gnid_maps if len(m))
+    u_now = np.zeros((nn, 3))
+    u_prev = np.zeros((nn, 3))
+    with open(path, "rb") as f:
+        for pe, m in enumerate(gnid_maps):
+            nh = len(m)
+            if nh > nmax:
+                raise ValueError(f"PE {pe}: {nh} harbored nodes > "
+                                 f"file nharboredmax {nmax}")
+            f.seek(12 + 2 * pe * nmax * 3 * w)
+            slab = np.fromfile(f, ft, 2 * nh * 3).reshape(2, nh, 3)
+            u_prev[m] = slab[0]
+            u_now[m] = slab[1]
+    return step, u_now, u_prev
+
+
+def write_reference_checkpoint(path, step, u_now, u_prev,
+                               gnid_maps=None, single_precision=False):
+    """Write the reference's binary checkpoint format so a state from
+    this package can resume a C-Hercules run (the inverse migration).
+    Default layout is one PE (global node order); gnid_maps splits the
+    state into per-PE slabs as an N-PE reference run would have."""
+    u_now = np.asarray(u_now, np.float64)
+    u_prev = np.asarray(u_prev, np.float64)
+    if u_now.ndim != 2 or u_now.shape[1] != 3:
+        # [3, X] states from the brick/packed paths are in brick
+        # concat order (padded, plan.gnid_cat indexing), NOT global
+        # node order; transposing one here would silently scramble
+        # the exported field.  Callers must de-layout first.
+        raise ValueError(
+            "write_reference_checkpoint needs canonical global [N,3] "
+            f"fields (got {u_now.shape}); brick-layout states must be "
+            "mapped back to global node order first")
+    if gnid_maps is None:
+        gnid_maps = [np.arange(len(u_now), dtype=np.int64)]
+    gs = len(gnid_maps)
+    nmax = max(len(m) for m in gnid_maps)
+    ft = "<f4" if single_precision else "<f8"
+    w = 4 if single_precision else 8
+    with open(path, "wb") as f:
+        np.array([gs, step, nmax], "<i4").tofile(f)
+        for pe, m in enumerate(gnid_maps):
+            f.seek(12 + 2 * pe * nmax * 3 * w)
+            np.stack([u_prev[m], u_now[m]]).astype(ft).tofile(f)
+    return path
 
 
 def _flatten(tree):

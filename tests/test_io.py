@@ -293,3 +293,91 @@ def test_plane_out_of_mesh_layout(tmp_path, small_sim):
     ref = np.einsum("mk,mkc->mc", ps.all_phi, u[ps.all_nodes])
     np.testing.assert_allclose(flat[found], ref[found], rtol=1e-12)
     np.testing.assert_array_equal(flat[~found], 0.0)
+
+
+def test_reference_checkpoint_layout(tmp_path):
+    """Byte-level check against io_checkpoint.c:29-236: hand-build a
+    2-PE reference file with struct-level numpy writes and import it
+    through read_reference_checkpoint with per-PE gnid maps."""
+    from hercules_tpu.io.checkpoint import read_reference_checkpoint
+
+    rng = np.random.default_rng(7)
+    # global truth: 7 nodes; PE0 harbors gnids [0..4], PE1 [3..6]
+    u_now = rng.normal(size=(7, 3))
+    u_prev = rng.normal(size=(7, 3))
+    maps = [np.arange(5), np.arange(3, 7)]
+    nmax = 5
+    path = tmp_path / "checkpoint.in"
+    with open(path, "wb") as f:
+        np.array([2, 480, nmax], "<i4").tofile(f)  # gs, step, nharboredmax
+        for pe, m in enumerate(maps):
+            f.seek(12 + 2 * pe * nmax * 3 * 8)
+            # writer order (io_checkpoint.c:100-117): post-swap tm2
+            # (= u at step-1) first, then tm1 (= u at step)
+            u_prev[m].astype("<f8").tofile(f)
+            u_now[m].astype("<f8").tofile(f)
+        # file ends at full stride (PE1 slab region is nmax-sized)
+        f.seek(12 + 2 * 2 * nmax * 3 * 8 - 1)
+        f.write(b"\0")
+
+    step, got_now, got_prev = read_reference_checkpoint(
+        str(path), gnid_maps=maps)
+    assert step == 480
+    np.testing.assert_array_equal(got_now, u_now)
+    np.testing.assert_array_equal(got_prev, u_prev)
+
+    # single-PE files need no map
+    p1 = tmp_path / "ck1.in"
+    with open(p1, "wb") as f:
+        np.array([1, 33, 7], "<i4").tofile(f)
+        u_prev.astype("<f8").tofile(f)
+        u_now.astype("<f8").tofile(f)
+    step, a, b = read_reference_checkpoint(str(p1))
+    assert step == 33
+    np.testing.assert_array_equal(a, u_now)
+    np.testing.assert_array_equal(b, u_prev)
+
+    # SINGLE_PRECISION_SOLVER files: width recovered from the size
+    p2 = tmp_path / "ck2.in"
+    with open(p2, "wb") as f:
+        np.array([1, 5, 7], "<i4").tofile(f)
+        u_prev.astype("<f4").tofile(f)
+        u_now.astype("<f4").tofile(f)
+    step, a, b = read_reference_checkpoint(str(p2))
+    assert step == 5
+    np.testing.assert_allclose(a, u_now, rtol=1e-6)
+
+
+def test_reference_checkpoint_resume(tmp_path, small_sim):
+    """A reference-format checkpoint.in resumes a run through the
+    normal checkpoint_read path (format auto-sniff) and matches the
+    uninterrupted solution exactly (elastic: tm1/tm2 are the whole
+    state, as in the reference)."""
+    from hercules_tpu.io.checkpoint import write_reference_checkpoint
+
+    p, cvm, mesh = small_sim
+    tables = assemble(mesh, p)
+    nid = mesh.elem_lnid[mesh.lenum // 2, 0]
+    T = 200
+    forces = np.zeros((T, 1, 3))
+    forces[:20, 0, :] = 1e8
+    src_ids = np.array([nid], np.int32)
+
+    state_full, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                               dtype=jnp.float64)
+    state_a, _ = run_solver(tables, src_ids, forces, 120, p.delta_t,
+                            dtype=jnp.float64)
+
+    ck = tmp_path / "ckref"
+    ck.mkdir()
+    write_reference_checkpoint(
+        str(ck / "checkpoint.in"), 120,
+        np.asarray(state_a[0]), np.asarray(state_a[1]))
+    step, u_now, u_prev, conv, extras = checkpoint_read(str(ck))
+    assert step == 120 and conv == [] and extras == {}
+    state_b = (jnp.asarray(u_now), jnp.asarray(u_prev), None)
+    state_b, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                            dtype=jnp.float64, state=state_b,
+                            start_step=120)
+    np.testing.assert_array_equal(np.asarray(state_b[0]),
+                                  np.asarray(state_full[0]))
