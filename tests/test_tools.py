@@ -92,3 +92,51 @@ def test_qmesh_cli(tmp_path, capsys):
     assert coords.size == 2048 * 8 * 3
     data = np.fromfile(tmp_path / "ml" / "mesh_data.0", "<f4")
     np.testing.assert_allclose(data.reshape(-1, 3)[:, 0], 3464.0)
+
+
+def test_plotmesh_cli(tmp_path):
+    """plotmesh.m equivalent: qmesh --matlab dump -> parameter file
+    (reference plot3d_Hercules_v2 layout) -> PNG render, both data
+    and processor coloring."""
+    from hercules_tpu.tools.qmesh import main as qmesh_main
+    from hercules_tpu.tools.plotmesh import (main, read_matlab_mesh,
+                                             ticks_to_meters)
+
+    ml = tmp_path / "ml"
+    rc = qmesh_main([f"{SIMPLE}/simple_case.e", f"{SIMPLE}/in/physics.in",
+                     f"{SIMPLE}/in/numerical.in", str(tmp_path / "m.e"),
+                     "--matlab", str(ml)])
+    assert rc == 0
+
+    coords, data, part = read_matlab_mesh(str(ml))
+    assert coords.shape == (2048, 8, 3) and data.shape == (2048, 3)
+    m = ticks_to_meters(coords, (1000.0, 1000.0, 500.0))
+    # simple case: 1000x1000x500 m domain, level-4 cubes of 62.5 m
+    assert m.max() == 1000.0
+    np.testing.assert_allclose(np.ptp(m[0], axis=0), 62.5)
+
+    pfile = tmp_path / "parameters_for_matlab.in"
+    pfile.write_text(
+        "x dimension in m : 1000\n"
+        "y dimension in m : 1000\n"
+        "z dimension in m : 500\n"
+        "x start : 0\nx end : 1000\n"
+        "y start : 0\ny end : 1000\n"
+        "z start : 0\nz end : 200\n"
+        "4th dim Vs(1) Vp(2) Rho(3) : 1\n"
+        "number of processors : 1\n"
+        f"coord dir : {ml}\n"
+        f"data dir : {ml}\n"
+        "plot processor(p) or data(d) : d\n")
+    out_png = tmp_path / "mesh.png"
+    assert main([str(pfile), str(out_png)]) == 0
+    assert out_png.stat().st_size > 10000
+
+    # processor coloring mode
+    pfile2 = tmp_path / "p2.in"
+    pfile2.write_text(pfile.read_text().replace(
+        "plot processor(p) or data(d) : d",
+        "plot processor(p) or data(d) : p"))
+    out2 = tmp_path / "mesh_pe.png"
+    assert main([str(pfile2), str(out2)]) == 0
+    assert out2.stat().st_size > 10000
