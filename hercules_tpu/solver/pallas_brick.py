@@ -107,15 +107,17 @@ def _bf16_gather_mode(tier, dtype, mxu_mode):
     vector time) disappears.  Bit-identical to the per-chunk split
     (same Wh/Wl values).  f32 + staged tiers only.
 
-    DEFAULT OFF: the current Mosaic release crashes lowering
-    pltpu.roll on bf16 operands (tpu_compile_helper exit 1; verified
-    by a standalone probe), and the gather pipeline needs the rolled
-    halves.  Correct in interpret mode (bit-identity test in
-    tests/test_pallas.py); kept for when the toolchain catches up."""
+    DEFAULT ON (measured 2.16e9 vs 1.99e9 eups with the per-chunk
+    split at HT_PALLAS_CHUNK=16384).  Mosaic still crashes lowering
+    pltpu.roll on bf16 operands directly; the kernel's roll helper
+    routes even-row bf16 blocks through an f32 bitcast view (the
+    16-bit layout packs sublane pairs into 32-bit register rows, so
+    lane shifts never mix values — probe-verified bit-exact on v5e).
+    HT_PALLAS_BF16GATHER=0 restores the per-chunk split."""
     import os
     return (tier in ("ubeta", "umat") and dtype == jnp.float32
             and mxu_mode in ("b3", "b4")
-            and os.environ.get("HT_PALLAS_BF16GATHER", "0") == "1")
+            and os.environ.get("HT_PALLAS_BF16GATHER", "1") == "1")
 
 
 def _mxu_dot_presplit(A, Wh, Wl, mode):
@@ -290,10 +292,17 @@ def _use_mxu() -> bool:
 
 
 def _kernel_mode(B, chunk=None):
-    """(C, packed) sub-chunk width and dataflow mode."""
+    """(C, packed) sub-chunk width and dataflow mode.
+
+    Elastic default 16384 (2 sub-chunks per 32768 tile): fewer
+    unrolled chunk bodies amortize the per-chunk gather/scatter
+    overheads (measured +5-8% over 4096 and much faster Mosaic
+    compiles; 32768 is VMEM-tight and measures no better).  The BKT
+    kernels keep their own 4096 default — their conv streams raise
+    the per-chunk VMEM footprint."""
     import os
     if chunk is None:
-        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 4096))
+        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 16384))
     packed = os.environ.get("HT_PALLAS_PACKED", "1") != "0"
     C = min(chunk, B)
     assert B % C == 0
@@ -368,6 +377,16 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     def roll(x, shift):
         if interpret:                   # pltpu.roll is mosaic-only
             return jnp.roll(x, shift, axis=1)
+        if x.dtype == jnp.bfloat16:
+            # Mosaic crashes lowering pltpu.roll on bf16 operands;
+            # the TPU 16-bit layout packs sublane pairs into 32-bit
+            # register rows, so an even-row bf16 block rolls for free
+            # through an f32 bitcast view (lane shifts never mix
+            # sublanes) — and at HALF the f32 roll volume
+            assert x.shape[0] % 2 == 0
+            v = pltpu.bitcast(x, jnp.float32)
+            return pltpu.bitcast(pltpu.roll(v, jnp.int32(shift), 1),
+                                 jnp.bfloat16)
         return pltpu.roll(x, jnp.int32(shift), 1)
 
     # packed-mode constant tables: diagonal coefficient vectors and
@@ -405,14 +424,19 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     # windows and the force block is padded/rolled as values — no
     # VMEM staging.  HT_PALLAS_GATHER/SCATTER=scratch restores the
     # scratch-staged path (also the non-MXU fallback).
-    gather_concat = os.environ.get("HT_PALLAS_GATHER",
-                                   "concat") == "concat"
+    gather_mode = os.environ.get("HT_PALLAS_GATHER", "concat")
+    gather_concat = gather_mode == "concat"
     # value-scatter needs the dot result's canonical layout — the VPU
     # butterfly output is offset-mismatched and must stage through
     # scr_f (Mosaic rejects its pad-concat), so gate on the MXU path
     # exactly like the concat gather
-    scatter_val = (use_mxu and os.environ.get("HT_PALLAS_SCATTER",
-                                              "val") == "val")
+    scatter_mode = os.environ.get("HT_PALLAS_SCATTER", "val")
+    scatter_val = use_mxu and scatter_mode == "val"
+    # experiment modes (bench-only): direct misaligned dynamic slices
+    # instead of roll-to-aligned — measures Mosaic's relayout cost
+    # against the class-batched rolls
+    scatter_dslice = scatter_mode == "dslice"
+    gather_dslice = gather_mode == "dslice"
     # elastic MXU precision (HT_MXU_PREC): "highest" = XLA bf16x6
     # (exact f32), "b3"/"b4" = manual split-bf16 passes (_mxu_dot),
     # "default" single-pass bf16 trades ~3 decimal digits for MXU time
@@ -520,6 +544,11 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 if ablate == "noscatter":
                     nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + F[0:3]
                     continue
+                if scatter_dslice:
+                    for j, o in enumerate(offs):
+                        idx = pl.ds(c0 + o, C)
+                        nf[:, idx] = nf[:, idx] + F[3 * j:3 * j + 3]
+                    continue
                 # scatter through a zero-padded scratch + one roll per
                 # shift class: all nf updates are lane-aligned (a
                 # direct misaligned slice store costs a relayout per
@@ -617,6 +646,9 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         elif staged:
             if ablate == "nogather":
                 pass
+            elif gather_dslice:
+                for j, o in enumerate(offs):
+                    scr_w[3 * j:3 * j + 3] = scr_s[:, pl.ds(c0 + o, C)]
             elif ablate == "noroll":
                 g = scr_s[:, pl.ds(c0, C)]
                 for j in range(8):

@@ -146,6 +146,66 @@ def test_bkt_corner_basis_mosaic_vs_interpret(exact_mxu, monkeypatch):
     _check(us[0], us[1], atol=2e-5)
 
 
+def test_bkt_nodeq_mosaic_vs_interpret(exact_mxu):
+    """The general node-basis heterogeneous-Q BKT kernel (nodeq tier,
+    _make_bkt_node_kernel: streamed bin row + mixed-element epilogue)
+    lowers correctly on chip.  Three depth layers with distinct QTABLE
+    rows (the production Qs(Vs)-fit shape) so the uniform tier cannot
+    apply."""
+    from hercules_tpu.material import QTABLE, search_quality_table
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.meshgen import generate_mesh
+    from hercules_tpu.solver.assemble import assemble
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.pallas_brick import (pallas_u_global,
+                                                  run_pallas_solver)
+
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.finalize()
+    mesh = generate_mesh(p, CVM(f"{S}/simple_case.e"))
+    E = mesh.lenum
+    z = mesh.elem_z.astype(np.float64)
+    layer = np.digitize(z, np.quantile(z, [1 / 3, 2 / 3]))
+    props = {k: np.zeros(E) for k in
+             ("Vp", "Vs", "rho", "a0_shear", "a1_shear", "g0_shear",
+              "g1_shear", "b_shear", "a0_kappa", "a1_kappa",
+              "g0_kappa", "g1_kappa", "b_kappa")}
+    for li, (vp, vs, rho, qs) in enumerate(
+            [(2400.0, 1200.0, 2100.0, 55.0),
+             (4000.0, 2000.0, 2500.0, 120.0),
+             (6000.0, 3464.0, 2700.0, 350.0)]):
+        sel = layer == li
+        props["Vp"][sel], props["Vs"][sel], props["rho"][sel] = \
+            vp, vs, rho
+        row = QTABLE[int(search_quality_table(np.array([qs]))[0])]
+        for ci, c in enumerate(("a0_shear", "a1_shear", "g0_shear",
+                                "g1_shear", "b_shear")):
+            props[c][sel] = row[ci + 1]
+    mesh.props = props
+    tables = assemble(mesh, p)
+    plan = build_plan(mesh)
+    nid = mesh.elem_lnid[E // 2, 0]
+    src_ids = np.array([nid], np.int32)
+    T = 120
+    forces = np.zeros((T, 1, 3), np.float32)
+    forces[:10, 0, :] = 1e8
+
+    from hercules_tpu.solver.pallas_brick import PallasBrickTables
+    pt = PallasBrickTables(plan, tables)
+    assert getattr(pt, "bkt_nodeq", False), \
+        "fixture must trigger the general node-basis tier"
+
+    us = []
+    for interp in (False, True):
+        state, _ = run_pallas_solver(plan, tables, src_ids, forces, T,
+                                     p.delta_t, dtype=jnp.float32,
+                                     interpret=interp)
+        us.append(pallas_u_global(plan, state[0], mesh.nnum))
+    _check(us[0], us[1], atol=2e-5)
+
+
 def test_golden_seismograms_short_f32(tmp_path):
     """2000-step fp32 PRODUCTION-DEFAULT run vs the committed reference
     seismograms (the full 20000-step check is BENCH_GOLDEN=1) — the
