@@ -120,18 +120,40 @@ def _bf16_gather_mode(tier, dtype, mxu_mode):
             and os.environ.get("HT_PALLAS_BF16GATHER", "1") == "1")
 
 
-def _mxu_dot_presplit(A, Wh, Wl, mode):
-    """Split-bf16 matmul with the W halves already staged (see
-    _bf16_gather_mode); A is the f32 constant operator."""
+def _stackk() -> bool:
+    """Issue the split-bf16 cross terms as ONE K-stacked MXU dot
+    ([Ah Ah Al] @ [Wh; Wl; Wh]) instead of 3-4 separate dots + f32
+    adds: the systolic array streams C columns once per <=128-wide K,
+    so stacking K 24 -> 72/96 is free and drops the extra passes and
+    the result additions (same partial products, f32 MXU accumulate).
+    HT_MXU_STACKK=0 restores the separate-dot form (measurement)."""
+    return os.environ.get("HT_MXU_STACKK", "1") != "0"
+
+
+def _split_dot(Ah, Al, Wh, Wl, mode):
+    """The b3/b4 term sum from pre-split bf16 halves."""
     bd = lambda a, w: jax.lax.dot_general(
         a, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    Ah = A.astype(jnp.bfloat16)
-    Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
+    if _stackk():
+        parts = [Ah, Ah, Al], [Wh, Wl, Wh]
+        if mode == "b4":
+            parts[0].append(Al)
+            parts[1].append(Wl)
+        return bd(jnp.concatenate(parts[0], axis=1),
+                  jnp.concatenate(parts[1], axis=0))
     F = bd(Ah, Wh) + bd(Ah, Wl) + bd(Al, Wh)
     if mode == "b4":
         F = F + bd(Al, Wl)
     return F
+
+
+def _mxu_dot_presplit(A, Wh, Wl, mode):
+    """Split-bf16 matmul with the W halves already staged (see
+    _bf16_gather_mode); A is the f32 constant operator."""
+    Ah = A.astype(jnp.bfloat16)
+    Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
+    return _split_dot(Ah, Al, Wh, Wl, mode)
 
 
 def _mxu_dot(A, W, mode, prec):
@@ -147,17 +169,11 @@ def _mxu_dot(A, W, mode, prec):
     path."""
     if mode not in ("b3", "b4") or A.dtype == jnp.float64:
         return jax.lax.dot(A, W, precision=prec)
-    bd = lambda a, w: jax.lax.dot_general(
-        a, w, (((1,), (0,)), ((), ())),
-        preferred_element_type=A.dtype)
     Ah = A.astype(jnp.bfloat16)
     Al = (A - Ah.astype(A.dtype)).astype(jnp.bfloat16)
     Wh = W.astype(jnp.bfloat16)
     Wl = (W - Wh.astype(W.dtype)).astype(jnp.bfloat16)
-    F = bd(Ah, Wh) + bd(Ah, Wl) + bd(Al, Wh)
-    if mode == "b4":
-        F = F + bd(Al, Wl)
-    return F
+    return _split_dot(Ah, Al, Wh, Wl, mode)
 
 
 def _gather_windows(load, offs, c0, W0, roll):
