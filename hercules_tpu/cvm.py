@@ -178,11 +178,41 @@ def open_material_db(path: str, params):
     """Open `cvmdb_input_file` as an etree CVM or, when the file is not
     an etree (the reference's non-USECVMDB build), as a flat record
     file (psolve.c:1064-1132 open_cvmdb's two compile-time paths,
-    selected here by sniffing the format)."""
+    selected here by sniffing the format).
+
+    Any 24-byte-multiple file "parses" as flat records, so the fallback
+    is sanity-checked (finite, Vp >= Vs > 0, rho > 0, coords within the
+    domain endpoints) before it is accepted — a corrupt or unsupported
+    etree must be an error, not garbage material."""
     try:
         return CVM(path)
-    except (ValueError, IndexError, OverflowError):
-        return FlatCVM.from_params(path, params)
+    except (ValueError, IndexError, OverflowError) as etree_err:
+        try:
+            flat = FlatCVM.from_params(path, params)
+            _validate_flat(flat)
+            return flat
+        except (ValueError, IndexError, OverflowError) as flat_err:
+            raise ValueError(
+                f"{path}: not a usable material database. "
+                f"As etree CVM: {etree_err}. "
+                f"As flat records: {flat_err}.") from None
+
+
+def _validate_flat(flat: "FlatCVM") -> None:
+    """Reject a FlatCVM whose records cannot be physical material."""
+    from .etree import morton
+
+    vp, vs, rho = flat._vp, flat._vs, flat._rho
+    if not (np.all(np.isfinite(vp)) and np.all(np.isfinite(vs))
+            and np.all(np.isfinite(rho))):
+        raise ValueError("non-finite Vp/Vs/rho records")
+    if not (np.all(vs > 0) and np.all(vp >= vs) and np.all(rho > 0)):
+        raise ValueError("records violate Vp >= Vs > 0, rho > 0")
+    # record coords live in the etree address space = ticks << 1
+    x, y, z = morton.deinterleave3(flat._hi, flat._lo)
+    for c, f in zip((x, y, z), flat.farendp):
+        if bool(np.any(c.astype(np.int64) >= (int(f) << 1))):
+            raise ValueError("record coordinates outside the run domain")
 
 
 class CVM:

@@ -157,13 +157,46 @@ def checkpoint_read(path, gnid_maps=None):
 
 def _ref_layout(path):
     """(groupsize, step, nharboredmax, float width) of a reference
-    checkpoint file, validating the size equation."""
+    checkpoint file, validating the size equation.
+
+    The reference writer seeks each PE to its fixed-stride offset but
+    the file simply ENDS after the last PE's 2*nharbored vectors
+    (io_checkpoint.c:92-117) — when the last PE harbors fewer than
+    nharboredmax nodes the file is shorter than the full stride.  So
+    accept any size in (stride(gs-1), stride(gs)] for a width, trying
+    the default double first (-DSINGLE_PRECISION_SOLVER is the
+    opt-in, psolve.h:60-63)."""
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         gs, step, nmax = np.fromfile(f, "<i4", 3)
+    gs_i, nmax_i = int(gs), int(nmax)
+    cands = []
     for w in (8, 4):
-        if size == 12 + 2 * int(gs) * int(nmax) * 3 * w:
-            return int(gs), int(step), int(nmax), w
+        full = 12 + 2 * gs_i * nmax_i * 3 * w
+        prev = 12 + 2 * (gs_i - 1) * nmax_i * 3 * w
+        # the trailing (possibly short) last-PE slab must hold a whole
+        # number of node vector pairs — this disambiguates most exact
+        # single-precision files from short double ones
+        if prev < size <= full and (size - prev) % (6 * w) == 0:
+            cands.append(w)
+    if len(cands) > 1:
+        # both widths fit the size equations: sniff the data — node
+        # displacements are meters, while f4 pairs reinterpreted as f8
+        # (or f8 halves as f4) produce absurd exponents or non-finite
+        # values.  Keep widths whose leading values look physical.
+        with open(path, "rb") as f:
+            f.seek(12)
+            raw = f.read(min(8192, size - 12))
+        ok = []
+        for w in cands:
+            v = np.frombuffer(raw[: len(raw) - len(raw) % w],
+                              "<f8" if w == 8 else "<f4")
+            if v.size and np.all(np.isfinite(v)) and \
+                    float(np.max(np.abs(v), initial=0.0)) < 1e20:
+                ok.append(w)
+        cands = ok or cands
+    if cands:
+        return gs_i, int(step), nmax_i, cands[0]
     raise ValueError(
         f"{path}: not a reference checkpoint (header gs={gs} "
         f"nharboredmax={nmax} matches no float width for size {size})")
@@ -200,7 +233,12 @@ def read_reference_checkpoint(path, gnid_maps=None):
                 raise ValueError(f"PE {pe}: {nh} harbored nodes > "
                                  f"file nharboredmax {nmax}")
             f.seek(12 + 2 * pe * nmax * 3 * w)
-            slab = np.fromfile(f, ft, 2 * nh * 3).reshape(2, nh, 3)
+            slab = np.fromfile(f, ft, 2 * nh * 3)
+            if slab.size != 2 * nh * 3:
+                raise ValueError(
+                    f"PE {pe}: file ends after {slab.size // 6} of "
+                    f"{nh} harbored nodes (gnid_maps mismatch?)")
+            slab = slab.reshape(2, nh, 3)
             u_prev[m] = slab[0]
             u_now[m] = slab[1]
     return step, u_now, u_prev
@@ -234,6 +272,10 @@ def write_reference_checkpoint(path, step, u_now, u_prev,
         for pe, m in enumerate(gnid_maps):
             f.seek(12 + 2 * pe * nmax * 3 * w)
             np.stack([u_prev[m], u_now[m]]).astype(ft).tofile(f)
+        # pad to the full fixed stride so round trips are symmetric
+        # even when the last PE harbors < nharboredmax nodes (the
+        # reference reader seeks within this stride)
+        f.truncate(12 + 2 * gs * nmax * 3 * w)
     return path
 
 

@@ -35,6 +35,7 @@ the unstructured path.
 
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 
@@ -321,7 +322,11 @@ def _kernel_mode(B, chunk=None):
         chunk = int(os.environ.get("HT_PALLAS_CHUNK", 16384))
     packed = os.environ.get("HT_PALLAS_PACKED", "1") != "0"
     C = min(chunk, B)
-    assert B % C == 0
+    # user-set HT_PALLAS_TILE widths need not be a multiple of the
+    # chunk default: shrink to the largest divisor of B <= C instead
+    # of asserting (B is a multiple of 8*128 by construction)
+    while B % C != 0:
+        C = math.gcd(B, C)
     return C, packed
 
 

@@ -138,7 +138,11 @@ def flatten(db_path, out_path, domain_x_m, domain_y_m, domain_z_m,
     for name, v, far in (("x", ex, farendp[0]), ("y", ey, farendp[1]),
                          ("z", ez, farendp[2])):
         m = v.astype(np.float64) * cts
-        t = np.minimum((m / ts).astype(np.int64), far - 1)
+        # round-half-even, not truncation: when cts/ts is not an exact
+        # binary ratio, float rounding in m/ts can land epsilon below
+        # the true integer corner and a truncating cast would shift the
+        # record key one tick low (mis-flooring queries just below it)
+        t = np.minimum(np.rint(m / ts).astype(np.int64), far - 1)
         rec[name] = (t << 1).astype(np.int32)
     fields = db.schema.names
     rec["Vp"] = db.payload[fields[0]]

@@ -295,6 +295,47 @@ def test_plane_out_of_mesh_layout(tmp_path, small_sim):
     np.testing.assert_array_equal(flat[~found], 0.0)
 
 
+def test_reference_checkpoint_short_last_pe(tmp_path):
+    """The reference writer ends the file right after the last PE's
+    2*nharbored vectors (io_checkpoint.c:92-117) — when the last PE
+    harbors fewer than nharboredmax nodes the file is SHORTER than the
+    full fixed stride.  Such genuine multi-PE C checkpoints must
+    import, and write_reference_checkpoint must emit files its own
+    reader accepts (it pads to full stride for symmetry)."""
+    from hercules_tpu.io.checkpoint import (read_reference_checkpoint,
+                                            write_reference_checkpoint)
+
+    rng = np.random.default_rng(11)
+    u_now = rng.normal(size=(7, 3))
+    u_prev = rng.normal(size=(7, 3))
+    maps = [np.arange(5), np.arange(3, 7)]   # PE1 harbors 4 < nmax=5
+    nmax = 5
+    path = tmp_path / "checkpoint.in"
+    with open(path, "wb") as f:
+        np.array([2, 480, nmax], "<i4").tofile(f)
+        for pe, m in enumerate(maps):
+            f.seek(12 + 2 * pe * nmax * 3 * 8)
+            u_prev[m].astype("<f8").tofile(f)
+            u_now[m].astype("<f8").tofile(f)
+        # NO padding: the file ends after PE1's 4 harbored nodes
+    assert os.path.getsize(path) < 12 + 2 * 2 * nmax * 3 * 8
+    step, got_now, got_prev = read_reference_checkpoint(
+        str(path), gnid_maps=maps)
+    assert step == 480
+    np.testing.assert_array_equal(got_now, u_now)
+    np.testing.assert_array_equal(got_prev, u_prev)
+
+    # round trip through our own writer with the same uneven maps
+    p2 = tmp_path / "rt.in"
+    write_reference_checkpoint(str(p2), 480, u_now, u_prev,
+                               gnid_maps=maps)
+    assert os.path.getsize(p2) == 12 + 2 * 2 * nmax * 3 * 8
+    step, a, b = read_reference_checkpoint(str(p2), gnid_maps=maps)
+    assert step == 480
+    np.testing.assert_array_equal(a, u_now)
+    np.testing.assert_array_equal(b, u_prev)
+
+
 def test_reference_checkpoint_layout(tmp_path):
     """Byte-level check against io_checkpoint.c:29-236: hand-build a
     2-PE reference file with struct-level numpy writes and import it
