@@ -516,7 +516,7 @@ class ShardedPath(_PathBase):
     name = "sharded"
 
     def __init__(self, st, mesh, axis="d", dtype=jnp.float32,
-                 nl=None, drm=None):
+                 nl=None, drm=None, fb=None, fb_series=None):
         from .sharded import sharded_step_builder
         self.st = st
         self.mesh = mesh
@@ -526,7 +526,10 @@ class ShardedPath(_PathBase):
         self.nl = nl
         self.local_step, self.tdev, self.state_spec = \
             sharded_step_builder(st, axis=axis, dtype=dtype, nl=nl,
-                                 drm=drm)
+                                 drm=drm, fb=fb)
+        # fixed-base displacement series [T, B, 3] streamed as an
+        # extra (replicated) xs component by run_multichip
+        self.fb_series = fb_series if fb is not None else None
         self._has_st = False
 
     def attach_stations(self, st_nodes, st_phi, dtype):
@@ -710,12 +713,17 @@ def run_multichip(path: _PathBase, mesh_dev: Mesh, src_forces,
     dt2 = dt * dt
     L = src_forces.shape[1] if src_forces is not None else 0
 
+    fb_series = getattr(path, "fb_series", None)
+
     def make_xs(s, k):
         if L:
             sf = jnp.asarray(src_forces[s : s + k] * dt2, dtype)
         else:
             sf = jnp.zeros((k, 0, 3), dtype)
-        return (sf, jnp.arange(s, s + k, dtype=jnp.int32))
+        xs = (sf, jnp.arange(s, s + k, dtype=jnp.int32))
+        if fb_series is not None:
+            xs = xs + (jnp.asarray(fb_series[s : s + k], dtype),)
+        return xs
 
     outs = []
     s = start_step

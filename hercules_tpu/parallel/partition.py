@@ -369,6 +369,32 @@ def shard_nonlinear(st: ShardedTables, tables, mesh, params,
     return out
 
 
+def shard_fixedbase(st: ShardedTables, fb_ids, n_dev):
+    """Per-device fixed-base building plan (buildings.c:975-1146):
+    prescribed base DISPLACEMENTS are a set, not an add, so every
+    device writes ALL of its local copies (owned + halo replicas) of
+    each base node — replicas stay consistent with no extra exchange,
+    exactly as the reference applies them on every rank harboring the
+    node."""
+    ids = np.asarray(fb_ids)
+    trash = st.N_pad - 1
+    lidx = np.full((n_dev, len(ids)), trash, np.int32)
+    mask = np.zeros((n_dev, len(ids)), bool)
+    covered = np.zeros(len(ids), bool)
+    for d in range(n_dev):
+        nodes = st.local_globals[d]
+        srt = np.sort(nodes)
+        order = np.argsort(nodes, kind="stable")
+        pos = np.clip(np.searchsorted(srt, ids), 0, len(srt) - 1)
+        ok = srt[pos] == ids
+        lidx[d][ok] = order[pos[ok]]
+        mask[d][ok] = True
+        covered |= ok
+    if not covered.all():
+        raise RuntimeError("fixed-base node not local to any device")
+    return {"lidx": lidx, "mask": mask}
+
+
 def shard_drm(st: ShardedTables, drm, n_dev):
     """Per-device DRM PART2 bundle: the precomputed effective-force
     records are replicated; each record row is applied once, by the

@@ -44,7 +44,7 @@ def _dev_tables(st, dtype):
 
 
 def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
-                         drm=None):
+                         drm=None, fb=None):
     """Raw per-step kernel for the unstructured sharded path: returns
     (local_step, tdev, state_spec).
 
@@ -52,7 +52,10 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
     the per-element plastic state rides the carry, sharded with the
     element partition exactly as nonlinear.c:1671-1823 runs on every
     MPI rank.  drm: stacked PART2 bundle from partition.shard_drm
-    (effective forces lerped in-step, drm.c:2316-2437)."""
+    (effective forces lerped in-step, drm.c:2316-2437).  fb: stacked
+    fixed-base plan from partition.shard_fixedbase; the prescribed
+    displacements arrive as a third xs component [K, B, 3] and every
+    device SETS its local copies post-update (buildings.c:975-1146)."""
     m48 = jnp.asarray(st.m48, dtype)
     kmu = jnp.asarray(st.kmu, dtype) if st.kmu is not None else None
     kkappa = (jnp.asarray(st.kkappa, dtype)
@@ -71,7 +74,8 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
         drm_F = jnp.asarray(drm["F"], dtype)
 
     def local_step(t, carry, x):
-        srcf, step_idx = x
+        srcf, step_idx = x[0], x[1]
+        fb_disp = x[2] if fb is not None else None
         if nl is not None:
             u_now, u_prev, conv, nlstate = carry
         else:
@@ -203,6 +207,14 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
             bz = u_next[t["nl_bot_nodes"], 2]
             u_next = u_next.at[t["nl_bot_nodes"], 2].set(
                 jnp.where(fix & t["nl_bot_nodes_mask"], 0.0, bz))
+        if fb_disp is not None:
+            # fixed-base buildings: SET the prescribed base
+            # displacements on every local copy (owned + replicas stay
+            # consistent); same post-update, pre-dangling position as
+            # the single-device solver (solver/step.py)
+            cur = u_next[t["fb_lidx"]]
+            vals = jnp.where(t["fb_mask"][:, None], fb_disp, cur)
+            u_next = u_next.at[t["fb_lidx"]].set(vals)
         # dangling assignment (local anchors, consistent replicas)
         vals = (u_next[t["dn_anchors"]]
                 * t["dn_weights"][:, :, None]).sum(1)
@@ -237,6 +249,9 @@ def sharded_step_builder(st, axis="d", dtype=jnp.float32, nl=None,
     if drm is not None:
         tdev["drm_lidx"] = jnp.asarray(drm["lidx"], jnp.int32)
         tdev["drm_mask"] = jnp.asarray(drm["mask"])
+    if fb is not None:
+        tdev["fb_lidx"] = jnp.asarray(fb["lidx"], jnp.int32)
+        tdev["fb_mask"] = jnp.asarray(fb["mask"])
     conv_spec = ((P(axis), P(axis), P(axis), P(axis))
                  if damping == "bkt" else ())
     state_spec = (P(axis), P(axis), conv_spec)

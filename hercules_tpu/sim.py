@@ -608,21 +608,17 @@ class Simulation:
             env = os.environ.get("HT_NDEV")
             ndev = int(env) if env else 0
         if ndev and ndev > 1:
-            if fb_ids is not None:
-                print("WARNING: fixed-base buildings are not wired "
-                      "into the multi-chip driver; running "
-                      "single-device", file=sys.stderr)
-            else:
-                state, samples = self._run_multichip(
-                    ndev, dtype=dtype, chunk=chunk, steps=steps,
-                    on_chunk=on_chunk, outputs=outputs, rundir=rundir,
-                    st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path,
-                    drm=drm, on_samples=on_samples)
-                samples = self._replay_nl_stations(samples, nl_st_rows,
-                                                   n_st, st)
-                if drm_rec is not None:
-                    drm_rec.close()
-                return state, samples
+            state, samples = self._run_multichip(
+                ndev, dtype=dtype, chunk=chunk, steps=steps,
+                on_chunk=on_chunk, outputs=outputs, rundir=rundir,
+                st_nodes=st_nodes, st_phi=st_phi, prefer=mc_path,
+                drm=drm, on_samples=on_samples,
+                fb_ids=fb_ids, fb_series=fb_series)
+            samples = self._replay_nl_stations(samples, nl_st_rows,
+                                               n_st, st)
+            if drm_rec is not None:
+                drm_rec.close()
+            return state, samples
 
         plan = None
         mesh_nl = None
@@ -939,7 +935,8 @@ class Simulation:
 
     def _run_multichip(self, ndev, dtype, chunk, steps, on_chunk,
                        outputs, rundir, st_nodes, st_phi, prefer=None,
-                       drm=None, on_samples=None):
+                       drm=None, on_samples=None, fb_ids=None,
+                       fb_series=None):
         """The full production loop sharded over `ndev` devices:
         stations, 4-D/plane taps, checkpoint write AND restart, and
         chunked source streaming — the complete solver_run surface
@@ -955,18 +952,22 @@ class Simulation:
             raise RuntimeError(
                 f"requested ndev={ndev} but only {len(devs)} devices "
                 f"are visible")
-        if self.nl_tables is not None or drm is not None:
-            # nonlinear state and DRM effective forces are per-element
-            # / per-node — they shard with the unstructured partition
-            # (nonlinear.c:1671 and drm.c:2316 run on every MPI rank)
+        if (self.nl_tables is not None or drm is not None
+                or fb_ids is not None):
+            # nonlinear state, DRM effective forces and fixed-base
+            # prescribed displacements are per-element / per-node —
+            # they shard with the unstructured partition
+            # (nonlinear.c:1671, drm.c:2316 and buildings.c:975-1146
+            # run on every MPI rank)
             from .parallel.driver import ShardedPath
             from .parallel.partition import (shard_drm,
+                                             shard_fixedbase,
                                              shard_nonlinear,
                                              shard_tables)
             if prefer not in (None, "sharded"):
                 raise RuntimeError(
-                    f"nonlinear/DRM multi-chip runs use the sharded "
-                    f"path; cannot force mc_path={prefer}")
+                    f"nonlinear/DRM/fixed-base multi-chip runs use the "
+                    f"sharded path; cannot force mc_path={prefer}")
             ust = shard_tables(self.tables, self.mesh, ndev,
                                src_ids=self.src_ids)
             nl_b = None
@@ -975,8 +976,10 @@ class Simulation:
                                        p, self.nl_tables, ndev)
             drm_b = shard_drm(ust, drm, ndev) if drm is not None \
                 else None
+            fb_b = (shard_fixedbase(ust, fb_ids, ndev)
+                    if fb_ids is not None else None)
             path = ShardedPath(ust, self.mesh, dtype=dtype, nl=nl_b,
-                               drm=drm_b)
+                               drm=drm_b, fb=fb_b, fb_series=fb_series)
         else:
             path = choose_path(self.mesh, self.tables, ndev,
                                src_ids=self.src_ids, dtype=dtype,
@@ -1042,4 +1045,5 @@ class Simulation:
             outputs.close()
         self.nl_station_extras = {}
         self.mc_path_name = path.name
+        self.mc_path = path
         return state, samples

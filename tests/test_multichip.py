@@ -377,3 +377,117 @@ def test_mc_sim_dispatch_nonlinear_stations(tmp_path):
     scale = np.abs(s_ref).max()
     np.testing.assert_allclose(s_mc / scale, s_ref / scale, atol=1e-9)
     assert sim.nl_station_extras   # replay produced extras
+
+
+def test_mc_fixed_base_matches_single(tmp_path):
+    """VERDICT r3 item 6: fixed-base buildings under the multi-chip
+    driver — the prescribed base displacements shard like stations
+    (every device sets its local copies) and the 8-device run equals
+    the single-device unstructured solution exactly
+    (buildings.c:975-1146)."""
+    from hercules_tpu.buildings import Buildings
+    from hercules_tpu.config import ConfigFile
+    from hercules_tpu.solver.step import run_solver
+
+    cfg = tmp_path / "bldg.in"
+    cfg.write_text("""
+number_of_buildings = 1
+buildings_n_factor  = 2
+min_octant_size_m   = 62.5
+surface_shift_m     = 62.5
+consider_fixed_base = no
+building_properties =
+  437.5  562.5  437.5  562.5  62.5  62.5  1000 500 2000 2000 1000 2200
+""")
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    b = Buildings.parse(ConfigFile(str(cfg)))
+    mesh = generate_mesh(p, cvm, buildings=b)
+    tables = assemble(mesh, p)
+    ids, which = b.base_nodes(mesh)
+    T = 100
+    series = np.zeros((T, len(ids), 3))
+    series[:, :, 0] = np.linspace(0, 1e-3, T)[:, None]
+    series[:, :, 1] = np.sin(np.linspace(0, 3.0, T))[:, None] * 1e-4
+    forces = np.zeros((T, 1, 3))
+    src_ids = np.array([0], np.int32)
+
+    state_ref, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                              dtype=jnp.float64, fb_ids=ids,
+                              fb_series=series)
+    u_ref = np.asarray(state_ref[0])
+
+    import jax
+    from jax.sharding import Mesh
+    from hercules_tpu.parallel.driver import ShardedPath, run_multichip
+    from hercules_tpu.parallel.partition import (shard_fixedbase,
+                                                 shard_tables)
+
+    ust = shard_tables(tables, mesh, 8, src_ids=src_ids)
+    fb_b = shard_fixedbase(ust, ids, 8)
+    path = ShardedPath(ust, mesh, dtype=jnp.float64, fb=fb_b,
+                       fb_series=series)
+    m = Mesh(np.array(jax.devices()[:8]), ("d",))
+    state, _ = run_multichip(path, m, forces, T, p.delta_t, chunk=40)
+    u = path.u_global(state)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u / scale, u_ref / scale, atol=1e-9)
+    # base nodes carry exactly the prescribed series
+    np.testing.assert_allclose(u[ids], series[-1], rtol=1e-12)
+
+
+def test_mc_sim_dispatch_fixed_base(tmp_path):
+    """Simulation.run(ndev=8) with consider_fixed_base=yes routes to
+    the sharded path (no single-device fallback) and matches the
+    single-device run."""
+    import shutil as _sh
+    run = tmp_path / "run"
+    (run / "in").mkdir(parents=True)
+    _sh.copy(f"{SIMPLE}/in/physics.in", run / "in" / "physics.in")
+    _sh.copytree(f"{SIMPLE}/in/sourcefiles", run / "in" / "sourcefiles")
+    num = open(f"{SIMPLE}/in/numerical.in").read()
+    num = num.replace("simulation_end_time_sec        =  20",
+                      "simulation_end_time_sec        =  0.1")
+    num += """
+include_buildings = yes
+number_of_buildings = 1
+buildings_n_factor  = 2
+min_octant_size_m   = 62.5
+surface_shift_m     = 62.5
+consider_fixed_base = yes
+fixedbase_input_dt = 0.01
+fixedbase_input_dir = fb
+fixedbase_input_startindex = 0
+fixedbase_input_sufix = base
+building_properties =
+  437.5  562.5  437.5  562.5  62.5  62.5  1000 500 2000 2000 1000 2200
+"""
+    (run / "in" / "numerical.in").write_text(num)
+    d = run / "fb"
+    d.mkdir()
+    t = np.arange(60) * 0.01
+    np.savetxt(d / "base.0", np.stack([np.sin(t), 0 * t, 0 * t], 1))
+
+    def mk():
+        return Simulation.setup(str(run / "in" / "physics.in"),
+                                str(run / "in" / "numerical.in"),
+                                cvmdb=f"{SIMPLE}/simple_case.e")
+
+    state_ref, _ = mk().run(dtype=jnp.float64, rundir=str(run))
+    u_ref = np.asarray(state_ref[0])
+
+    sim = mk()
+    state, _ = sim.run(dtype=jnp.float64, rundir=str(run), ndev=8)
+    assert sim.mc_path_name == "sharded"
+    u = sim_mc_u_global(sim, state)
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(u / scale, u_ref / scale, atol=1e-9)
+
+
+def sim_mc_u_global(sim, state):
+    """Assemble the global displacement field from a multi-chip run's
+    final state via the path the Simulation actually used."""
+    return sim.mc_path.u_global(state)
