@@ -682,6 +682,7 @@ def main():
         "value": eups,
         "unit": "elem-updates/s",
         "vs_baseline": eups / 1e7,
+        "solver_path": which,
     }))
 
 

@@ -22,6 +22,30 @@ import time
 import numpy as np
 
 
+def _looks_like_database(path):
+    """Is the first positional argument a material database (etree /
+    flat records) rather than a config file?  Name-only sniffing
+    misparses a physics file named e.g. `params.txt` as a database, so
+    decide by CONTENT: config files are text key=value, databases are
+    binary (NUL bytes / non-UTF8 in the first block)."""
+    if path.endswith(".e"):
+        return True
+    if path.endswith(".in") or not os.path.exists(path):
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(512)
+    except OSError:
+        return False
+    if b"\0" in head:
+        return True
+    try:
+        head.decode("utf-8")
+    except UnicodeDecodeError:
+        return True
+    return False
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     ndev_opt = "auto"
@@ -43,9 +67,7 @@ def main(argv=None):
     mesh_out = None
     if len(argv) == 1:
         physics_in = numerical_in = argv[0]
-    elif len(argv) >= 3 and (argv[0].endswith(".e")
-                             or os.path.exists(argv[0])
-                             and not argv[0].endswith(".in")):
+    elif len(argv) >= 3 and _looks_like_database(argv[0]):
         cvmdb, physics_in, numerical_in = argv[0], argv[1], argv[2]
         if len(argv) > 3:
             mesh_out = argv[3]
@@ -174,9 +196,14 @@ def main(argv=None):
     state, samples = sim.run(on_chunk=on_chunk, outputs=outputs,
                              rundir=rundir, ndev=ndev, mc_path=mc_path)
     GLOBAL_TIMERS.stop("Solver")
-    if getattr(sim, "mc_path_name", None):
-        mon.print(f"multi-chip path: {sim.mc_path_name}\n")
-    mon.print(f"solver_run done: {time.time()-t1:.1f} s\n")
+    el = time.time() - t1
+    # path provenance + step rate in the monitor, so a silent
+    # fallback-chain degradation is always visible in the run record
+    # (the reference's monitor/timing discipline, psolve.c:3810-3840)
+    done_steps = max(p.total_steps - getattr(sim, "start_step", 0), 1)
+    mon.print(f"solver path: {sim.solver_path_name or 'unknown'}  "
+              f"({done_steps / max(el, 1e-9):.1f} steps/s)\n")
+    mon.print(f"solver_run done: {el:.1f} s\n")
 
     if sim.stations is not None:
         outdir = p.stations_dir or "stations"

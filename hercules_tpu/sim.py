@@ -410,6 +410,12 @@ class Simulation:
     nl_tables: object = None
     drm_plan: object = None
     drm_dir: str = ""
+    # provenance: which solver path actually ran the last .run()
+    # ("pallas_packed", "pallas_mesh", "bricks", "unstructured",
+    # "mc:<path>"), recorded for monitor.txt / the bench JSON / the
+    # TPU-lane path gate (psolve's monitor discipline,
+    # psolve.c:3810-3840)
+    solver_path_name: str = ""
 
     @classmethod
     def setup(cls, physics_in, numerical_in=None, cvmdb=None,
@@ -782,6 +788,7 @@ class Simulation:
                 try:
                     state, samples = _mesh()
                     handled = True
+                    self.solver_path_name = "pallas_mesh"
                 except Exception as e:
                     # HT_STRICT (the TPU test lane): a performance
                     # degradation must fail loudly, not print one line
@@ -827,6 +834,10 @@ class Simulation:
                 try:
                     state, samples = _pallas()
                     handled = True
+                    self.solver_path_name = (
+                        "pallas_packed"
+                        if os.environ.get("HT_PALLAS_PACKED", "1")
+                        != "0" else "pallas_unpacked")
                 except Exception as e:
                     if (solver == "pallas" or interpret
                             or os.environ.get("HT_STRICT")):
@@ -839,6 +850,7 @@ class Simulation:
                     try:
                         state, samples = _pallas()
                         handled = True
+                        self.solver_path_name = "pallas_unpacked"
                     except Exception:
                         use_pallas = False
                     finally:
@@ -869,6 +881,7 @@ class Simulation:
                     state=state, start_step=start_step,
                     on_snap=snap_hook, snap_every=snap_every,
                     on_samples=on_samples)
+                self.solver_path_name = "bricks"
         if plan is None:
             state = None
             if init_state is not None:
@@ -901,6 +914,7 @@ class Simulation:
                 fb_ids=fb_ids, fb_series=fb_series,
                 on_snap=snap_hook, snap_every=snap_every,
                 on_samples=on_samples)
+            self.solver_path_name = "unstructured"
         if drm_rec is not None:
             drm_rec.close()
         if outputs is not None:
@@ -1046,4 +1060,5 @@ class Simulation:
         self.nl_station_extras = {}
         self.mc_path_name = path.name
         self.mc_path = path
+        self.solver_path_name = f"mc:{path.name}"
         return state, samples
