@@ -183,4 +183,119 @@ void ht_etree_search(const uint64_t* shi, const uint64_t* slo,
     });
 }
 
+
+
+// fused 27-point CVM sampling for mesh material assignment.  One pass
+// over elements does, per sample point, the EXACT float sequence of
+// the numpy path (material.py setrec / correct_properties +
+// cvm.py CVM.query) so results are bit-identical:
+//   mode 0 (setrec, psolve.c:1307-1397):
+//     north = ox + (X + f*half) * ts   (east from Y, depth from Z)
+//     min-Vs reduction, first-strictly-smaller wins, any_ok
+//   mode 1 (mesh_correct_properties, psolve.c:7104-7200):
+//     north = ts*X + edge*f + ox ;  27-sample sums + ok count
+// Queries resolve through the dense Morton-cell LUT
+// (etree/reader.py _dense_lut) - one shift+spread+gather per point.
+void ht_cvm_sample27(
+    const double* X, const double* Y, const double* Z,
+    const double* half_or_edge, int64_t n,
+    double ts, double ox, double oy, double oz, double zshift,
+    const double* fr, double cts,
+    int64_t epx, int64_t epy, int64_t epz,
+    const int32_t* dense, int32_t sh,
+    const double* cvp, const double* cvs, const double* crho,
+    int32_t mode,
+    double* ovp, double* ovs, double* orho, int32_t* ook) {
+    parallel_for(n, [&](int64_t s, int64_t e) {
+        for (int64_t i = s; i < e; i++) {
+            double he = half_or_edge[i];
+            double vs_m = 0.0, vp_m = 0.0, rho_m = 0.0;
+            bool any = false;
+            double vs_min = 1.0 / 0.0;
+            int nok = 0;
+            for (int a = 0; a < 3; a++) {
+                double north = mode == 0
+                    ? ox + (X[i] + fr[a] * he) * ts
+                    : ts * X[i] + he * fr[a] + ox;
+                for (int b = 0; b < 3; b++) {
+                    double east = mode == 0
+                        ? oy + (Y[i] + fr[b] * he) * ts
+                        : ts * Y[i] + he * fr[b] + oy;
+                    for (int c = 0; c < 3; c++) {
+                        double depth = (mode == 0
+                            ? oz + (Z[i] + fr[c] * he) * ts
+                            : ts * Z[i] + he * fr[c] + oz) - zshift;
+                        // CVM.query: east->x, north->y, depth->z
+                        int64_t qx = (int64_t)(east / cts);
+                        int64_t qy = (int64_t)(north / cts);
+                        int64_t qz = (int64_t)(depth / cts);
+                        bool ok = qx >= 0 && qy >= 0 && qz >= 0
+                            && qx < epx && qy < epy && qz < epz;
+                        if (ok) {
+                            uint64_t cell =
+                                spread3((uint64_t)qx >> sh)
+                                | (spread3((uint64_t)qy >> sh) << 1)
+                                | (spread3((uint64_t)qz >> sh) << 2);
+                            int32_t rec = dense[cell];
+                            ok = rec >= 0;
+                            if (ok) {
+                                double vp = cvp[rec], vs = cvs[rec],
+                                       rho = crho[rec];
+                                if (mode == 0) {
+                                    if (vs < vs_min) {
+                                        vs_min = vs; vp_m = vp;
+                                        rho_m = rho;
+                                    }
+                                    any = true;
+                                } else {
+                                    vp_m += vp; vs_m += vs;
+                                    rho_m += rho; nok++;
+                                }
+                            }
+                        }
+                    }
+                }
+            }
+            if (mode == 0) {
+                ovp[i] = any ? vp_m : 0.0;
+                ovs[i] = vs_min;
+                orho[i] = any ? rho_m : 0.0;
+                ook[i] = any ? 1 : 0;
+            } else {
+                ovp[i] = vp_m; ovs[i] = vs_m; orho[i] = rho_m;
+                ook[i] = nok;
+            }
+        }
+    });
+}
+
+
+
+// corner Morton keys for mesh extraction (extract.py): for element i
+// with corner (x, y, z) and edge e, emit the 8 corner keys
+// (which-order: bit0 = x, bit1 = y, bit2 = z, octor.c:1583-1588) with
+// far-boundary clamping (octor.c:6100-6106), interleaved in one pass —
+// no 8E-sized numpy temporaries.
+void ht_corner_keys(const uint32_t* x, const uint32_t* y,
+                    const uint32_t* z, const int64_t* e, int64_t n,
+                    int64_t fx, int64_t fy, int64_t fz,
+                    uint64_t* hi, uint64_t* lo) {
+    parallel_for(n, [&](int64_t s, int64_t en) {
+        for (int64_t i = s; i < en; i++) {
+            int64_t ee = e[i];
+            for (int j = 0; j < 8; j++) {
+                int64_t cx = (int64_t)x[i] + (j & 1) * ee;
+                int64_t cy = (int64_t)y[i] + ((j >> 1) & 1) * ee;
+                int64_t cz = (int64_t)z[i] + ((j >> 2) & 1) * ee;
+                if (cx > fx - 1) cx = fx - 1;
+                if (cy > fy - 1) cy = fy - 1;
+                if (cz > fz - 1) cz = fz - 1;
+                interleave_one((uint32_t)cx, (uint32_t)cy,
+                               (uint32_t)cz,
+                               &hi[i * 8 + j], &lo[i * 8 + j]);
+            }
+        }
+    });
+}
+
 }  // extern "C"

@@ -249,10 +249,30 @@ class CVM:
         ok, idx = self.db.search_points(
             x.astype(np.uint32), y.astype(np.uint32), z.astype(np.uint32))
         ok = ok & inb
-        rec = self.db.records(idx)
         nan = np.where(ok, 1.0, np.nan)
+        cols = self._field_arrays()
+        if cols is not None:
+            vpa, vsa, rhoa = cols
+            return ok, vpa[idx] * nan, vsa[idx] * nan, rhoa[idx] * nan
+        rec = self.db.records(idx)
         fields = self.db.schema.names
         vp = rec[fields[0]].astype(np.float64) * nan
         vs = rec[fields[1]].astype(np.float64) * nan
         rho = rec[fields[2]].astype(np.float64) * nan
         return ok, vp, vs, rho
+
+    def _field_arrays(self):
+        """Cached float64 (Vp, Vs, rho) record columns — one structured
+        decode for the whole DB instead of one per query batch (27
+        query passes per meshing level make this the host-meshing hot
+        path).  None for out-of-core readers (they keep the per-batch
+        page decode)."""
+        if not hasattr(self, "_cols"):
+            if self.db.out_of_core:
+                self._cols = None
+            else:
+                fields = self.db.schema.names
+                pay = self.db.payload
+                self._cols = tuple(pay[f].astype(np.float64)
+                                   for f in fields[:3])
+        return self._cols

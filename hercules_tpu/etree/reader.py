@@ -314,6 +314,65 @@ class EtreeReader:
         x, y, z = morton.deinterleave3(self.hi, self.lo)
         return x, y, z, self.level, self.payload
 
+    # threshold for the dense lookup acceleration: total level-Lmax
+    # cells of the DB cube (8^Lmax).  2^24 cells = 64 MB of int32 —
+    # covers every shallow CVM (synthetic layered DBs, simple_case);
+    # deep DBs (real SCEC etrees, Lmax > 8) keep the floor search.
+    _DENSE_MAX_CELLS = 1 << 24
+
+    def _dense_lut(self):
+        """Lazy dense Morton-order record index: collapses the whole
+        ancestor-floor search (etree.c:563-615) to ONE integer gather
+        per query point for shallow DBs.
+
+        The dense cell level Ld is chosen so (a) every leaf corner is
+        cell-aligned and (b) cells are at least as fine as every
+        leaf's NOMINAL cube (side 2^(31-level)); then all max-level
+        query keys inside one cell share their floor record AND their
+        ancestor-test outcome, so both precompute per cell.  Coverage
+        comes from the Z-order key gaps — NOT from the stored levels —
+        because mesh.e-style databases understate the octant side in
+        the level byte (psolve.c mesh_output keys elements with the
+        octor level in the etree address space); the gap construction
+        reproduces the reference's floor semantics for those exactly.
+        Cells whose floor fails the ancestor test hold -1."""
+        if getattr(self, "_dense", None) is not None:
+            return self._dense
+        if self.n == 0:
+            self._dense = (None, 0)
+            return self._dense
+        x, y, z = morton.deinterleave3(self.hi, self.lo)
+        orall = int(np.bitwise_or.reduce(x) | np.bitwise_or.reduce(y)
+                    | np.bitwise_or.reduce(z))
+        lowbit = (orall & -orall).bit_length() - 1 if orall else 31
+        lmax = int(np.max(self.level))
+        ld = max(31 - lowbit, lmax)
+        cells = 1 << (3 * ld)
+        if ld > 20 or cells > self._DENSE_MAX_CELLS:
+            self._dense = (None, 0)
+            return self._dense
+        sh = 31 - ld
+        chi, clo = morton.interleave3(
+            (x >> sh).astype(np.uint32), (y >> sh).astype(np.uint32),
+            (z >> sh).astype(np.uint32))
+        starts = clo.astype(np.int64)     # 3*ld <= 60 bits -> lo only
+        gaps = np.diff(np.append(starts, cells))
+        # ancestor bound: cells past the leaf's nominal cube fail the
+        # ancestor test (floor still lands on this leaf, found=False)
+        s = 3 * (ld - (self.level.astype(np.int64) + 1))
+        s = np.maximum(s, 0)
+        nominal_end = ((starts >> s) + 1) << s
+        valid = np.minimum(gaps, nominal_end - starts)
+        dense = np.full(cells, -1, np.int32)
+        total = int(valid.sum())
+        cum = np.concatenate([[0], np.cumsum(valid)[:-1]])
+        pos = np.repeat(starts, valid) + (
+            np.arange(total, dtype=np.int64) - np.repeat(cum, valid))
+        dense[pos] = np.repeat(np.arange(self.n, dtype=np.int32),
+                               valid)
+        self._dense = (dense, ld)
+        return self._dense
+
     def search_points(self, x, y, z):
         """Vectorized etree_search at ETREE_MAXLEVEL: for each tick coord,
         return (found mask, index into payload arrays).
@@ -323,6 +382,18 @@ class EtreeReader:
         """
         if self.out_of_core:
             return self._search_points_ooc(x, y, z)
+        dense, lmax = self._dense_lut()
+        if dense is not None:
+            sh = 31 - lmax
+            x = np.atleast_1d(np.asarray(x)).astype(np.uint32)
+            y = np.atleast_1d(np.asarray(y)).astype(np.uint32)
+            z = np.atleast_1d(np.asarray(z)).astype(np.uint32)
+            chi, clo = morton.interleave3(x >> sh, y >> sh, z >> sh)
+            cell = clo.astype(np.int64)
+            inb = (chi == 0) & (cell < len(dense))
+            idx = dense[np.where(inb, cell, 0)]
+            ok = inb & (idx >= 0)
+            return ok, np.maximum(idx, 0)
         if len(np.atleast_1d(x)) >= 1 << 12:
             from .. import native
             idx = native.etree_search(self.hi, self.lo, self.level,

@@ -79,22 +79,27 @@ def make_setrec(cvm: CVM, params, origin: MeshOrigin, buildings=None):
                 ).astype(np.float64)
         ts = tree.ticksize
         n = len(x)
-        vs_min = np.full(n, np.inf)
-        vp_min = np.full(n, np.nan)
-        rho_min = np.full(n, np.nan)
-        any_ok = np.zeros(n, dtype=bool)
-        for px in points:
-            x_m = origin.x + (x + px * half) * ts
-            for py in points:
-                y_m = origin.y + (y + py * half) * ts
-                for pz in points:
-                    z_m = origin.z + (z + pz * half) * ts - zshift
-                    ok, vp, vs, rho = cvm.query(y_m, x_m, z_m)
-                    upd = ok & (vs < vs_min)
-                    vs_min = np.where(upd, vs, vs_min)
-                    vp_min = np.where(upd, vp, vp_min)
-                    rho_min = np.where(upd, rho, rho_min)
-                    any_ok |= ok
+        fast = _fast_sample27(cvm, x, y, z, half, ts, origin, zshift,
+                              points, mode=0)
+        if fast is not None:
+            vp_min, vs_min, rho_min, any_ok = fast
+        else:
+            vs_min = np.full(n, np.inf)
+            vp_min = np.full(n, np.nan)
+            rho_min = np.full(n, np.nan)
+            any_ok = np.zeros(n, dtype=bool)
+            for px in points:
+                x_m = origin.x + (x + px * half) * ts
+                for py in points:
+                    y_m = origin.y + (y + py * half) * ts
+                    for pz in points:
+                        z_m = origin.z + (z + pz * half) * ts - zshift
+                        ok, vp, vs, rho = cvm.query(y_m, x_m, z_m)
+                        upd = ok & (vs < vs_min)
+                        vs_min = np.where(upd, vs, vs_min)
+                        vp_min = np.where(upd, vp, vp_min)
+                        rho_min = np.where(upd, rho, rho_min)
+                        any_ok |= ok
         edgesize = 2.0 * half * ts
         # all queries failed: force a split by synthesizing a tiny Vs
         # (psolve.c:1386-1389)
@@ -112,6 +117,39 @@ def make_setrec(cvm: CVM, params, origin: MeshOrigin, buildings=None):
         return rec
 
     return setrec
+
+
+def _fast_sample27(cvm, X, Y, Z, half_or_edge, ts, origin, zshift,
+                   points, mode):
+    """Native fused 27-point sampling when the CVM is an in-memory
+    etree with a dense lookup (reader._dense_lut): bit-identical to
+    the numpy loop (same float sequences, same reduction order), one
+    C pass instead of 27 vectorized query passes.  Returns
+    (vp, vs, rho, ok) or None (fall back to the numpy loop)."""
+    from . import native
+    from .cvm import CVM as _CVM
+
+    if not isinstance(cvm, _CVM) or cvm.db.out_of_core:
+        return None
+    dense, ld = cvm.db._dense_lut()
+    if dense is None:
+        return None
+    cols = cvm._field_arrays()
+    if cols is None:
+        return None
+    r = native.cvm_sample27(
+        X, Y, Z, half_or_edge, ts, (origin.x, origin.y, origin.z),
+        zshift, points, cvm.ticksize,
+        (cvm.ctl.domain_endpoint_x, cvm.ctl.domain_endpoint_y,
+         cvm.ctl.domain_endpoint_z), dense, 31 - ld, cols, mode)
+    if r is None:
+        return None
+    ovp, ovs, orho, ook = r
+    if mode == 0:
+        ok = ook != 0
+        nan = np.where(ok, 1.0, np.nan)
+        return ovp * nan, np.where(ok, ovs, np.inf), orho * nan, ok
+    return ovp, ovs, orho, ook
 
 
 def make_toexpand(params, buildings=None):
@@ -220,30 +258,44 @@ def correct_properties(mesh, cvm: CVM, params, origin: MeshOrigin,
     # (bldgs_correctproperties, psolve.c:7137-7141)
     skip = np.zeros(E, dtype=bool)
 
-    vp = np.zeros(E)
-    vs = np.zeros(E)
-    rho = np.zeros(E)
-    for pn in pts:
-        north_m = ts * ex + edge * pn + origin.x
-        for pe in pts:
-            east_m = ts * ey + edge * pe + origin.y
-            for pd in pts:
-                depth_m = ts * ez + edge * pd + origin.z - zshift
-                ok, qvp, qvs, qrho = cvm.query(east_m, north_m, depth_m)
-                if buildings is not None:
-                    # above-surface sample points belong to buildings
-                    ok = ok | (depth_m < 0)
-                    qvp = np.where(np.isnan(qvp), 0.0, qvp)
-                    qvs = np.where(np.isnan(qvs), 0.0, qvs)
-                    qrho = np.where(np.isnan(qrho), 0.0, qrho)
-                if not ok.all():
-                    bad = np.flatnonzero(~ok)[:5]
-                    raise RuntimeError(
-                        f"mesh_correct_properties: CVM query failed for "
-                        f"elements {bad}")
-                vp += qvp
-                vs += qvs
-                rho += qrho
+    fast = None
+    if buildings is None:
+        fast = _fast_sample27(cvm, ex, ey, ez, edge, ts, origin,
+                              zshift, pts, mode=1)
+    if fast is not None:
+        vp, vs, rho, nok = fast
+        if not (nok == 27).all():
+            bad = np.flatnonzero(nok != 27)[:5]
+            raise RuntimeError(
+                f"mesh_correct_properties: CVM query failed for "
+                f"elements {bad}")
+    else:
+        vp = np.zeros(E)
+        vs = np.zeros(E)
+        rho = np.zeros(E)
+        for pn in pts:
+            north_m = ts * ex + edge * pn + origin.x
+            for pe in pts:
+                east_m = ts * ey + edge * pe + origin.y
+                for pd in pts:
+                    depth_m = ts * ez + edge * pd + origin.z - zshift
+                    ok, qvp, qvs, qrho = cvm.query(east_m, north_m,
+                                                   depth_m)
+                    if buildings is not None:
+                        # above-surface sample points belong to
+                        # buildings
+                        ok = ok | (depth_m < 0)
+                        qvp = np.where(np.isnan(qvp), 0.0, qvp)
+                        qvs = np.where(np.isnan(qvs), 0.0, qvs)
+                        qrho = np.where(np.isnan(qrho), 0.0, qrho)
+                    if not ok.all():
+                        bad = np.flatnonzero(~ok)[:5]
+                        raise RuntimeError(
+                            f"mesh_correct_properties: CVM query "
+                            f"failed for elements {bad}")
+                    vp += qvp
+                    vs += qvs
+                    rho += qrho
     vp /= 27.0
     vs /= 27.0
     rho /= 27.0

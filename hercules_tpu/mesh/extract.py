@@ -87,20 +87,29 @@ def extract_mesh(tree: Octree) -> MeshArrays:
     E = tree.n
 
     # ---- build node table -------------------------------------------
-    # (memory-lean: int32 corner coords, eager frees, and no 8E-sized
-    # fancy-index copies — peak stays ~0.4 KB/element so 1e8+-element
-    # meshes fit one host; see bench.py mesh_scale_bench)
-    ox, oy, oz = _corner_offsets(e)
-    cx = (x[:, None] + ox).ravel().astype(np.int32)
-    cy = (y[:, None] + oy).ravel().astype(np.int32)
-    cz = (z[:, None] + oz).ravel().astype(np.int32)
-    del ox, oy, oz
-    # Nodes on the far domain boundary are clamped inward by one tick
-    # for ordering (and ownership) purposes (octor.c:6100-6106); the
-    # clamp is injective because real node coords have trailing zeros.
-    chi, clo = _pack(np.minimum(cx, tree.farendp[0] - 1),
-                     np.minimum(cy, tree.farendp[1] - 1),
-                     np.minimum(cz, tree.farendp[2] - 1))
+    # (memory-lean: eager frees and no 8E-sized coordinate temporaries
+    # — peak stays ~0.4 KB/element so 1e8+-element meshes fit one
+    # host; see bench.py mesh_scale_bench)
+    from .. import native
+    ck = native.corner_keys(x, y, z, e, tree.farendp)
+    if ck is not None:
+        # fused corner generation + far-boundary clamp + interleave
+        # (octor.c:1583-1588 which-order, :6100-6106 clamping)
+        chi, clo = ck
+    else:
+        ox, oy, oz = _corner_offsets(e)
+        cx = (x[:, None] + ox).ravel().astype(np.int32)
+        cy = (y[:, None] + oy).ravel().astype(np.int32)
+        cz = (z[:, None] + oz).ravel().astype(np.int32)
+        del ox, oy, oz
+        # Nodes on the far domain boundary are clamped inward by one
+        # tick for ordering (and ownership) purposes (octor.c:
+        # 6100-6106); the clamp is injective because real node coords
+        # have trailing zeros.
+        chi, clo = _pack(np.minimum(cx, tree.farendp[0] - 1),
+                         np.minimum(cy, tree.farendp[1] - 1),
+                         np.minimum(cz, tree.farendp[2] - 1))
+        del cx, cy, cz
     # unique corners in Z order -> node table; gnid = index
     order = morton.zorder_argsort(chi, clo)
     shi, slo = chi[order], clo[order]
@@ -117,14 +126,18 @@ def extract_mesh(tree: Octree) -> MeshArrays:
     nhi = shi[newgrp]          # adjusted keys (sort/lookup space)
     nlo = slo[newgrp]
     del shi, slo
-    # real (unclamped) coordinates of each node (index through the
-    # representative corner of each group, not an 8E-sized copy)
+    # real (unclamped) coordinates of each node, reconstructed
+    # arithmetically from the representative corner of each group
+    # (corner index rep%8 of element rep//8) — no 8E coord arrays
     rep = order[newgrp]
     del order, newgrp
-    nx = cx[rep]
-    ny = cy[rep]
-    nz = cz[rep]
-    del rep, cx, cy, cz
+    rj = rep & 7
+    re_ = rep >> 3
+    ee = e[re_]
+    nx = (x[re_] + (rj & 1) * ee).astype(np.int64)
+    ny = (y[re_] + ((rj >> 1) & 1) * ee).astype(np.int64)
+    nz = (z[re_] + ((rj >> 2) & 1) * ee).astype(np.int64)
+    del rep, rj, re_, ee
     N = len(nx)
     far = tree.farendp
 

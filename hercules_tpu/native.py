@@ -66,6 +66,21 @@ def get_lib():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.ht_etree_search.argtypes = [u64p, u64p, u8p, i64, u32p, u32p,
                                     u32p, i64, i64p]
+    lib.ht_corner_keys.argtypes = [u32p, u32p, u32p, i64p, i64,
+                                   i64, i64, i64, u64p, u64p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.c_double
+    i32 = ctypes.c_int32
+    lib.ht_cvm_sample27.argtypes = [
+        f64p, f64p, f64p, f64p, i64,
+        f64, f64, f64, f64, f64,
+        f64p, f64,
+        i64, i64, i64,
+        i32p, i32,
+        f64p, f64p, f64p,
+        i32,
+        f64p, f64p, f64p, i32p]
     _LIB = lib
     return _LIB
 
@@ -154,6 +169,67 @@ def sort_perm(hi, lo):
     lib.ht_sort_perm_u128(_p(hi, u64p), _p(lo, u64p), len(hi),
                           _p(out, i64p))
     return out
+
+
+def corner_keys(x, y, z, e, farendp):
+    """Morton keys of the 8 clamped corners of each element, [8E]
+    arrays (hi, lo) in element-major which-order; None without the
+    native library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_corner_keys"):
+        return None
+    x = np.ascontiguousarray(x, np.uint32)
+    y = np.ascontiguousarray(y, np.uint32)
+    z = np.ascontiguousarray(z, np.uint32)
+    e = np.ascontiguousarray(e, np.int64)
+    n = len(x)
+    hi = np.empty(8 * n, np.uint64)
+    lo = np.empty(8 * n, np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_corner_keys(_p(x, u32p), _p(y, u32p), _p(z, u32p),
+                       _p(e, i64p), n, int(farendp[0]),
+                       int(farendp[1]), int(farendp[2]),
+                       _p(hi, u64p), _p(lo, u64p))
+    return hi, lo
+
+
+def cvm_sample27(X, Y, Z, half_or_edge, ts, origin_xyz, zshift, fr,
+                 cts, endpoints, dense, sh, cols, mode):
+    """Fused 27-point CVM sampling (see ht_cvm_sample27): returns
+    (vp, vs, rho, ok) per element — min-Vs reduction (mode 0, setrec)
+    or 27-sample sums + ok count (mode 1, correct_properties).
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_cvm_sample27"):
+        return None
+    X = np.ascontiguousarray(X, np.float64)
+    Y = np.ascontiguousarray(Y, np.float64)
+    Z = np.ascontiguousarray(Z, np.float64)
+    he = np.ascontiguousarray(half_or_edge, np.float64)
+    fr = np.ascontiguousarray(fr, np.float64)
+    dense = np.ascontiguousarray(dense, np.int32)
+    cvp, cvs, crho = (np.ascontiguousarray(c, np.float64)
+                      for c in cols)
+    n = len(X)
+    ovp = np.empty(n, np.float64)
+    ovs = np.empty(n, np.float64)
+    orho = np.empty(n, np.float64)
+    ook = np.empty(n, np.int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ht_cvm_sample27(
+        _p(X, f64p), _p(Y, f64p), _p(Z, f64p), _p(he, f64p), n,
+        float(ts), float(origin_xyz[0]), float(origin_xyz[1]),
+        float(origin_xyz[2]), float(zshift),
+        _p(fr, f64p), float(cts),
+        int(endpoints[0]), int(endpoints[1]), int(endpoints[2]),
+        _p(dense, i32p), int(sh),
+        _p(cvp, f64p), _p(cvs, f64p), _p(crho, f64p),
+        int(mode),
+        _p(ovp, f64p), _p(ovs, f64p), _p(orho, f64p), _p(ook, i32p))
+    return ovp, ovs, orho, ook
 
 
 def etree_search(shi, slo, slevel, qx, qy, qz):

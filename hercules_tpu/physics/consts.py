@@ -110,35 +110,44 @@ def boundary_dashpots(mesh, props, halfspace=True):
 
     halfspace=True (-DHALFSPACE): the free surface (z=0) contributes no
     dashpot (flag < 9 -> flag + 9 remap, psolve.c:5761-5763)."""
-    E = mesh.lenum
+    eb, dash_b = _boundary_dashpots_subset(mesh, props,
+                                           halfspace=halfspace)
+    dash = np.zeros((mesh.lenum, 8, 3))
+    dash[eb] = dash_b
+    return dash
+
+
+def _boundary_dashpots_subset(mesh, props, halfspace=True):
+    """(eb, dash_b): boundary-element indices and their [Eb, 8, 3]
+    dashpots — the sparse form of boundary_dashpots (interior elements
+    are all zero, so node_masses never materializes the full [E, 8, 3]
+    array)."""
     fx, fy, fz = boundary_flags(mesh)
     if halfspace:
         fz = np.where(fz == -1, 0, fz).astype(np.int8)
-    vp, vs, rho = props["Vp"], props["Vs"], props["rho"]
-    h = mesh.edge_m
+    eb = np.flatnonzero((fx != 0) | (fy != 0) | (fz != 0))
+    vp = props["Vp"][eb]
+    vs = props["Vs"][eb]
+    rho = props["rho"][eb]
+    h = mesh.edge_m[eb]
     scale = rho * (h / 2) ** 2
-
+    Eb = len(eb)
     w = np.arange(8)
-    node_bit = np.stack([(w & 1), (w >> 1) & 1, (w >> 2) & 1])  # [3,8]
-
-    dash = np.zeros((E, 8, 3))
-    # on_face[e, axis, node]: node lies on the domain face the element
-    # touches along that axis
-    flags = np.stack([fx, fy, fz])  # [3, E]
-    on = np.zeros((3, E, 8), dtype=bool)
+    node_bit = np.stack([(w & 1), (w >> 1) & 1, (w >> 2) & 1])
+    flags = np.stack([fx[eb], fy[eb], fz[eb]])
+    on = np.zeros((3, Eb, 8), dtype=bool)
     for axis in range(3):
-        f = flags[axis][:, None]  # [E,1]
-        nb = node_bit[axis][None, :]  # [1,8]
+        f = flags[axis][:, None]
+        nb = node_bit[axis][None, :]
         on[axis] = ((f == -1) & (nb == 0)) | ((f == 1) & (nb == 1))
-    nfaces = on.sum(axis=0)  # [E,8] number of contributing faces
-    for axis in range(3):
-        for comp in range(3):
-            contrib = np.where(on[axis],
-                               np.where(axis == comp, vp[:, None],
-                                        vs[:, None]), 0.0)
-            dash[:, :, comp] += contrib
-    dash *= scale[:, None, None]
-    return dash
+    faces_on = on.sum(axis=0).astype(np.float64)
+    dash_b = np.empty((Eb, 8, 3))
+    for comp in range(3):
+        oc = on[comp].astype(np.float64)
+        dash_b[:, :, comp] = (vs[:, None] * (faces_on - oc)
+                              + vp[:, None] * oc)
+    dash_b *= scale[:, None, None]
+    return eb, dash_b
 
 
 def node_masses(mesh, props, coeffs, params, boundary=True,
@@ -160,38 +169,46 @@ def node_masses(mesh, props, coeffs, params, boundary=True,
     M8 = np.repeat(M, 8)
     aM8 = np.repeat(dt * a * M, 8)
 
-    mass_simple = np.zeros(N)
-    np.add.at(mass_simple, lnid, M8)
+    # bincount is the fast scatter-add here (ufunc.at is unbuffered
+    # and ~10x slower on multi-million-entry index arrays)
+    mass_simple = np.bincount(lnid, weights=M8, minlength=N)
 
     base = M8 - aM8                  # per element-node, same all axes
     base2 = 2 * M8 - aM8
-    mass_minusaM = np.zeros((N, 3))
-    mass2_minusaM = np.zeros((N, 3))
+    accA = np.bincount(lnid, weights=base, minlength=N)
+    accB = np.bincount(lnid, weights=base2, minlength=N)
+    mass_minusaM = np.repeat(accA[:, None], 3, axis=1)
+    mass2_minusaM = np.repeat(accB[:, None], 3, axis=1)
     if boundary:
-        dash = boundary_dashpots(mesh, props, halfspace=halfspace)
-        dashflat = dash.reshape(E * 8, 3)
+        # the dashpot term is sparse (boundary elements only); scatter
+        # just those corners per component
+        eb, dash_b = _boundary_dashpots_subset(mesh, props,
+                                               halfspace=halfspace)
+        lnid_b = mesh.elem_lnid[eb].ravel()
         for c in range(3):
-            np.add.at(mass_minusaM[:, c], lnid, base - dt * dashflat[:, c])
-            np.add.at(mass2_minusaM[:, c], lnid, base2 - dt * dashflat[:, c])
-    else:
-        for c in range(3):
-            np.add.at(mass_minusaM[:, c], lnid, base)
-            np.add.at(mass2_minusaM[:, c], lnid, base2)
+            dcol = np.bincount(lnid_b,
+                               weights=dash_b[:, :, c].ravel(),
+                               minlength=N)
+            mass_minusaM[:, c] -= dt * dcol
+            mass2_minusaM[:, c] -= dt * dcol
 
     # distribute dangling-node masses to anchors (DISTRIBUTION of the
     # whole n_t record; dangling nodes keep their own copy, which the
     # per-step ASSIGNMENT then makes irrelevant)
     dn = mesh.dn_ids
     if len(dn):
-        anc = mesh.dn_anchors          # [D,4]
+        anc = mesh.dn_anchors.ravel()  # [D*4]
         wgt = mesh.dn_weights          # [D,4]
-        np.add.at(mass_simple, anc.ravel(),
-                  (mass_simple[dn][:, None] * wgt).ravel())
+        mass_simple += np.bincount(
+            anc, weights=(mass_simple[dn][:, None] * wgt).ravel(),
+            minlength=N)
         for c in range(3):
-            np.add.at(mass_minusaM[:, c], anc.ravel(),
-                      (mass_minusaM[dn, c][:, None] * wgt).ravel())
-            np.add.at(mass2_minusaM[:, c], anc.ravel(),
-                      (mass2_minusaM[dn, c][:, None] * wgt).ravel())
+            mass_minusaM[:, c] += np.bincount(
+                anc, weights=(mass_minusaM[dn, c][:, None]
+                              * wgt).ravel(), minlength=N)
+            mass2_minusaM[:, c] += np.bincount(
+                anc, weights=(mass2_minusaM[dn, c][:, None]
+                              * wgt).ravel(), minlength=N)
 
     return mass_simple, mass_minusaM, mass2_minusaM
 
