@@ -344,6 +344,12 @@ class EtreeReader:
         x, y, z = morton.deinterleave3(self.hi, self.lo)
         orall = int(np.bitwise_or.reduce(x) | np.bitwise_or.reduce(y)
                     | np.bitwise_or.reduce(z))
+        if orall >> 31:
+            # full 32-bit address space (e.g. makecvm layered dbs):
+            # the 31-bit cell math below would overflow into neighbor
+            # cells — keep the exact floor-search paths
+            self._dense = (None, 0)
+            return self._dense
         lowbit = (orall & -orall).bit_length() - 1 if orall else 31
         lmax = int(np.max(self.level))
         ld = max(31 - lowbit, lmax)

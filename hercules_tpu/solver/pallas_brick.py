@@ -177,6 +177,115 @@ def _mxu_dot(A, W, mode, prec):
     return _split_dot(Ah, Al, Wh, Wl, mode)
 
 
+def _modes(tier, dtype, packed):
+    """Shared dataflow-mode predicate for _make_kernel and the
+    builders (the scratch shapes must mirror the kernel's choices).
+    packed = the corner-major [24, C] dataflow flag (_kernel_mode)."""
+    staged = packed and tier in ("ubeta", "umat")
+    mxu_mode = _mxu_mode()
+    preshift = (staged
+                and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
+    gather_concat = (os.environ.get("HT_PALLAS_GATHER", "concat")
+                     == "concat")
+    ablate = os.environ.get("HT_PALLAS_ABLATE", "")
+    bf16g = (staged and not preshift and gather_concat
+             and _use_mxu() and not ablate
+             and _bf16_gather_mode(tier, dtype, mxu_mode))
+    # 8-row-aligned gather dataflow (default ON): stage W as 8-row
+    # bf16 blocks (Wh 0:3, Wl 3:6, zero pad 6:8) so the per-chunk
+    # class concats and the MXU operand assembly touch only 8-row
+    # vreg-aligned pieces — the misaligned 3-row concat relayouts
+    # that dominate the gather time (~220 us of a 509 us step at the
+    # 1M bench, HT_PALLAS_ABLATE attribution) disappear.  The MXU
+    # consumes X = [X8; X8] (K = 128, one systolic pass) against a
+    # column-matched constant carrying (Ah, Ah) then (Al, Al): the
+    # full b4 split product at single-pass cost (_align8_operator).
+    align8 = (bf16g
+              and os.environ.get("HT_PALLAS_ALIGN8", "1") == "1")
+    # 8-row-aligned scatter (requires align8): the MXU constant's
+    # output rows are permuted into 8-row-per-corner slots
+    # (_align8_operator out8) so the scatter rolls whole aligned
+    # class blocks — no relayouts; invalid-element masking moves to
+    # the bf16 operand (umat)
+    # align8 + tile-wide class pre-rolls (default ON): roll the whole
+    # staged [8, L] block once per shift class into scr_sv, so every
+    # per-chunk gather is a pure aligned slice with zero rolls
+    # (measured 394 -> 367 us/step at the 1M bench)
+    pre8 = (align8
+            and os.environ.get("HT_PALLAS_PRESHIFT8", "1") == "1")
+    # aligned slot scatter: default follows pre8 (with the gather
+    # rolls gone it wins ~4%: 330 vs 347 us/step at the 1M bench;
+    # WITHOUT pre8 the 64 slot rows roll 2.7x the volume and it
+    # measures ~5% slower, so it defaults off there)
+    s8 = (align8
+          and os.environ.get("HT_PALLAS_SCATTER", "val") == "val"
+          and os.environ.get("HT_PALLAS_SCATTER8",
+                             "1" if pre8 else "0") == "1")
+    return {"staged": staged, "preshift": preshift, "bf16g": bf16g,
+            "align8": align8, "s8": s8, "pre8": pre8}
+
+
+def _align8_blocks(offs):
+    """Trace-time layout of the align8 gather operand: class blocks in
+    ascending lane-shift order; within a class, corners ascending.
+    Returns [(shift, [bases], [corner js])]; the operand row block at
+    position p (8 rows each) holds corner js-flattened[p]'s (Wh; Wl;
+    pad) and _align8_operator permutes the constant's columns to
+    match."""
+    classes = {}
+    for j, o in enumerate(offs):
+        classes.setdefault(o % 128, []).append(j)
+    out = []
+    for s in sorted(classes):
+        js = classes[s]
+        out.append((s, [offs[j] - s for j in js], js))
+    return out
+
+
+def _align8_operator(am_np, offs, out8=False):
+    """[M, 128] bf16 MXU constant for the align8 gather (see _modes):
+    block position p covers X rows 8p+(0:3) = Wh and 8p+(3:6) = Wl of
+    its corner, duplicated at rows 64+8p+... by the [X8; X8] stack;
+    columns 0:64 carry (Ah, Ah) and 64:128 carry (Al, Al), so one
+    K=128 dot yields Ah*Wh + Ah*Wl + Al*Wh + Al*Wl — the b4 split
+    product (~2^-20 relative force error, tighter than the b3
+    default it replaces) in a single MXU pass.
+
+    out8: additionally permute the OUTPUT rows into 8-row-per-corner
+    slots in the same class-block order (row 8p+c = force comp c of
+    block position p's corner, rows 8p+3:8p+8 zero), each 24-row
+    operator group expanding to 64 rows.  The scatter then rolls whole
+    aligned class blocks and every per-corner extraction lands at
+    sublane offset 0 — no relayouts (see the s8 scatter in
+    _make_kernel)."""
+    import ml_dtypes
+    A = np.asarray(am_np, np.float32)
+    if out8:
+        ng = A.shape[0] // 24
+        P = np.zeros((64 * ng, A.shape[0]), np.float32)
+        p = 0
+        for s, bases, js in _align8_blocks(offs):
+            for j in js:
+                for g in range(ng):
+                    for c in range(3):
+                        P[64 * g + 8 * p + c, 24 * g + 3 * j + c] = 1.0
+                p += 1
+        A = P @ A
+    Ah = A.astype(ml_dtypes.bfloat16)
+    Al = (A - Ah.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    out = np.zeros((A.shape[0], 128), ml_dtypes.bfloat16)
+    p = 0
+    for s, bases, js in _align8_blocks(offs):
+        for j in js:
+            for (half, base) in ((Ah, 0), (Al, 64)):
+                out[:, base + 8 * p:base + 8 * p + 3] = \
+                    half[:, 3 * j:3 * j + 3]
+                out[:, base + 8 * p + 3:base + 8 * p + 6] = \
+                    half[:, 3 * j:3 * j + 3]
+            p += 1
+    return out
+
+
 def _gather_windows(load, offs, c0, W0, roll):
     """Per-corner rolled gather windows, minimizing vector work:
 
@@ -311,15 +420,14 @@ def _use_mxu() -> bool:
 def _kernel_mode(B, chunk=None):
     """(C, packed) sub-chunk width and dataflow mode.
 
-    Elastic default 16384 (2 sub-chunks per 32768 tile): fewer
-    unrolled chunk bodies amortize the per-chunk gather/scatter
-    overheads (measured +5-8% over 4096 and much faster Mosaic
-    compiles; 32768 is VMEM-tight and measures no better).  The BKT
+    Elastic default 8192 (4 sub-chunks per 32768 tile): with the
+    align8+pre8 dataflow the chunk size barely matters (8k/16k within
+    1%); 8192 keeps Mosaic compiles fast and VMEM headroom wide.  The BKT
     kernels keep their own 4096 default — their conv streams raise
     the per-chunk VMEM footprint."""
     import os
     if chunk is None:
-        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 16384))
+        chunk = int(os.environ.get("HT_PALLAS_CHUNK", 8192))
     packed = os.environ.get("HT_PALLAS_PACKED", "1") != "0"
     C = min(chunk, B)
     # user-set HT_PALLAS_TILE widths need not be a multiple of the
@@ -383,11 +491,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     CLASSES = {}
     for j, o in enumerate(offs):
         CLASSES.setdefault(o % 128, []).append(j)
-    staged = packed and tier in ("ubeta", "umat")
+    modes = _modes(tier, dtype, packed)
+    staged = modes["staged"]
     # measured ~10% slower than per-chunk rolls on v5e (the
     # tile-wide roll + scratch round-trip outweighs the saved
     # per-chunk rolls); kept as an experiment flag
-    preshift = staged and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1"
+    preshift = modes["preshift"]
     if tier == "umat":
         c1s, c2s, beta_s = kco
         if c1s == 0.0:                  # degenerate: no fold possible
@@ -467,15 +576,25 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         mxu_mode, jax.lax.Precision.DEFAULT)
     # staged-bf16 gather: Wh/Wl split once per tile (see
     # _bf16_gather_mode); must agree with the builders' scratch dtype
-    bf16g = (staged and not preshift and gather_concat and use_mxu
-             and not ablate
-             and _bf16_gather_mode(tier, dtype, mxu_mode))
+    bf16g = modes["bf16g"] and use_mxu
+    # 8-row-aligned gather + K=128 b4 MXU operand (see _modes)
+    align8 = modes["align8"] and use_mxu
+    s8 = modes["s8"] and use_mxu
+    pre8 = modes["pre8"] and use_mxu
+    A8B = _align8_blocks(offs) if align8 else None
     M1d, M2d = stiffness_matrices_24()
     if tier == "umat":
         am_np = np.zeros((48, 24))
         am_np[:24] = -(c1s * M1d + c2s * M2d)
     else:
         am_np = np.concatenate([-M1d, -M2d])
+    if align8:
+        # the streamed constant IS the column-permuted bf16 split pair
+        am_dev = jnp.asarray(
+            _align8_operator(am_np[:24] if tier == "umat" else am_np,
+                             offs, out8=s8), jnp.bfloat16)
+    else:
+        am_dev = jnp.asarray(am_np, dtype)
 
     def bf24(U):
         for k in range(3):
@@ -503,6 +622,13 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         @pl.when(t == 0)
         def _():
             tail[...] = jnp.zeros_like(tail)
+            if align8:
+                # align8 pad rows: multiplied by zero constant columns,
+                # but uninitialized VMEM could hold NaN bit patterns
+                # (MXU nan*0 = nan) — zero once; rows 0:6 are restaged
+                # per tile, 6:8 never written again
+                scr_s[6:8, :] = jnp.zeros(
+                    (2, B + o7 + 128), jnp.bfloat16)
 
         nf[...] = jnp.zeros_like(nf)
         cmv = cm[...]
@@ -538,6 +664,12 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 sv = scr_s[...]
                 for k, s in enumerate(NR):
                     scr_sv[3 * k:3 * k + 3] = roll(sv, L - s)
+            if pre8:
+                # tile-wide class pre-rolls of the whole staged 8-row
+                # bf16 block: per-chunk gathers become aligned slices
+                sv = scr_s[...]
+                for k, s in enumerate(NR):
+                    scr_sv[8 * k:8 * k + 8] = roll(sv, L - s)
 
         def region(start):
             """[6, W0] stacked (u; u-up) at 128-aligned offset start,
@@ -564,6 +696,25 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 F = f24
                 if ablate == "noscatter":
                     nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + F[0:3]
+                    continue
+                if s8:
+                    # aligned slot scatter (_align8_operator out8): F
+                    # is [64, C] with corner forces in 8-row slots, in
+                    # class-block order — roll whole aligned class
+                    # blocks, every extraction lands at sublane
+                    # offset 0; no relayouts
+                    Fv8 = jnp.concatenate(
+                        [F, jnp.zeros((64, 128), dtype)], axis=1)
+                    rows = {}
+                    p0 = 0
+                    for s, bases, js in A8B:
+                        blk = Fv8[8 * p0:8 * (p0 + len(js))]
+                        if s:
+                            blk = roll(blk, s)
+                        for i, j in enumerate(js):
+                            rows[j] = blk[8 * i:8 * i + 3]
+                        p0 += len(js)
+                    _merged_scatter(nf, rows, offs, c0, W0)
                     continue
                 if scatter_dslice:
                     for j, o in enumerate(offs):
@@ -674,6 +825,39 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 g = scr_s[:, pl.ds(c0, C)]
                 for j in range(8):
                     scr_w[3 * j:3 * j + 3] = g
+            elif pre8:
+                # tile-wide pre-rolled classes (scr_sv): zero per-chunk
+                # rolls, every block an aligned [8, C] bf16 slice
+                cls = {s: k for k, s in enumerate(NR)}
+                blocks = []
+                for s, bases, js in A8B:
+                    for b in bases:
+                        if s == 0:
+                            blocks.append(scr_s[:, pl.ds(c0 + b, C)])
+                        else:
+                            k = 8 * cls[s]
+                            blocks.append(
+                                scr_sv[k:k + 8, pl.ds(c0 + b, C)])
+                wv = jnp.concatenate(blocks, axis=0)   # [64, C] bf16
+            elif align8:
+                # 8-row-aligned gather (see _modes): the operand is a
+                # concat of WHOLE rolled class blocks — every piece is
+                # an 8-row bf16 block, so no per-corner extraction and
+                # no misaligned-concat relayouts; the constant's
+                # columns are permuted to the block order
+                # (_align8_operator)
+                blocks = []
+                for s, bases, js in A8B:
+                    if s == 0:
+                        for b in bases:
+                            blocks.append(scr_s[:, pl.ds(c0 + b, C)])
+                        continue
+                    parts = [scr_s[:, pl.ds(c0 + b, W0)]
+                             for b in bases]
+                    g = (parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=0))
+                    blocks.append(roll(g, W0 - s)[:, :C])
+                wv = jnp.concatenate(blocks, axis=0)   # [64, C] bf16
             elif gather_concat and use_mxu:
                 # value-concat gather: the rolled windows have
                 # canonical layouts, so the [24, C] MXU operand is
@@ -718,6 +902,24 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             Wv = wv if wv is not None else scr_w[...]
             if ablate == "noop":
                 return Wv * (c1 != 0.0).astype(dtype)
+            if align8:
+                # X = [X8; X8]: K=128, one systolic pass; the b4 split
+                # lives in the constant's column layout
+                if s8 and tier == "umat":
+                    # invalid-element mask on the bf16 operand (exact
+                    # 0/1): the s8 output needs no epilogue mask
+                    Wv = Wv * (c1 != 0.0).astype(jnp.bfloat16)
+                X = jnp.concatenate([Wv, Wv], axis=0)
+                F = jax.lax.dot_general(
+                    amv, X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if s8:
+                    if tier == "umat":
+                        return F                       # [64, C] slots
+                    return F[:64] * c1 + F[64:] * c2   # [64, C] slots
+                if tier == "umat":
+                    return F * (c1 != 0.0).astype(dtype)
+                return F[:24] * c1 + F[24:] * c2
             if isinstance(Wv, tuple):
                 A = amv[:24] if tier == "umat" else amv
                 F = _mxu_dot_presplit(A, Wv[0], Wv[1], mxu_mode)
@@ -781,7 +983,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         return _butterfly(y)   # H symmetric -> inverse = forward
         # (the 1/8 Hadamard normalization is in the coefficients)
 
-    return kernel, am_np
+    return kernel, am_dev
 
 
 def bkt_kappa_zero(bkt) -> bool:
@@ -1723,32 +1925,34 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
                tier="general", kco=None):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
     -> u_next [3, LEN].  tier/kco: see detect_tier."""
-    kernel, am_np = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                                 interpret=interpret, tier=tier, kco=kco)
-    am = jnp.asarray(am_np, dtype)
+    kernel, am = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                              interpret=interpret, tier=tier, kco=kco)
     C, packed = _kernel_mode(B)
-    scr_w = (24, C) if packed else (8, 128)    # unpacked: token-sized
-    scr_f = (24, C + 128) if packed else (8, 128)
-    staged = packed and tier in ("ubeta", "umat")
-    # staged-bf16 gather: (Wh; Wl) bf16 scratch (must mirror
-    # _make_kernel's bf16g predicate)
-    bf16g = (staged and _use_mxu()
-             and os.environ.get("HT_PALLAS_PRESHIFT", "0") != "1"
-             and os.environ.get("HT_PALLAS_GATHER", "concat")
-             == "concat"
-             and not os.environ.get("HT_PALLAS_ABLATE", "")
-             and _bf16_gather_mode(tier, dtype, _mxu_mode()))
+    # scratch shapes mirror the kernel's dataflow modes (_modes);
+    # align8 never touches scr_w/scr_f (value-concat gather + value
+    # scatter) -- token-size them to keep VMEM headroom for big chunks
+    modes = _modes(tier, dtype, packed)
+    live = packed and not (modes["align8"] and _use_mxu())
+    scr_w = (24, C) if live else (8, 128)
+    scr_f = (24, C + 128) if live else (8, 128)
+    staged, bf16g = modes["staged"], modes["bf16g"] and _use_mxu()
+    align8 = modes["align8"] and _use_mxu()
     scr_s_dtype = jnp.bfloat16 if bf16g else dtype
-    scr_s = ((6, B + o7 + 128) if bf16g
-             else (3, B + o7 + 128)) if staged else (8, 128)
+    srows = 8 if align8 else (6 if bf16g else 3)
+    scr_s = (srows, B + o7 + 128) if staged else (8, 128)
     # the preshift scratch is only read when HT_PALLAS_PRESHIFT=1
     # (off by default); keep it token-sized otherwise so it doesn't
     # eat into the 16 MB scoped-VMEM headroom
-    preshift = (staged
-                and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
+    preshift = modes["preshift"]
+    pre8 = modes["pre8"] and _use_mxu()
     nshift = len({o % 128 for o in offs} - {0})
-    scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
-              else (8, 128))
+    if pre8:
+        scr_sv = (8 * nshift, B + o7 + 128)
+        scr_sv_dtype = jnp.bfloat16
+    else:
+        scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
+                  else (8, 128))
+        scr_sv_dtype = dtype
     blk = lambda t: (0, t)
     # the +1-tile halo operand streams only the first hb columns of
     # the next tile (the stencil reach), not a full B-wide block
@@ -1765,14 +1969,14 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
             pl.BlockSpec((3, B), blk),
             pl.BlockSpec((1, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
-            pl.BlockSpec((48, 24), lambda t: (0, 0)),
+            pl.BlockSpec(am.shape, lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((3, B), blk),
         out_shape=jax.ShapeDtypeStruct((3, LEN), dtype),
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM(scr_s, scr_s_dtype),
-                        pltpu.VMEM(scr_sv, dtype),
+                        pltpu.VMEM(scr_sv, scr_sv_dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,
@@ -1786,30 +1990,32 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     S [8, LEN] = (u 0:3, up 3:6) and K [8, LEN] = (c1, c2, beta,
     mass_minusaM, inv_mass).  Halves the physical HBM traffic of
     build_call (see _make_kernel packed_state)."""
-    kernel, am_np = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                                 interpret=interpret, tier=tier, kco=kco,
-                                 packed_state=True)
-    am = jnp.asarray(am_np, dtype)
+    kernel, am = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                              interpret=interpret, tier=tier, kco=kco,
+                              packed_state=True)
     C, packed = _kernel_mode(B)
-    scr_w = (24, C) if packed else (8, 128)
-    scr_f = (24, C + 128) if packed else (8, 128)
-    staged = packed and tier in ("ubeta", "umat")
-    # staged-bf16 gather: (Wh; Wl) bf16 scratch (must mirror
-    # _make_kernel's bf16g predicate)
-    bf16g = (staged and _use_mxu()
-             and os.environ.get("HT_PALLAS_PRESHIFT", "0") != "1"
-             and os.environ.get("HT_PALLAS_GATHER", "concat")
-             == "concat"
-             and not os.environ.get("HT_PALLAS_ABLATE", "")
-             and _bf16_gather_mode(tier, dtype, _mxu_mode()))
+    # scratch shapes mirror the kernel's dataflow modes (_modes);
+    # align8 never touches scr_w/scr_f (value-concat gather + value
+    # scatter) -- token-size them to keep VMEM headroom for big chunks
+    modes = _modes(tier, dtype, packed)
+    live = packed and not (modes["align8"] and _use_mxu())
+    scr_w = (24, C) if live else (8, 128)
+    scr_f = (24, C + 128) if live else (8, 128)
+    staged, bf16g = modes["staged"], modes["bf16g"] and _use_mxu()
+    align8 = modes["align8"] and _use_mxu()
     scr_s_dtype = jnp.bfloat16 if bf16g else dtype
-    scr_s = ((6, B + o7 + 128) if bf16g
-             else (3, B + o7 + 128)) if staged else (8, 128)
-    preshift = (staged
-                and os.environ.get("HT_PALLAS_PRESHIFT", "0") == "1")
+    srows = 8 if align8 else (6 if bf16g else 3)
+    scr_s = (srows, B + o7 + 128) if staged else (8, 128)
+    preshift = modes["preshift"]
+    pre8 = modes["pre8"] and _use_mxu()
     nshift = len({o % 128 for o in offs} - {0})
-    scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
-              else (8, 128))
+    if pre8:
+        scr_sv = (8 * nshift, B + o7 + 128)
+        scr_sv_dtype = jnp.bfloat16
+    else:
+        scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
+                  else (8, 128))
+        scr_sv_dtype = dtype
     blk = lambda t: (0, t)
     # halo operand narrowed to the stencil reach (see build_call)
     hb = _halo_block(B, o7)
@@ -1828,7 +2034,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
             pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
             pl.BlockSpec((8, B), blk),
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
-            pl.BlockSpec((48, 24), lambda t: (0, 0)),
+            pl.BlockSpec(am.shape, lambda t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((8, B), blk),
         out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
@@ -1836,7 +2042,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
                         pltpu.VMEM(scr_s, scr_s_dtype),
-                        pltpu.VMEM(scr_sv, dtype),
+                        pltpu.VMEM(scr_sv, scr_sv_dtype),
                         pltpu.VMEM(scr_w, dtype),
                         pltpu.VMEM(scr_f, dtype)],
         interpret=interpret,

@@ -387,69 +387,21 @@ class MeshPallasTables:
                     base += 1
 
         # ---- reconciliation plan in (array, local) coordinates -------
-        locate = lambda pos: locate_concat(plan, pos)
-
-        K = len(plan.ex_pos)
-        self.K = K
-        self.G = len(plan.grp_node)
-        if K:
-            # order interface entries by concat position = (array,
-            # local): per-array locals become sorted and (on
-            # depth-graded meshes) contiguous, so _Gather runs in
-            # slice mode; ex_seg is then NOT sorted (the segment sum
-            # scatters)
-            order = np.argsort(plan.ex_pos, kind="stable")
-            ex_pos = plan.ex_pos[order]
-            ex_seg = plan.ex_seg[order]
-            ex_arr, ex_loc = locate(ex_pos.astype(np.int64))
-            self.ex_gather = _Gather(ex_arr, ex_loc, NB + 1, K)
-            self.ex_seg = i32(ex_seg)
-            first = np.full(self.G, K, np.int64)
-            np.minimum.at(first, ex_seg, np.arange(K))
-            self.grp_first = i32(first)
-            # per-entry node constants
-            gn = g[ex_pos]
-            self.mass_ex = f(1.0 / tables.inv_mass[gn])[:, None]
-            self.invm_ex = f(tables.inv_mass[gn])[:, None]
-            self.mm_ex = f(tables.mass_minusaM[gn])
-
-        D = len(plan.dn_grp)
-        self.D = D
-        if D:
-            self.dn_grp = i32(plan.dn_grp)
-            self.dn_anc_grp = i32(plan.dn_anc_grp)
-            self.dn_wgt = f(plan.dn_wgt)
-            isdn = np.zeros(self.G, bool)
-            isdn[plan.dn_grp] = True
-            grp2dn = np.zeros(self.G, np.int64)
-            grp2dn[plan.dn_grp] = np.arange(D)
-            m = isdn[ex_seg]
-            self.dnc_k = i32(np.flatnonzero(m))
-            self.dnc_src = i32(grp2dn[ex_seg[m]])
-
-        # ---- sources: group-level vs direct ---------------------------
-        self.src_grp_idx = self.src_grp_rows = None
-        self.src_direct = []
-        if src_ids is not None and len(src_ids):
-            pos = first_concat_copy(plan, src_ids, what="source node")
-            node2grp = -np.ones(plan.mesh.nnum, np.int64)
-            node2grp[plan.grp_node] = np.arange(self.G)
-            gi = node2grp[src_ids]
-            ing = gi >= 0
-            if ing.any():
-                self.src_grp_idx = i32(gi[ing])
-                self.src_grp_rows = i32(np.flatnonzero(ing))
-            dm = ~ing
-            if dm.any():
-                arr, loc = locate(pos[dm])
-                rows = np.flatnonzero(dm)
-                for a in range(NB + 1):
-                    sel = arr == a
-                    if sel.any():
-                        pp = loc[sel]
-                        iv = (tables.inv_mass[g[pos[dm][sel]]])
-                        self.src_direct.append(
-                            (a, i32(pp), i32(rows[sel]), f(iv)[:, None]))
+        ep = interface_epilogue_consts(plan, tables, src_ids, dtype)
+        self.K, self.G, self.D = ep["K"], ep["G"], ep["D"]
+        if self.K:
+            self.ex_gather = _Gather(ep["ex_arr"], ep["ex_loc"],
+                                     NB + 1, self.K)
+            for k in ("ex_seg", "grp_first", "mass_ex", "invm_ex",
+                      "mm_ex"):
+                setattr(self, k, ep[k])
+        if self.D:
+            for k in ("dn_grp", "dn_anc_grp", "dn_wgt", "dnc_k",
+                      "dnc_src"):
+                setattr(self, k, ep[k])
+        self.src_grp_idx = ep["src_grp_idx"]
+        self.src_grp_rows = ep["src_grp_rows"]
+        self.src_direct = ep["src_direct"]
 
         # ---- stations --------------------------------------------------
         self.st = None
@@ -457,9 +409,78 @@ class MeshPallasTables:
             st_nodes = np.asarray(st_nodes)
             pos = first_concat_copy(plan, st_nodes,
                                     what="station node")
-            arr, loc = locate(pos)
+            arr, loc = locate_concat(plan, pos)
             self.st = (_Gather(arr, loc, NB + 1, st_nodes.size),
                        st_nodes.shape, f(st_phi))
+
+
+def interface_epilogue_consts(plan, tables, src_ids, dtype):
+    """Device constants of the index-based interface reconciliation
+    (compute_adjust semantics, psolve.c:5936-6039): per-copy gather
+    coordinates, group segments, per-entry node masses, the dangling
+    distribute/assign tables, and the group/direct source split.
+    Shared by the single-chip multi-brick path (MeshPallasTables) and
+    the multi-chip general graded path (parallel/gmesh.py)."""
+    f = lambda x: jnp.asarray(x, dtype)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    g = plan.gnid_cat
+    NB = len(plan.bricks)
+    out = {"K": len(plan.ex_pos), "G": len(plan.grp_node),
+           "D": len(plan.dn_grp), "src_grp_idx": None,
+           "src_grp_rows": None, "src_direct": []}
+    K, G, D = out["K"], out["G"], out["D"]
+    ex_seg = None
+    if K:
+        # order interface entries by concat position = (array, local):
+        # per-array locals become sorted and (on depth-graded meshes)
+        # contiguous, so _Gather runs in slice mode; ex_seg is then
+        # NOT sorted (the segment sum scatters)
+        order = np.argsort(plan.ex_pos, kind="stable")
+        ex_pos = plan.ex_pos[order]
+        ex_seg = plan.ex_seg[order]
+        ex_arr, ex_loc = locate_concat(plan, ex_pos.astype(np.int64))
+        out["ex_arr"], out["ex_loc"] = ex_arr, ex_loc
+        out["ex_pos"] = ex_pos
+        out["ex_seg"] = i32(ex_seg)
+        first = np.full(G, K, np.int64)
+        np.minimum.at(first, ex_seg, np.arange(K))
+        out["grp_first"] = i32(first)
+        gn = g[ex_pos]
+        out["mass_ex"] = f(1.0 / tables.inv_mass[gn])[:, None]
+        out["invm_ex"] = f(tables.inv_mass[gn])[:, None]
+        out["mm_ex"] = f(tables.mass_minusaM[gn])
+    if D:
+        out["dn_grp"] = i32(plan.dn_grp)
+        out["dn_anc_grp"] = i32(plan.dn_anc_grp)
+        out["dn_wgt"] = f(plan.dn_wgt)
+        isdn = np.zeros(G, bool)
+        isdn[plan.dn_grp] = True
+        grp2dn = np.zeros(G, np.int64)
+        grp2dn[plan.dn_grp] = np.arange(D)
+        m = isdn[ex_seg]
+        out["dnc_k"] = i32(np.flatnonzero(m))
+        out["dnc_src"] = i32(grp2dn[ex_seg[m]])
+    if src_ids is not None and len(src_ids):
+        pos = first_concat_copy(plan, src_ids, what="source node")
+        node2grp = -np.ones(plan.mesh.nnum, np.int64)
+        node2grp[plan.grp_node] = np.arange(G)
+        gi = node2grp[src_ids]
+        ing = gi >= 0
+        if ing.any():
+            out["src_grp_idx"] = i32(gi[ing])
+            out["src_grp_rows"] = i32(np.flatnonzero(ing))
+        dm = ~ing
+        if dm.any():
+            arr, loc = locate_concat(plan, pos[dm])
+            rows = np.flatnonzero(dm)
+            for a in range(NB + 1):
+                sel = arr == a
+                if sel.any():
+                    pp = loc[sel]
+                    iv = (tables.inv_mass[g[pos[dm][sel]]])
+                    out["src_direct"].append(
+                        (a, i32(pp), i32(rows[sel]), f(iv)[:, None]))
+    return out
 
 
 def locate_concat(plan, pos):

@@ -282,15 +282,17 @@ def test_bkt_conv_basis_conversion_resume(bkt_problem, monkeypatch):
 
 
 def test_bf16_staged_gather_bit_identical(problem, monkeypatch):
-    """HT_PALLAS_BF16GATHER=1 (per-tile staged Wh/Wl split, default off
-    until Mosaic lowers bf16 rolls) is bit-identical to the per-chunk
-    b3 split (same Wh/Wl values) -- f32 interpret mode."""
+    """HT_PALLAS_BF16GATHER=1 (per-tile staged Wh/Wl split) is
+    bit-identical to the per-chunk b3 split (same Wh/Wl values) --
+    f32 interpret mode.  ALIGN8 pinned off: its K=128 operand layout
+    computes the b4 product (covered by test_align8_gather)."""
     p, mesh, tables, plan = problem
     T = 25
     rng = np.random.default_rng(41)
     nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
     forces = rng.standard_normal((T, 2, 3))
     us = {}
+    monkeypatch.setenv("HT_PALLAS_ALIGN8", "0")
     for v in ("1", "0"):
         monkeypatch.setenv("HT_PALLAS_BF16GATHER", v)
         st, _ = run_pallas_solver(plan, tables, nid, forces, T,
@@ -298,5 +300,36 @@ def test_bf16_staged_gather_bit_identical(problem, monkeypatch):
                                   interpret=True)
         us[v] = pallas_u_global(plan, st[0], mesh.nnum)
     monkeypatch.delenv("HT_PALLAS_BF16GATHER")
+    monkeypatch.delenv("HT_PALLAS_ALIGN8")
     assert np.array_equal(us["1"], us["0"])
     assert np.abs(us["0"]).max() > 0
+
+
+def test_align8_gather(problem, monkeypatch):
+    """The default align8 dataflow (8-row-aligned staged gather,
+    K=128 [X8; X8] MXU operand) computes the b4 split product: at
+    least as accurate as the b3 split it replaces, both judged
+    against the exact-f32 HT_MXU_PREC=highest path."""
+    p, mesh, tables, plan = problem
+    T = 25
+    rng = np.random.default_rng(41)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3))
+    us = {}
+    for name, env in (("align8", {"HT_PALLAS_ALIGN8": "1"}),
+                      ("b3", {"HT_PALLAS_ALIGN8": "0"}),
+                      ("exact", {"HT_MXU_PREC": "highest"})):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        st, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32,
+                                  interpret=True)
+        us[name] = pallas_u_global(plan, st[0], mesh.nnum)
+        for k in env:
+            monkeypatch.delenv(k)
+    scale = np.abs(us["exact"]).max()
+    assert scale > 0
+    err8 = np.abs(us["align8"] - us["exact"]).max() / scale
+    err3 = np.abs(us["b3"] - us["exact"]).max() / scale
+    assert err8 <= max(err3, 1e-7) * 1.01
+    assert err8 < 1e-4
