@@ -1,0 +1,737 @@
+"""Distributed (multi-process) meshing: every process refines,
+balances and extracts ONLY its contiguous Z-order block of the
+octree.
+
+This is the TPU-native re-expression of octor's parallel mesher
+(octor.c:4904-5258 octor_partitiontree, :2084-2142
+tree_setdistribution, :4397-4776 the distributed balance ripple):
+instead of point-to-point MPI messages, every coupling is a
+bulk-synchronous NumPy pass + one small allgather of boundary rows
+(ghost probes for the 2:1 balance, corner-ownership rows for the
+node numbering).  Volumes are O(shard surface), not O(mesh).
+
+Key properties:
+
+- The Morton keys are z-most-significant (etree.morton.interleave3),
+  so contiguous key intervals are depth-slabs at the top level — the
+  same decomposition family the slab/gslab solvers use.
+- Numbering is EXACT: per-process owned-node blocks concatenate to
+  the global Z-order node sort and per-process element blocks to the
+  global element sort, so gnids, element order, and the dangling
+  tables are identical to the single-process extract_mesh oracle
+  (tests/test_distmesh.py asserts full equality for 1/2/4/8 ranks).
+- Work decomposition: intervals are chosen from a cheap global coarse
+  pass, weighted by the vsrule refinement estimate
+  (edge*factor/Vs)^3 per coarse leaf — the analogue of octor's
+  weighted tree_setdistribution.
+
+The comm layer is pluggable: JaxComm runs over jax.distributed
+(multihost_utils allgathers, DCN), LocalComm runs P in-process ranks
+on threads for tests and single-host sharding.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..etree import morton
+from ..etree.reader import floor_indices
+from .extract import MeshArrays, _key128
+from .octree import Octree, _children, _neighbor_probes
+
+# ---------------------------------------------------------------------------
+# comm layer
+
+
+class LocalComm:
+    """In-process rank for a P-thread lockstep group (tests,
+    single-host sharding studies).  All methods are collective."""
+
+    def __init__(self, rank, nproc, shared):
+        self.rank, self.nproc = rank, nproc
+        self._sh = shared
+
+    @classmethod
+    def group(cls, nproc):
+        shared = {"barrier": threading.Barrier(nproc),
+                  "boxes": [None] * nproc, "gen": [0]}
+        return [cls(r, nproc, shared) for r in range(nproc)]
+
+    def _sync(self, value):
+        self._sh["boxes"][self.rank] = value
+        self._sh["barrier"].wait()
+        out = list(self._sh["boxes"])
+        self._sh["barrier"].wait()
+        return out
+
+    def allgather_rows(self, arr):
+        """list (per rank) of the 2-D row arrays contributed."""
+        return [np.asarray(a) for a in self._sync(np.asarray(arr))]
+
+    def allreduce_sum(self, v):
+        return sum(self._sync(v))
+
+    def allreduce_max(self, v):
+        return max(self._sync(v))
+
+
+class JaxComm:
+    """jax.distributed-backed comm (multihost_utils allgathers over
+    DCN); one rank per JAX process."""
+
+    def __init__(self):
+        import jax
+        self.rank = jax.process_index()
+        self.nproc = jax.process_count()
+
+    def allgather_rows(self, arr):
+        from jax.experimental import multihost_utils as mh
+        arr = np.ascontiguousarray(arr)
+        assert arr.ndim == 2
+        n = int(np.asarray(mh.process_allgather(
+            np.int64(arr.shape[0]))).max())
+        buf = np.zeros((n, arr.shape[1]), arr.dtype)
+        buf[:arr.shape[0]] = arr
+        full = np.asarray(mh.process_allgather(buf))
+        lens = np.asarray(mh.process_allgather(
+            np.int64(arr.shape[0])))
+        return [full[r, :int(lens[r])] for r in range(self.nproc)]
+
+    def allreduce_sum(self, v):
+        from jax.experimental import multihost_utils as mh
+        return int(np.asarray(mh.process_allgather(np.int64(v))).sum())
+
+    def allreduce_max(self, v):
+        from jax.experimental import multihost_utils as mh
+        return int(np.asarray(mh.process_allgather(np.int64(v))).max())
+
+
+# ---------------------------------------------------------------------------
+# interval table (tree_setdistribution, octor.c:2084-2142)
+
+
+def owner_of(start_hi, start_lo, qhi, qlo):
+    """Owning rank of each query key under the interval table whose
+    rank-r block starts at (start_hi[r], start_lo[r]) (first interval
+    must start at key 0)."""
+    pos = np.searchsorted(_key128(start_hi, start_lo),
+                          _key128(np.asarray(qhi, np.uint64),
+                                  np.asarray(qlo, np.uint64)),
+                          side="right") - 1
+    return pos.astype(np.int64)
+
+
+def choose_intervals(tree: Octree, weights, nproc):
+    """Z-order interval starts [(hi, lo)] from per-leaf work weights:
+    contiguous runs of (sorted) leaves with near-equal total weight —
+    the weighted tree_setdistribution."""
+    assert tree.n >= nproc, \
+        f"coarse tree has {tree.n} leaves < {nproc} ranks"
+    w = np.asarray(weights, np.float64)
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # first leaf index of each rank's block (rank 0 starts at key 0)
+    idx = np.searchsorted(cum, np.arange(1, nproc) * (total / nproc))
+    idx = np.minimum(idx, tree.n - 1)
+    # strictly increasing starts (degenerate weights collapse blocks)
+    idx = np.maximum.accumulate(np.maximum(idx, np.arange(1, nproc)))
+    shi = np.concatenate([[np.uint64(0)], tree.hi[idx]])
+    slo = np.concatenate([[np.uint64(0)], tree.lo[idx]])
+    return shi.astype(np.uint64), slo.astype(np.uint64)
+
+
+def shard_tree(tree: Octree, starts, rank):
+    """The rank's leaf subset as a standalone Octree (records subset
+    returned alongside when given)."""
+    own = owner_of(starts[0], starts[1], tree.hi, tree.lo)
+    sel = own == rank
+    return Octree(hi=tree.hi[sel], lo=tree.lo[sel],
+                  level=tree.level[sel], farendp=tree.farendp,
+                  ticksize=tree.ticksize), sel
+
+
+# ---------------------------------------------------------------------------
+# distributed 2:1 balance (octor.c:4397-4776)
+
+
+def balance_distributed(tree: Octree, starts, comm, max_rounds=64):
+    """Global 2-to-1 balance of the sharded tree: local balance to a
+    fixpoint, then exchange the neighbor probes that leave the local
+    interval; owners split violating leaves; repeat until no rank
+    splits.  Converges to the same (unique, monotone) closure as the
+    serial Octree.balance."""
+    shi, slo = starts
+    for _ in range(max_rounds):
+        tree.balance()                      # local fixpoint (sorts)
+        if tree.n:
+            x, y, z = tree.coords()
+            e = tree.edgeticks()
+            qx, qy, qz = _neighbor_probes(x, y, z, e, tree.farendp)
+            qlv = np.tile(tree.level.astype(np.int64), 26)
+            qhi, qlo = morton.interleave3(qx.astype(np.uint64),
+                                          qy.astype(np.uint64),
+                                          qz.astype(np.uint64))
+            own = owner_of(shi, slo, qhi, qlo)
+            fr = own != comm.rank
+            rows = np.stack([qhi[fr], qlo[fr],
+                             qlv[fr].astype(np.uint64)], axis=1)
+            # dedup (key, level->max) to bound the exchange volume
+            if len(rows):
+                order = np.lexsort((-rows[:, 2].astype(np.int64),
+                                    _key128(rows[:, 0], rows[:, 1])))
+                rows = rows[order]
+                first = np.ones(len(rows), bool)
+                first[1:] = ((rows[1:, 0] != rows[:-1, 0])
+                             | (rows[1:, 1] != rows[:-1, 1]))
+                rows = rows[first]
+        else:
+            rows = np.zeros((0, 3), np.uint64)
+        splits = 0
+        for r, got in enumerate(comm.allgather_rows(rows)):
+            if r == comm.rank or not len(got):
+                continue
+            mine = owner_of(shi, slo, got[:, 0], got[:, 1]) == comm.rank
+            if not mine.any() or tree.n == 0:
+                continue
+            ghi, glo = got[mine, 0], got[mine, 1]
+            glv = got[mine, 2].astype(np.int64)
+            idx = floor_indices(tree.hi, tree.lo, ghi, glo)
+            ok = idx >= 0
+            safe = np.maximum(idx, 0)
+            viol = ok & (tree.level[safe].astype(np.int64) < glv - 1)
+            if not viol.any():
+                continue
+            to_split = np.zeros(tree.n, bool)
+            to_split[safe[viol]] = True
+            splits += int(to_split.sum())
+            ch, cl, clv = _children(tree.hi[to_split],
+                                    tree.lo[to_split],
+                                    tree.level[to_split])
+            tree.hi = np.concatenate([tree.hi[~to_split], ch])
+            tree.lo = np.concatenate([tree.lo[~to_split], cl])
+            tree.level = np.concatenate([tree.level[~to_split], clv])
+            tree.sort()
+        if comm.allreduce_sum(splits) == 0:
+            return
+    raise RuntimeError("distributed balance did not converge")
+
+
+# ---------------------------------------------------------------------------
+# sharded extraction with exact global numbering
+
+
+@dataclass
+class MeshShard:
+    """One rank's mesh block with GLOBAL ids.  Element rows are this
+    rank's Morton interval (global order = rank-concatenation); owned
+    nodes are the global Z-sorted nodes whose key falls in the
+    interval (gnid = gnid0 + local index)."""
+
+    ticksize: float
+    farendp: np.ndarray
+    # local elements, global ids
+    elem_x: np.ndarray
+    elem_y: np.ndarray
+    elem_z: np.ndarray
+    elem_level: np.ndarray
+    elem_lnid: np.ndarray        # [E, 8] GLOBAL node ids (int64)
+    e0: int                      # global index of local element 0
+    e_global: int
+    # owned nodes (Z-sorted within the interval)
+    node_x: np.ndarray
+    node_y: np.ndarray
+    node_z: np.ndarray
+    gnid0: int
+    n_global: int
+    # dangling entries discovered from local coarse elements
+    # (global ids; may duplicate entries of other ranks — gather/merge
+    # dedups with the oracle's edge-over-face precedence)
+    dn_ids: np.ndarray           # [D] int64
+    dn_anchors: np.ndarray       # [D, 4] int64
+    dn_deps: np.ndarray          # [D] int8 (2 = edge, 4 = face)
+    edge_m: np.ndarray = None
+    props: dict = field(default_factory=dict)
+    origin: object = None
+    buildings: object = None
+
+    @property
+    def lenum(self):
+        return len(self.elem_level)
+
+
+def _pack_u64(*cols):
+    return np.stack([np.asarray(c, np.uint64) for c in cols], axis=1)
+
+
+def _corner_keys_clamped(tree: Octree):
+    """[8E] E-major clamped Morton corner keys + real corner coords."""
+    from .. import native
+    x, y, z = tree.coords()
+    e = tree.edgeticks()
+    w = np.arange(8)
+    cx = (x[:, None] + e[:, None] * (w & 1)).ravel()
+    cy = (y[:, None] + e[:, None] * ((w >> 1) & 1)).ravel()
+    cz = (z[:, None] + e[:, None] * ((w >> 2) & 1)).ravel()
+    ck = native.corner_keys(x, y, z, e, tree.farendp)
+    if ck is not None:
+        chi, clo = ck
+    else:
+        chi, clo = morton.interleave3(
+            np.minimum(cx, tree.farendp[0] - 1).astype(np.uint64),
+            np.minimum(cy, tree.farendp[1] - 1).astype(np.uint64),
+            np.minimum(cz, tree.farendp[2] - 1).astype(np.uint64))
+    return chi, clo, cx, cy, cz
+
+
+def extract_mesh_shard(tree: Octree, starts, comm) -> MeshShard:
+    """extract_mesh over one rank's leaf block: local corner dedup,
+    ownership exchange for the node numbering, query exchange for the
+    cross-boundary dangling lookups.  Exchange volume is O(boundary
+    nodes)."""
+    shi_t, slo_t = starts
+    rank = comm.rank
+    x, y, z = tree.coords()
+    lv = tree.level
+    e = tree.edgeticks()
+    E = tree.n
+
+    chi, clo, cx, cy, cz = _corner_keys_clamped(tree)
+    # local unique corners (Z-sorted) + element -> local-unique map
+    order = morton.zorder_argsort(chi, clo)
+    shi, slo = chi[order], clo[order]
+    newgrp = np.ones(len(shi), bool)
+    if len(shi):
+        newgrp[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+    luid_sorted = np.cumsum(newgrp, dtype=np.int64) - 1
+    luid = np.empty(len(shi), np.int64)
+    luid[order] = luid_sorted
+    uhi, ulo = shi[newgrp], slo[newgrp]
+    rep = order[newgrp]
+    ux, uy, uz = cx[rep], cy[rep], cz[rep]      # real coords
+    del chi, clo, shi, slo, order, newgrp, luid_sorted
+
+    own = owner_of(shi_t, slo_t, uhi, ulo)
+    mine = own == rank
+    # ---- ownership exchange: foreign corners -> their owners --------
+    req = _pack_u64(uhi[~mine], ulo[~mine], ux[~mine], uy[~mine],
+                    uz[~mine])
+    recv = []
+    for r, got in enumerate(comm.allgather_rows(req)):
+        if r == rank or not len(got):
+            continue
+        sel = owner_of(shi_t, slo_t, got[:, 0], got[:, 1]) == rank
+        if sel.any():
+            recv.append(got[sel])
+    # owned set = my in-interval corners U received foreign corners
+    parts = [_pack_u64(uhi[mine], ulo[mine], ux[mine], uy[mine],
+                       uz[mine])]
+    if recv:
+        parts += recv
+    ownrows = np.concatenate(parts, axis=0)
+    okeys = _key128(ownrows[:, 0], ownrows[:, 1])
+    oorder = np.argsort(okeys, kind="stable")
+    ownrows = ownrows[oorder]
+    okeys = okeys[oorder]
+    keep = np.ones(len(ownrows), bool)
+    if len(ownrows):
+        keep[1:] = okeys[1:] != okeys[:-1]
+    ownrows = ownrows[keep]
+    okeys = okeys[keep]
+    n_owned = len(ownrows)
+    counts = comm.allgather_rows(
+        np.array([[n_owned]], np.int64))
+    counts = np.array([int(c[0, 0]) for c in counts], np.int64)
+    gnid0 = int(counts[:rank].sum())
+    n_global = int(counts.sum())
+
+    def owned_lookup(qhi, qlo):
+        """gnid of keys known to be in my interval; -1 if absent."""
+        k = _key128(np.asarray(qhi, np.uint64),
+                    np.asarray(qlo, np.uint64))
+        if not n_owned:
+            return np.full(len(k), -1, np.int64)
+        pos = np.searchsorted(okeys, k)
+        pos = np.clip(pos, 0, n_owned - 1)
+        hit = okeys[pos] == k
+        return np.where(hit, pos + gnid0, -1)
+
+    # ---- answer the importers ---------------------------------------
+    if recv:
+        rk = np.concatenate([r[:, :2] for r in recv], axis=0)
+        ans = _pack_u64(rk[:, 0], rk[:, 1],
+                        owned_lookup(rk[:, 0], rk[:, 1]).astype(
+                            np.uint64))
+    else:
+        ans = np.zeros((0, 3), np.uint64)
+    ans_all = [a for a in comm.allgather_rows(ans) if len(a)]
+    # my foreign corners: resolve gnids from the gathered answers
+    gnid_u = np.full(len(uhi), -1, np.int64)
+    gnid_u[mine] = owned_lookup(uhi[mine], ulo[mine])
+    nfor = int((~mine).sum())
+    if nfor:
+        tbl = (np.concatenate(ans_all, axis=0) if ans_all
+               else np.zeros((0, 3), np.uint64))
+        tk = _key128(tbl[:, 0], tbl[:, 1])
+        torder = np.argsort(tk, kind="stable")
+        tk, tg = tk[torder], tbl[torder, 2].astype(np.int64)
+        fk = _key128(uhi[~mine], ulo[~mine])
+        pos = np.searchsorted(tk, fk)
+        pos = np.clip(pos, 0, max(len(tk) - 1, 0))
+        ok = (tk[pos] == fk) if len(tk) else np.zeros(len(fk), bool)
+        if not ok.all():
+            raise RuntimeError(
+                "distributed extract: foreign corner unanswered by "
+                "its owner (interval table inconsistent)")
+        gnid_u[~mine] = tg[pos]
+    assert (gnid_u >= 0).all()
+    elem_lnid = gnid_u[luid].reshape(E, 8)
+
+    # element block offsets (global element order = rank order)
+    ecounts = comm.allgather_rows(np.array([[E]], np.int64))
+    ecounts = np.array([int(c[0, 0]) for c in ecounts], np.int64)
+    e0 = int(ecounts[:rank].sum())
+
+    # ---- dangling classification (cross-boundary queries) -----------
+    lmax = comm.allreduce_max(int(lv.max()) if E else 0)
+    big = (e >= 2) & (lv.astype(np.int64) < lmax)
+    bx, by, bz, be = x[big], y[big], z[big], e[big]
+    h = be // 2
+    far = tree.farendp
+
+    # candidate rows: (qx, qy, qz) probe + up to 4 anchor CORNERS of
+    # the big element, all as clamped keys (anchors are local corners
+    # => resolvable via gnid map; probes may be remote)
+    def key_of(ax, ay, az):
+        return morton.interleave3(
+            np.minimum(ax, far[0] - 1).astype(np.uint64),
+            np.minimum(ay, far[1] - 1).astype(np.uint64),
+            np.minimum(az, far[2] - 1).astype(np.uint64))
+
+    # local key -> gnid over EVERYTHING this rank knows (its unique
+    # corners); probes not found here go to the query exchange
+    ukeys = _key128(uhi, ulo)
+    uorder = np.argsort(ukeys, kind="stable")
+    ukeys_s = ukeys[uorder]
+    ugnid_s = gnid_u[uorder]
+
+    def known_lookup(qhi, qlo):
+        k = _key128(np.asarray(qhi, np.uint64),
+                    np.asarray(qlo, np.uint64))
+        if not len(ukeys_s):
+            miss = np.zeros(len(k), bool)
+            return np.full(len(k), -1, np.int64), miss
+        pos = np.searchsorted(ukeys_s, k)
+        pos = np.clip(pos, 0, len(ukeys_s) - 1)
+        hit = ukeys_s[pos] == k
+        return np.where(hit, ugnid_s[pos], -1), hit
+
+    probes = []      # (qhi, qlo, anchors [4] gnid, deps)
+    if len(bx):
+        # 12 edge midpoints (deps=2) then 6 face centers (deps=4):
+        # same candidate geometry as extract_mesh
+        for axis in range(3):
+            for f1 in (0, 1):
+                for f2 in (0, 1):
+                    off = [None, None, None]
+                    a, b_ = (axis + 1) % 3, (axis + 2) % 3
+                    off[axis] = h
+                    off[a] = f1 * be
+                    off[b_] = f2 * be
+                    qx, qy, qz = bx + off[0], by + off[1], bz + off[2]
+                    lo_off = list(off)
+                    hi_off = list(off)
+                    lo_off[axis] = 0 * be
+                    hi_off[axis] = be
+                    a1 = key_of(bx + lo_off[0], by + lo_off[1],
+                                bz + lo_off[2])
+                    a2 = key_of(bx + hi_off[0], by + hi_off[1],
+                                bz + hi_off[2])
+                    g1, _ = known_lookup(*a1)
+                    g2, _ = known_lookup(*a2)
+                    probes.append((key_of(qx, qy, qz),
+                                   np.stack([g1, g2,
+                                             np.full_like(g1, -1),
+                                             np.full_like(g1, -1)],
+                                            axis=1), 2))
+        for axis in range(3):
+            for f in (0, 1):
+                off = [h, h, h]
+                off[axis] = f * be
+                qx, qy, qz = bx + off[0], by + off[1], bz + off[2]
+                anc = []
+                a, b_ = (axis + 1) % 3, (axis + 2) % 3
+                for c1 in (0, 1):
+                    for c2 in (0, 1):
+                        co = [None, None, None]
+                        co[axis] = f * be
+                        co[a] = c1 * be
+                        co[b_] = c2 * be
+                        g, _ = known_lookup(*key_of(
+                            bx + co[0], by + co[1], bz + co[2]))
+                        anc.append(g)
+                probes.append((key_of(qx, qy, qz),
+                               np.stack(anc, axis=1), 4))
+
+    # resolve probe existence: local first, remote for the rest
+    pend_keys = []
+    pend_tag = []
+    resolved = []    # (nid, anchors, deps) arrays
+    for i, ((phi, plo), anchors, deps) in enumerate(probes):
+        gk, hit = known_lookup(phi, plo)
+        ow = owner_of(shi_t, slo_t, phi, plo)
+        local = ow == rank
+        # in my interval the OWNED set is authoritative (it includes
+        # nodes contributed only by other ranks' elements); outside,
+        # my corner map may still resolve (corners of my elements)
+        g = np.where(local, owned_lookup(phi, plo), gk)
+        take = g >= 0
+        resolved.append((g[take], anchors[take], deps))
+        rem = ~local & ~hit
+        if rem.any():
+            pend_keys.append(_pack_u64(phi[rem], plo[rem]))
+            pend_tag.append((i, np.flatnonzero(rem)))
+    qrows = (np.concatenate(pend_keys, axis=0) if pend_keys
+             else np.zeros((0, 2), np.uint64))
+    # remote existence queries (dedup per rank)
+    if len(qrows):
+        qk = _key128(qrows[:, 0], qrows[:, 1])
+        qorder = np.argsort(qk, kind="stable")
+        qs = qrows[qorder]
+        qku = qk[qorder]
+        kp = np.ones(len(qs), bool)
+        kp[1:] = qku[1:] != qku[:-1]
+        qsend = qs[kp]
+    else:
+        qsend = qrows
+    qans = []
+    for r, got in enumerate(comm.allgather_rows(qsend)):
+        if r == rank or not len(got):
+            continue
+        sel = owner_of(shi_t, slo_t, got[:, 0], got[:, 1]) == rank
+        if sel.any():
+            g = owned_lookup(got[sel, 0], got[sel, 1])
+            qans.append(_pack_u64(got[sel, 0], got[sel, 1],
+                                  g.astype(np.uint64)))
+    qans = (np.concatenate(qans, axis=0) if qans
+            else np.zeros((0, 3), np.uint64))
+    atbl = [a for a in comm.allgather_rows(qans) if len(a)]
+    if atbl:
+        tbl = np.concatenate(atbl, axis=0)
+        tk = _key128(tbl[:, 0], tbl[:, 1])
+        torder = np.argsort(tk, kind="stable")
+        tk, tg = tk[torder], tbl[torder, 2].astype(np.int64)
+    else:
+        tk = np.zeros(0, "S16")
+        tg = np.zeros(0, np.int64)
+
+    for (i, rows), keys in zip(pend_tag, pend_keys):
+        if not len(tk):
+            break
+        k = _key128(keys[:, 0], keys[:, 1])
+        pos = np.searchsorted(tk, k)
+        pos = np.clip(pos, 0, len(tk) - 1)
+        ok = tk[pos] == k
+        g = np.where(ok, tg[pos], -1)
+        found = g >= 0
+        if found.any():
+            (phi, plo), anchors, deps = probes[i]
+            resolved.append((g[found], anchors[rows][found], deps))
+
+    # assemble dn rows, edge (deps=2) classification beating face
+    # (deps=4) — extract_mesh processes all edge candidates before
+    # faces with first-wins, and remote-resolved entries here arrive
+    # out of that order
+    best = {}
+    for g, anc, deps in resolved:
+        for nid, arow in zip(g, anc):
+            nid = int(nid)
+            if nid in best and not (deps == 2 and best[nid][1] == 4):
+                continue
+            if (arow[:deps] < 0).any():
+                raise RuntimeError(
+                    f"dangling node {nid}: anchor corner missing "
+                    f"from mesh")
+            best[nid] = (arow, deps)
+    D = len(best)
+    dn_ids = np.fromiter(best.keys(), np.int64, count=D)
+    dn_anchors = (np.stack([v[0] for v in best.values()], axis=0)
+                  if D else np.zeros((0, 4), np.int64))
+    dn_anchors = np.where(dn_anchors < 0, 0, dn_anchors)
+    dn_deps = np.array([v[1] for v in best.values()], np.int8)
+
+    return MeshShard(
+        ticksize=tree.ticksize, farendp=tree.farendp,
+        elem_x=x.astype(np.int32), elem_y=y.astype(np.int32),
+        elem_z=z.astype(np.int32), elem_level=lv.copy(),
+        elem_lnid=elem_lnid, e0=e0, e_global=int(ecounts.sum()),
+        node_x=ownrows[:, 2].astype(np.int64),
+        node_y=ownrows[:, 3].astype(np.int64),
+        node_z=ownrows[:, 4].astype(np.int64),
+        gnid0=gnid0, n_global=n_global,
+        dn_ids=dn_ids, dn_anchors=dn_anchors, dn_deps=dn_deps,
+        edge_m=np.asarray(e, np.float64) * tree.ticksize,
+    )
+
+
+def gather_mesh(shard: MeshShard, comm) -> MeshArrays:
+    """Reassemble the global MeshArrays from the shards (validation /
+    downstream paths that still need the global view).  Exact: equals
+    the single-process extract_mesh output."""
+    c = comm.allgather_rows
+    erows = np.concatenate(c(np.stack(
+        [shard.elem_x.astype(np.int64),
+         shard.elem_y.astype(np.int64),
+         shard.elem_z.astype(np.int64),
+         shard.elem_level.astype(np.int64)], axis=1)), axis=0)
+    lnid = np.concatenate(c(shard.elem_lnid.astype(np.int64)), axis=0)
+    nrows = np.concatenate(c(np.stack(
+        [shard.node_x.astype(np.int64),
+         shard.node_y.astype(np.int64),
+         shard.node_z.astype(np.int64)], axis=1)), axis=0)
+    dnr = np.concatenate(c(np.concatenate(
+        [shard.dn_ids[:, None], shard.dn_anchors,
+         shard.dn_deps[:, None].astype(np.int64)],
+        axis=1).astype(np.int64)), axis=0)
+    N = len(nrows)
+    # dedup dn rows: edge (deps=2) beats face (deps=4), else first
+    dn_ids_l, dn_anc, dn_w = [], [], []
+    best = {}
+    for row in dnr:
+        nid, deps = int(row[0]), int(row[5])
+        if nid in best and not (deps == 2 and best[nid][1] == 4):
+            continue
+        best[nid] = (row[1:5], deps)
+    for nid in sorted(best):             # deterministic rank order
+        anc, deps = best[nid]
+        dn_ids_l.append(nid)
+        a = np.zeros(4, np.int64)
+        w = np.zeros(4, np.float64)
+        a[:deps] = anc[:deps]
+        w[:deps] = 1.0 / deps
+        dn_anc.append(a)
+        dn_w.append(w)
+    D = len(dn_ids_l)
+    dn_ids = np.array(dn_ids_l, np.int32)
+    dn_anchors = (np.stack(dn_anc, axis=0).astype(np.int32) if D
+                  else np.zeros((0, 4), np.int32))
+    dn_weights = (np.stack(dn_w, axis=0) if D
+                  else np.zeros((0, 4), np.float64))
+    dangling = np.zeros(N, bool)
+    dangling[dn_ids] = True
+    if D and dangling[dn_anchors[dn_weights > 0]].any():
+        raise RuntimeError("dangling node anchored to a dangling "
+                           "node; mesh is not 2:1 balanced")
+    mesh = MeshArrays(
+        ticksize=shard.ticksize, farendp=shard.farendp,
+        elem_x=erows[:, 0].astype(np.int32),
+        elem_y=erows[:, 1].astype(np.int32),
+        elem_z=erows[:, 2].astype(np.int32),
+        elem_level=erows[:, 3].astype(np.uint8),
+        elem_lnid=lnid.astype(np.int32),
+        node_x=nrows[:, 0].astype(np.int32),
+        node_y=nrows[:, 1].astype(np.int32),
+        node_z=nrows[:, 2].astype(np.int32),
+        dangling=dangling, dn_ids=dn_ids, dn_anchors=dn_anchors,
+        dn_weights=dn_weights,
+        edge_m=np.concatenate(c(shard.edge_m[:, None]),
+                              axis=0)[:, 0],
+    )
+    if shard.props:
+        mesh.props = {k: np.concatenate(
+            c(np.asarray(v)[:, None]), axis=0)[:, 0]
+            for k, v in shard.props.items()}
+    mesh.origin = shard.origin
+    mesh.buildings = shard.buildings
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+
+
+def generate_mesh_shard(params, cvm, comm, buildings=None,
+                        coarse_leaves_per_rank=64,
+                        verbose=False) -> MeshShard:
+    """generate_mesh with every stage sharded: a cheap identical
+    coarse pass on every rank fixes the interval table, then each rank
+    refines / balances / extracts only its block (meshgen.py pipeline,
+    psolve.c:1921-2176 semantics)."""
+    from ..material import (MeshOrigin, correct_properties,
+                            make_setrec, make_toexpand)
+
+    origin = MeshOrigin.from_params(params, cvm.ctl)
+    tree = Octree.newtree(params.region_length_north_m,
+                          params.region_length_east_m,
+                          params.region_depth_deep_m)
+    setrec = make_setrec(cvm, params, origin, buildings=buildings)
+    toexpand = make_toexpand(params, buildings=buildings)
+
+    # ---- identical global coarse pass on every rank -----------------
+    # geometric: split until there are enough leaves to partition
+    target = max(comm.nproc * coarse_leaves_per_rank, 8)
+    while tree.n < target:
+        lmin = int(tree.level.min())
+        tree.refine(lambda tr, hi, lo, lv: {},
+                    lambda tr, hi, lo, lv, rec, _l=lmin:
+                    lv <= _l)
+    tree.balance()
+    rec = setrec(tree, tree.hi, tree.lo, tree.level)
+    # vsrule work estimate per coarse leaf: the number of final
+    # elements it will refine into, (edge * factor / Vs)^3 clamped
+    ratio = np.maximum(rec["edgesize"] * params.factor
+                       / np.maximum(rec["Vs"], 1e-9), 1.0)
+    weights = ratio ** 3
+    starts = choose_intervals(tree, weights, comm.nproc)
+    tree, sel = shard_tree(tree, starts, comm.rank)
+
+    # ---- sharded progressive refine + distributed balance -----------
+    steps = max(0, int(params.step_meshing))
+    rec = None
+    for mstep_pow in range(steps, -1, -1):
+        mstep = 1 << mstep_pow
+        scale = 1.0 / mstep
+        if mstep == 1:
+            te = toexpand
+        else:
+            def te(tree_, hi, lo, lv, rec_, _s=scale):
+                return (rec_["edgesize"]
+                        > rec_["Vs"] / (params.factor * _s))
+        rec = tree.refine(setrec, te)
+        balance_distributed(tree, starts, comm)
+        if verbose:
+            print(f"  [rank {comm.rank}] meshing step x{mstep}: "
+                  f"{tree.n} leaves")
+
+    if buildings is not None:
+        rec = setrec(tree, tree.hi, tree.lo, tree.level)
+        tree.carve(buildings.carve_mask(rec))
+
+    shard = extract_mesh_shard(tree, starts, comm)
+    # per-shard material pass (the 27-point requery runs on local
+    # elements only — the distributed analogue of psolve.c:7104-7331)
+    correct_properties(shard, cvm, params, origin,
+                       buildings=buildings)
+    shard.origin = origin
+    shard.buildings = buildings
+    return shard
+
+
+def generate_mesh_distributed(params, cvm, comm=None, buildings=None,
+                              verbose=False) -> MeshArrays:
+    """Drop-in generate_mesh replacement for multi-process runs: each
+    process meshes only its Z-order block, then the global MeshArrays
+    is assembled from O(shard)-sized allgathers (no host ever builds
+    the tree, node sort, or dangling tables alone, and no pickle
+    broadcast of a full host-0 mesh)."""
+    if comm is None:
+        comm = JaxComm()
+    if comm.nproc == 1:
+        from ..meshgen import generate_mesh
+        return generate_mesh(params, cvm, buildings=buildings,
+                             verbose=verbose)
+    shard = generate_mesh_shard(params, cvm, comm,
+                                buildings=buildings, verbose=verbose)
+    return gather_mesh(shard, comm)

@@ -130,6 +130,8 @@ class Octree:
         Returns the final per-leaf records (aligned with sorted leaves).
         """
         hi, lo, lv = self.hi, self.lo, self.level
+        if not len(lv):                  # empty shard (distributed)
+            return {}
         done_h, done_l, done_v = [], [], []
         rec_parts = []
         total = 0

@@ -8,11 +8,13 @@ point-to-point.  The TPU-native shape is: one JAX process per host,
 whose slab axis spans every host's chips (ICI inside a slice, DCN
 across hosts), and the SAME shard_map slab step as single-host runs --
 XLA routes the per-step plane `ppermute`s over whichever fabric
-connects neighboring shards.  Meshing stays host-side: process 0 runs
-the octree pipeline once and broadcasts the mesh arrays (the TPU
-equivalent of the reference's PE0 parse-and-broadcast pattern,
-psolve.c:367-483), so every process builds identical slab tables and
-feeds its own device shards through `jax.make_array_from_callback`.
+connects neighboring shards.  Meshing stays host-side and SHARDED:
+every process refines/balances/extracts only its Z-order block
+(mesh/distributed.py, octor_partitiontree semantics), so no host
+builds or broadcasts the global tree; `broadcast_from_host0` remains
+for small config objects (the reference's PE0 parse-and-broadcast,
+psolve.c:367-483).  Each process feeds its own device shards through
+`jax.make_array_from_callback`.
 
 Every entry point here is process-count agnostic: with one process the
 same code runs unchanged on a local multi-device mesh.  The test suite
@@ -314,11 +316,15 @@ def main(argv=None):
     cvmdb, physics_in, numerical_in = args.inputs[:3]
     params = load_params(physics_in, numerical_in)
 
-    if pid == 0:
+    if nproc == 1:
         mesh = generate_mesh(params, CVM(cvmdb))
     else:
-        mesh = None
-    mesh = broadcast_from_host0(mesh)
+        # sharded meshing (mesh/distributed.py): every process
+        # refines/balances/extracts only its Z-order block — no
+        # host-0 global mesh, no pickle broadcast (octor.c:4904-5258
+        # octor_partitiontree semantics)
+        from ..mesh.distributed import generate_mesh_distributed
+        mesh = generate_mesh_distributed(params, CVM(cvmdb))
 
     tables = assemble(mesh, params)
     sm = SourceModel.parse(params)

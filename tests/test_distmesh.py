@@ -1,0 +1,159 @@
+"""Distributed meshing (mesh/distributed.py): each rank refines,
+balances and extracts only its Z-order block; the gathered result
+must EXACTLY equal the single-process extract_mesh oracle
+(octor.c:4904-5258 / :4397-4776 semantics via bulk-synchronous
+boundary exchanges).
+
+LocalComm drives P in-process ranks on threads; the real-process DCN
+path (JaxComm) shares every algorithm and is exercised by the
+2-process jax.distributed test in test_multihost.py.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from hercules_tpu.etree import morton
+from hercules_tpu.mesh import Octree, extract_mesh
+from hercules_tpu.mesh.distributed import (LocalComm,
+                                           balance_distributed,
+                                           choose_intervals,
+                                           extract_mesh_shard,
+                                           gather_mesh,
+                                           generate_mesh_shard,
+                                           owner_of, shard_tree)
+
+SIMPLE = "/root/reference/examples/simple"
+
+
+def run_ranks(nproc, fn):
+    """Run fn(comm) on P lockstep threads; propagate the first
+    failure (aborting the barrier so peers don't deadlock)."""
+    comms = LocalComm.group(nproc)
+    results = [None] * nproc
+    errs = []
+
+    def worker(r):
+        try:
+            results[r] = fn(comms[r])
+        except BaseException as e:   # noqa: BLE001 - test harness
+            errs.append((r, e))
+            comms[r]._sh["barrier"].abort()
+
+    ts = [threading.Thread(target=worker, args=(r,))
+          for r in range(nproc)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0][1]
+    return results
+
+
+def _graded_te(tr, hi, lo, lv, rec):
+    """Graded criterion: level 5 in a z-slab and an x-corner, 4
+    elsewhere (>= the coarse-pass depth so the sharded pipeline's
+    initial geometric refinement matches the oracle's leaf set)."""
+    x, y, z = morton.deinterleave3(hi, lo)
+    fine = (z < (1 << 28)) | ((x > (1 << 29)) & (y < (1 << 28)))
+    return lv < np.where(fine, 5, 4)
+
+
+def _oracle():
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+    tree.refine(lambda tr, hi, lo, lv: {}, _graded_te)
+    tree.balance()
+    return tree
+
+
+@pytest.mark.parametrize("nproc", [2, 3, 4, 8])
+def test_distributed_mesh_equals_oracle(nproc):
+    """refine/balance/extract sharded over P ranks == the global
+    pipeline, bit-for-bit (elements, node numbering, dangling
+    tables)."""
+    otree = _oracle()
+    ref = extract_mesh(otree)
+
+    def build(comm):
+        tree = Octree.newtree(1000.0, 1000.0, 500.0)
+        # identical coarse pass on every rank (geometric, level 3)
+        while tree.n < 4 * comm.nproc:
+            lmin = int(tree.level.min())
+            tree.refine(lambda tr, hi, lo, lv: {},
+                        lambda tr, hi, lo, lv, rec, _l=lmin:
+                        lv <= _l)
+        starts = choose_intervals(tree, np.ones(tree.n), comm.nproc)
+        tree, _ = shard_tree(tree, starts, comm.rank)
+        tree.refine(lambda tr, hi, lo, lv: {}, _graded_te)
+        balance_distributed(tree, starts, comm)
+        shard = extract_mesh_shard(tree, starts, comm)
+        # every rank holds only its block
+        assert shard.lenum < ref.lenum
+        assert len(shard.node_x) < ref.nnum
+        return gather_mesh(shard, comm)
+
+    meshes = run_ranks(nproc, build)
+    for m in meshes:
+        np.testing.assert_array_equal(m.elem_x, ref.elem_x)
+        np.testing.assert_array_equal(m.elem_y, ref.elem_y)
+        np.testing.assert_array_equal(m.elem_z, ref.elem_z)
+        np.testing.assert_array_equal(m.elem_level, ref.elem_level)
+        np.testing.assert_array_equal(m.elem_lnid, ref.elem_lnid)
+        np.testing.assert_array_equal(m.node_x, ref.node_x)
+        np.testing.assert_array_equal(m.node_y, ref.node_y)
+        np.testing.assert_array_equal(m.node_z, ref.node_z)
+        np.testing.assert_array_equal(m.dangling, ref.dangling)
+        # dn tables: same entries (oracle order is dict-insertion)
+        oo = np.argsort(ref.dn_ids, kind="stable")
+        np.testing.assert_array_equal(m.dn_ids, ref.dn_ids[oo])
+        np.testing.assert_array_equal(m.dn_anchors,
+                                      ref.dn_anchors[oo])
+        np.testing.assert_array_equal(m.dn_weights,
+                                      ref.dn_weights[oo])
+        np.testing.assert_allclose(m.edge_m, ref.edge_m)
+
+
+def test_owner_of_intervals():
+    starts_hi = np.array([0, 5, 9], np.uint64)
+    starts_lo = np.array([0, 0, 7], np.uint64)
+    qhi = np.array([0, 4, 5, 5, 9, 9, 12], np.uint64)
+    qlo = np.array([0, 99, 0, 1, 6, 7, 0], np.uint64)
+    np.testing.assert_array_equal(
+        owner_of(starts_hi, starts_lo, qhi, qlo),
+        [0, 0, 1, 1, 1, 2, 2])
+
+
+def test_generate_mesh_shard_simple_cvm():
+    """The full sharded pipeline (coarse pass -> interval table ->
+    sharded progressive refine -> distributed balance -> sharded
+    extract + per-shard 27-point material pass) against generate_mesh
+    on the simple reference case."""
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.meshgen import generate_mesh
+
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    ref = generate_mesh(p, cvm)
+
+    def build(comm):
+        cvm_r = CVM(f"{SIMPLE}/simple_case.e")
+        shard = generate_mesh_shard(p, cvm_r, comm,
+                                    coarse_leaves_per_rank=8)
+        assert shard.lenum < ref.lenum
+        return gather_mesh(shard, comm)
+
+    meshes = run_ranks(2, build)
+    for m in meshes:
+        np.testing.assert_array_equal(m.elem_x, ref.elem_x)
+        np.testing.assert_array_equal(m.elem_level, ref.elem_level)
+        np.testing.assert_array_equal(m.elem_lnid, ref.elem_lnid)
+        np.testing.assert_array_equal(m.node_x, ref.node_x)
+        np.testing.assert_array_equal(m.node_z, ref.node_z)
+        np.testing.assert_array_equal(m.dangling, ref.dangling)
+        for k in ref.props:
+            np.testing.assert_allclose(m.props[k], ref.props[k],
+                                       rtol=0, atol=0)

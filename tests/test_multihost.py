@@ -100,21 +100,18 @@ from hercules_tpu.solver.assemble import assemble
 S = "/root/reference/examples/simple"
 p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
 cvm = CVM(f"{S}/simple_case.e")
-# host-0 tree build + broadcast (the shared-tree pattern); the
-# material pass and the slab tables are then built PER HOST for this
-# host's element block / devices only
-if pid == 0:
-    tree = Octree.newtree(1000.0, 1000.0, 500.0)
-    tree.refine(lambda tr, hi, lo, lv: {"lv": lv},
-                lambda tr, hi, lo, lv, rec: np.full(np.shape(hi),
-                                                    lv < 4))
-    tree.balance()
-    mesh = extract_mesh(tree)
-else:
-    mesh = None
-mesh = broadcast_from_host0(mesh)
-# sharded 27-point CVM material pass + allgather
-correct_properties_multihost(mesh, cvm, p)
+# SHARDED meshing over jax.distributed (mesh/distributed.py): every
+# process refines/balances/extracts only its Z-order block — no
+# host-0 mesh, no pickle broadcast of MeshArrays
+from hercules_tpu.mesh.distributed import (JaxComm, gather_mesh,
+                                           generate_mesh_shard)
+comm = JaxComm()
+assert comm.nproc == 2
+shard = generate_mesh_shard(p, cvm, comm)
+print(f"SHARD pid={pid} elems={shard.lenum}/{shard.e_global} "
+      f"nodes={len(shard.node_x)}/{shard.n_global}", flush=True)
+assert shard.lenum < shard.e_global          # really only a block
+mesh = gather_mesh(shard, comm)
 tables = assemble(mesh, p)
 nid = mesh.elem_lnid[mesh.lenum // 2, 0]
 src_ids = np.array([nid], np.int32)
