@@ -10,7 +10,7 @@ Options:
                     (default auto: every visible device, like psolve
                     uses every MPI rank; 1 forces single-device)
   --mc-path=NAME    force a parallel path (slab, slab_pallas, gslab,
-                    sharded)
+                    gmesh, sharded)
 """
 
 from __future__ import annotations

@@ -113,6 +113,28 @@ def gslab_comm(st, dtype_bytes=4) -> PathComm:
                             + len(st.rec.same)})
 
 
+def gmesh_comm(st, dtype_bytes=4) -> PathComm:
+    """Exchange volume of the general graded path (gmesh.py).
+
+    Per brick the fragment ring halo (two [3, plane] force-plane
+    ppermutes, gmesh.py local_step); plus ONE psum of the [K, 9]
+    interface entry buffer (ring all-reduce: 2*(n-1)/n * payload per
+    device, 2*(n-1) phases)."""
+    n = st.n_dev
+    frag = 0
+    phases = 0
+    for gb in st.bricks:
+        frag += 2 * 3 * gb.plane * dtype_bytes
+        phases += 2
+    payload = st.K * 9 * dtype_bytes
+    psum_b = int(2 * (n - 1) / n * payload) if st.K else 0
+    ph = phases + (2 * (n - 1) if st.K else 0)
+    return PathComm("gmesh", n, frag + psum_b, phases=ph,
+                    detail={"fragment_bytes": frag,
+                            "psum_bytes": psum_b, "K": st.K,
+                            "n_bricks": len(st.bricks)})
+
+
 def sharded_comm(st, dtype_bytes=None) -> PathComm:
     """Exchange volume of the unstructured sharded path.
 

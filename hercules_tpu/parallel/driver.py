@@ -509,6 +509,159 @@ class GslabPath(_PathBase):
         raise RuntimeError("unexpected checkpoint tail for gslab path")
 
 
+class GMeshPath(_PathBase):
+    """General graded decomposition (parallel/gmesh.py): fused
+    kernels for ANY brick plan — laterally graded meshes included —
+    with the index interface epilogue over one psum.  Elastic only."""
+
+    name = "gmesh"
+
+    def __init__(self, st, mesh, axis="d", dtype=jnp.float32,
+                 interpret=False):
+        from .gmesh import gmesh_step_builder
+        self.st = st
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = st.n_dev
+        self.dtype = dtype
+        self.local_step, self.tdev, self.state_spec = \
+            gmesh_step_builder(st, axis=axis, dtype=dtype,
+                               interpret=interpret)
+        self._has_st = False
+
+    def attach_stations(self, st_nodes, st_phi, dtype):
+        st = self.st
+        S = len(st_nodes)
+        assigned = np.zeros(S, bool)
+        self._st_bricks = []
+        for bi, gb in enumerate(st.bricks):
+            lidx = np.zeros((self.n_dev, S, 8), np.int32)
+            own = np.zeros((self.n_dev, S), bool)
+            for d in range(self.n_dev):
+                li, present = _localize(np.asarray(gb.gnid_local[d]),
+                                        np.asarray(st_nodes))
+                take = present & ~assigned
+                lidx[d][take] = li[take]
+                own[d] = take
+                assigned |= take
+            if own.any():
+                self.tdev[f"st_lidx{bi}"] = jnp.asarray(lidx,
+                                                        jnp.int32)
+                self.tdev[f"st_own{bi}"] = jnp.asarray(
+                    own[..., None], dtype)
+                self._st_bricks.append(bi)
+        if S and not assigned.all():
+            # loose-section stations: replicated content, sampled on
+            # device 0 only (samples are device-summed)
+            li, present = _localize(np.asarray(st.gnid_loose),
+                                    np.asarray(st_nodes))
+            take = present & ~assigned
+            if take.any():
+                lidx = np.zeros((self.n_dev, S, 8), np.int32)
+                own = np.zeros((self.n_dev, S), bool)
+                lidx[0][take] = li[take]
+                own[0] = take
+                assigned |= take
+                self.tdev["st_lidxL"] = jnp.asarray(lidx, jnp.int32)
+                self.tdev["st_ownL"] = jnp.asarray(own[..., None],
+                                                   dtype)
+                self._st_loose = True
+            else:
+                self._st_loose = False
+        else:
+            self._st_loose = False
+        if S and not assigned.all():
+            missing = np.flatnonzero(~assigned)
+            raise RuntimeError(
+                f"stations {missing.tolist()} not local to any "
+                f"device/brick")
+        self.tdev["st_phi"] = jnp.asarray(
+            np.broadcast_to(st_phi, (self.n_dev,) + st_phi.shape),
+            dtype)
+        self._S = S
+        self._has_st = True
+
+    def sample(self, t, carry):
+        if not self._has_st:
+            return jnp.zeros((0, 3), self.dtype)
+        Ss, S_l = carry
+        out = jnp.zeros((self._S, 3), self.dtype)
+        for bi in self._st_bricks:
+            pts = Ss[bi][0:3][:, t[f"st_lidx{bi}"]]   # [3, S, 8]
+            s = jnp.einsum("sk,csk->sc", t["st_phi"], pts)
+            out = out + s * t[f"st_own{bi}"]
+        if self._st_loose:
+            pts = S_l[0:3][:, t["st_lidxL"]]
+            s = jnp.einsum("sk,csk->sc", t["st_phi"], pts)
+            out = out + s * t["st_ownL"]
+        return out
+
+    def snap_pair(self, carry):
+        Ss, S_l = carry
+        return (tuple(S[0:3] for S in Ss) + (S_l[0:3],),
+                tuple(S[3:6] for S in Ss) + (S_l[3:6],))
+
+    @property
+    def snap_spec(self):
+        one = self.state_spec[0] + (P(self.axis),)
+        return (one, one)
+
+    def tail(self, state):
+        return ()
+
+    def _u_of(self, parts, row0=0):
+        from .gmesh import gmesh_u_global
+        st = self.st
+        u = np.zeros((self.mesh.nnum, 3))
+        if st.NL:
+            u[st.gnid_loose] = np.asarray(
+                parts[-1])[0, row0:row0 + 3].T
+        for bi, gb in enumerate(st.bricks):
+            arr = np.asarray(parts[bi])
+            for d in range(st.n_dev):
+                gl = gb.gnid_local[d]
+                u[gl] = arr[d, row0:row0 + 3, :len(gl)].T
+        return u
+
+    def u_global(self, state):
+        parts = tuple(state[0]) + (state[1],)
+        if np.shape(state[0][0])[1] == 3:   # snap pseudo-state
+            return self._u_of(state[0], row0=0)
+        return self._u_of(parts, row0=0)
+
+    def up_global(self, state):
+        if np.shape(state[0][0])[1] == 3:   # snap (u, up) pair
+            return self._u_of(state[1], row0=0)
+        parts = tuple(state[0]) + (state[1],)
+        return self._u_of(parts, row0=3)
+
+    def init_state(self):
+        Ss = tuple(jnp.zeros((self.n_dev, 8, gb.LEN), self.dtype)
+                   for gb in self.st.bricks)
+        return (Ss, jnp.zeros((self.n_dev, 8, self.st.NL),
+                              self.dtype))
+
+    def state_from_global(self, u, up, tail_flat):
+        if tail_flat:
+            raise RuntimeError("unexpected checkpoint tail for the "
+                               "elastic gmesh path")
+        st = self.st
+        npdt = np.dtype(jnp.zeros((), self.dtype).dtype)
+        Ss = []
+        for gb in st.bricks:
+            a = _stack_pad(np.asarray(u), gb.gnid_local, gb.LEN, npdt)
+            b = _stack_pad(np.asarray(up), gb.gnid_local, gb.LEN,
+                           npdt)
+            Ss.append(jnp.concatenate(
+                [a, b, jnp.zeros((self.n_dev, 2, gb.LEN),
+                                 self.dtype)], axis=1))
+        S_l = np.zeros((self.n_dev, 8, st.NL), npdt)
+        if st.NL:
+            S_l[:, 0:3] = np.asarray(u)[st.gnid_loose].T[None]
+            S_l[:, 3:6] = np.asarray(up)[st.gnid_loose].T[None]
+        return (tuple(Ss), jnp.asarray(S_l))
+
+
 class ShardedPath(_PathBase):
     """Unstructured Z-order element-block decomposition
     (parallel/partition.py + parallel/sharded.py) — always available."""
@@ -642,6 +795,21 @@ def choose_path(mesh, tables, n_dev, src_ids=None, dtype=jnp.float32,
                              interpret=interpret)
         except RuntimeError:
             if prefer == "gslab":
+                raise
+    if prefer in (None, "gmesh") and (backend == "tpu"
+                                      or prefer == "gmesh"):
+        # general graded decomposition: fused kernels for plans whose
+        # interfaces are NOT full z-planes (laterally graded meshes)
+        # — Pallas-only, so CPU auto mode skips to sharded
+        try:
+            from .gmesh import build_gmesh_tables
+            gst = build_gmesh_tables(mesh, tables, n_dev,
+                                     src_ids=src_ids, dtype=dtype,
+                                     min_brick_elems=min_brick_elems)
+            return GMeshPath(gst, mesh, axis=axis, dtype=dtype,
+                             interpret=interpret)
+        except RuntimeError:
+            if prefer == "gmesh":
                 raise
     from .partition import shard_tables
     ust = shard_tables(tables, mesh, n_dev, src_ids=src_ids)

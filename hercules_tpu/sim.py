@@ -511,7 +511,7 @@ class Simulation:
         (parallel/driver.py).  None = auto: use every visible device
         (the reference uses every MPI rank); 1 = force single-device.
         mc_path: force a parallel path ('slab', 'slab_pallas',
-        'gslab', 'sharded')."""
+        'gslab', 'gmesh', 'sharded')."""
         import math
 
         import jax

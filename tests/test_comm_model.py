@@ -142,6 +142,50 @@ def test_sharded_comm_matches_trace(monkeypatch):
     assert model.bytes_out == int(2 * 3 / 4 * model.detail["payload"])
 
 
+def test_gmesh_comm_matches_trace(monkeypatch):
+    """The general graded path: per-brick fragment plane ppermutes +
+    ONE [K, 9] interface psum; model == traced traffic."""
+    from hercules_tpu.etree import morton
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.parallel.comm_model import gmesh_comm
+    from hercules_tpu.parallel.gmesh import (build_gmesh_tables,
+                                             run_gmesh_solver)
+
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def toexpand(tr, hi, lo, lv, rec):
+        x, y, z = morton.deinterleave3(hi, lo)
+        return lv < np.where(x < (1 << 28), 5, 4)
+
+    tree.refine(lambda tr, hi, lo, lv: {}, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 2, 0]], np.int32)
+    st = build_gmesh_tables(mesh, tables, 4, src_ids=nid,
+                            min_brick_elems=32)
+    model = gmesh_comm(st)
+    assert model.detail["K"] > 0
+
+    rec = Recorder(monkeypatch)
+    devs = np.array(jax.devices()[:4])
+    forces = np.zeros((1, 1, 3))
+    m = Mesh(devs, ("d",))
+    run_gmesh_solver(st, m, forces, 1, p.delta_t,
+                     dtype=jnp.float32, interpret=True)
+    sent, phases = rec.sent_bytes(4)
+    # every device sends both fragment planes of every brick
+    assert max(sent) == model.detail["fragment_bytes"]
+    # exactly one interface psum of the [K, 9] buffer
+    assert rec.psums == [st.K * 9 * 4]
+    assert model.detail["psum_bytes"] == int(2 * 3 / 4 * st.K * 9 * 4)
+
+
 def test_predict_and_report_shape():
     from hercules_tpu.parallel.comm_model import slab_comm_dims
     c = slab_comm_dims(601, 301, 8)
