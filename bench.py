@@ -402,6 +402,59 @@ def mesh_scale_bench():
           f"{len(mesh.dn_ids)} dangling in {dt:.1f}s "
           f"({E/dt:.3e} elem/s), peak RSS {rss:.1f} GB",
           file=sys.stderr)
+    # sharded meshing (mesh/distributed.py): the same pipeline over
+    # BENCH_MESH_RANKS in-process ranks — reports per-rank shard
+    # sizes and the per-rank ARRAY bytes (= the per-process memory a
+    # real jax.distributed run needs; thread RSS is shared, so array
+    # accounting is the honest per-process figure)
+    ranks = int(os.environ.get("BENCH_MESH_RANKS", "0"))
+    if ranks > 1:
+        import threading
+        from hercules_tpu.mesh.distributed import (
+            LocalComm, balance_distributed, choose_intervals,
+            extract_mesh_shard, shard_tree)
+
+        def run_rank(comm, out):
+            tr = Octree.newtree(1000.0, 1000.0, 1000.0)
+            while tr.n < 8 * comm.nproc:
+                lmin = int(tr.level.min())
+                tr.refine(lambda t_, hi, lo, lv: {},
+                          lambda t_, hi, lo, lv, rec, _l=lmin:
+                          lv <= _l)
+            starts = choose_intervals(tr, np.ones(tr.n), comm.nproc)
+            tr, _ = shard_tree(tr, starts, comm.rank)
+            for step_lv in range(1, L + 1):
+                tr.refine(lambda t_, hi, lo, lv: {},
+                          lambda t_, hi, lo, lv, rec, _sl=step_lv:
+                          np.full(np.shape(hi), lv < _sl))
+                balance_distributed(tr, starts, comm)
+            sh = extract_mesh_shard(tr, starts, comm)
+            nbytes = sum(np.asarray(a).nbytes for a in
+                         (sh.elem_x, sh.elem_y, sh.elem_z,
+                          sh.elem_level, sh.elem_lnid, sh.node_x,
+                          sh.node_y, sh.node_z, sh.dn_ids,
+                          sh.dn_anchors, sh.edge_m))
+            out[comm.rank] = (sh.lenum, len(sh.node_x), nbytes,
+                              sh.e_global)
+        comms = LocalComm.group(ranks)
+        res = [None] * ranks
+        t1 = time.time()
+        ts = [threading.Thread(target=run_rank, args=(c, res))
+              for c in comms]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        dts = time.time() - t1
+        eg = res[0][3]
+        emax = max(r[0] for r in res)
+        bmax = max(r[2] for r in res)
+        print(f"# meshscale sharded x{ranks}: {eg} elements in "
+              f"{dts:.1f}s ({eg/dts:.3e} elem/s); largest shard "
+              f"{emax} elems ({emax/eg*100:.1f}%), per-rank arrays "
+              f"<= {bmax/1e6:.1f} MB (vs {E} elems single-host)",
+              file=sys.stderr)
+
     # CVM query throughput (the per-element material pass, measured
     # separately at 1e6 queries against a layered CVM)
     import tempfile
@@ -677,13 +730,81 @@ def main():
               f"(measured streaming ceiling ~535 GB/s, "
               f"HBM peak ~819 GB/s)", file=sys.stderr)
 
+    extra = {"mesh_s": round(t_mesh, 2), "assemble_s": round(t_asm, 2)}
+    # heterogeneous-Q BKT leg (VERDICT r3 item 5): the qlayers
+    # production shape (depth-layered Q bins) through the general
+    # node-basis tier, tracked per round alongside the headline
+    if (os.environ.get("BENCH_QLAYERS", "1") == "1"
+            and "BENCH_DAMPING" not in os.environ
+            and not os.environ.get("BENCH_MESH")
+            and which == "packed"):
+        try:
+            q_eups, q_tier = _qlayers_leg(target, min(steps, 400))
+            extra["qlayers_bkt_eups"] = q_eups
+            extra["qlayers_tier"] = q_tier
+        except Exception as e:
+            print(f"# qlayers leg failed "
+                  f"({type(e).__name__}: {str(e)[:200]})",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "element-updates/sec/chip",
         "value": eups,
         "unit": "elem-updates/s",
         "vs_baseline": eups / 1e7,
         "solver_path": which,
+        **extra,
     }))
+
+
+def _qlayers_leg(target, steps):
+    """Heterogeneous-Q BKT throughput on the qlayers fixture (4 Q
+    bins layered in depth; exercises the general node-basis tier of
+    pallas_brick, or its corner-basis fallback).  Returns (eups,
+    tier)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from hercules_tpu.solver.bricks import build_plan
+    from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
+                                                  init_packed_state,
+                                                  make_packed_pallas_step)
+
+    os.environ["BENCH_MESH"] = "qlayers"
+    try:
+        p, mesh, tables, _, _ = build(target, "bkt")
+    finally:
+        del os.environ["BENCH_MESH"]
+    E = mesh.lenum
+    plan = build_plan(mesh)
+    nid = int(mesh.elem_lnid[E // 2, 0])
+    pt = PallasBrickTables(plan, tables,
+                           src_ids=np.array([nid], np.int32))
+    tier = ("nodeq" if getattr(pt, "bkt_nodeq", False)
+            else "uniform" if pt.bkt_uniform else "corner")
+    if tier == "corner":
+        raise RuntimeError("qlayers fixture fell to the corner basis")
+    step, consts = make_packed_pallas_step(pt)
+    state = init_packed_state(pt)
+    scan0 = jax.jit(lambda c, s, xs: jax.lax.scan(
+        partial(step, c), s, xs)[0])
+    xs = (jnp.ones((steps, 1, 3), jnp.float32),
+          jnp.arange(steps, dtype=jnp.int32))
+    state = scan0(consts, state, xs)
+    jax.block_until_ready(state[0])
+    float(jnp.sum(jax.tree.leaves(state[0])[0][0, :8]))
+    t0 = time.time()
+    state = scan0(consts, state, xs)
+    jax.block_until_ready(state[0])
+    float(jnp.sum(jax.tree.leaves(state[0])[0][0, :8]))
+    dt = time.time() - t0
+    eups = E * steps / dt
+    nbins = (len(pt.bkn_sets) if getattr(pt, "bkt_nodeq", False)
+             else 1)
+    print(f"# qlayers BKT ({tier} tier, {nbins} Q bins, "
+          f"{getattr(pt, 'mix_M', 0)} mixed): {steps} steps in "
+          f"{dt:.3f}s -> {eups:.3e} eups", file=sys.stderr)
+    return eups, tier
 
 
 if __name__ == "__main__":

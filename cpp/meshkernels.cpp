@@ -97,14 +97,49 @@ void ht_deinterleave3(const uint64_t* hi, const uint64_t* lo,
     });
 }
 
-// argsort of 128-bit keys (hi, lo), stable
+// argsort of 128-bit keys (hi, lo), stable.  LSD radix over 16-bit
+// digits (lo: 4 passes, then hi: only the passes its value range
+// needs): O(n) per pass beats std::stable_sort's comparison cost
+// ~3-4x at mesh-extraction sizes (8M corner keys) on the single-core
+// build hosts this runs on.
 void ht_sort_perm_u128(const uint64_t* hi, const uint64_t* lo, int64_t n,
                        int64_t* perm) {
     for (int64_t i = 0; i < n; i++) perm[i] = i;
-    std::stable_sort(perm, perm + n, [&](int64_t a, int64_t b) {
-        if (hi[a] != hi[b]) return hi[a] < hi[b];
-        return lo[a] < lo[b];
-    });
+    if (n < (1 << 14)) {              // small: comparison sort wins
+        std::stable_sort(perm, perm + n, [&](int64_t a, int64_t b) {
+            if (hi[a] != hi[b]) return hi[a] < hi[b];
+            return lo[a] < lo[b];
+        });
+        return;
+    }
+    uint64_t hi_or = 0, lo_or = 0;
+    for (int64_t i = 0; i < n; i++) { hi_or |= hi[i]; lo_or |= lo[i]; }
+    std::vector<int64_t> tmp(n);
+    int64_t* src = perm;
+    int64_t* dst = tmp.data();
+    std::vector<int64_t> cnt(1 << 16);
+    auto pass = [&](const uint64_t* w, int sh) {
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++)
+            cnt[(w[src[i]] >> sh) & 0xffff]++;
+        int64_t run = 0;
+        for (int64_t b = 0; b < (1 << 16); b++) {
+            int64_t c = cnt[b];
+            cnt[b] = run;
+            run += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            dst[cnt[(w[src[i]] >> sh) & 0xffff]++] = src[i];
+        std::swap(src, dst);
+    };
+    // constant-zero digits need no pass (all-equal digits preserve
+    // the stable order)
+    for (int sh = 0; sh < 64; sh += 16)
+        if ((lo_or >> sh) & 0xffff) pass(lo, sh);
+    for (int sh = 0; sh < 64; sh += 16)
+        if ((hi_or >> sh) & 0xffff) pass(hi, sh);
+    if (src != perm)
+        std::copy(src, src + n, perm);
 }
 
 // For each sorted-store query: index of last store key <= query, -1 if
