@@ -768,7 +768,9 @@ def _qlayers_leg(target, steps):
     from hercules_tpu.solver.bricks import build_plan
     from hercules_tpu.solver.pallas_brick import (PallasBrickTables,
                                                   init_packed_state,
-                                                  make_packed_pallas_step)
+                                                  init_pallas_state,
+                                                  make_packed_pallas_step,
+                                                  make_pallas_step)
 
     os.environ["BENCH_MESH"] = "qlayers"
     try:
@@ -783,9 +785,13 @@ def _qlayers_leg(target, steps):
     tier = ("nodeq" if getattr(pt, "bkt_nodeq", False)
             else "uniform" if pt.bkt_uniform else "corner")
     if tier == "corner":
-        raise RuntimeError("qlayers fixture fell to the corner basis")
-    step, consts = make_packed_pallas_step(pt)
-    state = init_packed_state(pt)
+        # heterogeneous-Q above the node-tier caps: the corner-basis
+        # fused kernel is the production path — measure IT
+        step, consts = make_pallas_step(pt)
+        state = init_pallas_state(pt)
+    else:
+        step, consts = make_packed_pallas_step(pt)
+        state = init_packed_state(pt)
     scan0 = jax.jit(lambda c, s, xs: jax.lax.scan(
         partial(step, c), s, xs)[0])
     xs = (jnp.ones((steps, 1, 3), jnp.float32),
@@ -800,7 +806,7 @@ def _qlayers_leg(target, steps):
     dt = time.time() - t0
     eups = E * steps / dt
     nbins = (len(pt.bkn_sets) if getattr(pt, "bkt_nodeq", False)
-             else 1)
+             else 0)
     print(f"# qlayers BKT ({tier} tier, {nbins} Q bins, "
           f"{getattr(pt, 'mix_M', 0)} mixed): {steps} steps in "
           f"{dt:.3f}s -> {eups:.3e} eups", file=sys.stderr)

@@ -286,6 +286,83 @@ def _align8_operator(am_np, offs, out8=False):
     return out
 
 
+def _align8_operator_cols(A, offs, fields=2):
+    """Column-permute a [M, 24*fields] constant to the 8-row
+    class-block operand layout: block position p (corner jp) supplies
+    operand rows 8p+3f+(0:3) = field f's gathered window, so columns
+    8p+3f+(0:3) take A[:, 24f+3jp+(0:3)]; pad columns stay zero."""
+    A = np.asarray(A, np.float64)
+    out = np.zeros((A.shape[0], 64))
+    p = 0
+    for s, bases, js in _align8_blocks(offs):
+        for j in js:
+            for fx in range(fields):
+                out[:, 8 * p + 3 * fx:8 * p + 3 * fx + 3] = \
+                    A[:, 24 * fx + 3 * j:24 * fx + 3 * j + 3]
+            p += 1
+    return out
+
+
+def _align8_operator_rows(A, offs):
+    """Row-permute a [24*G, N] constant into 8-row-per-corner output
+    slots in class-block order (the s8 scatter layout): group g's
+    corner-jp rows land at 64g + 8p + (0:3)."""
+    A = np.asarray(A, np.float64)
+    ng = A.shape[0] // 24
+    out = np.zeros((64 * ng, A.shape[1]))
+    p = 0
+    for s, bases, js in _align8_blocks(offs):
+        for j in js:
+            for g in range(ng):
+                out[64 * g + 8 * p:64 * g + 8 * p + 3] = \
+                    A[24 * g + 3 * j:24 * g + 3 * j + 3]
+            p += 1
+    return out
+
+
+def _gather_blocks8(load, offs, c0, C, W0, roll, blocks, pre=None,
+                    pre_ref=None):
+    """Aligned class-block gather: load(start) -> [8, W0] rows of the
+    staged field pair; whole class blocks roll once; returns the
+    [64, C] operand in _align8_blocks order (zero relayouts).  pre:
+    optional dict shift -> first row of that class's tile-pre-rolled
+    block in the pre_ref scratch (the pre8 mode) — every block then
+    reads as one aligned slice."""
+    out = []
+    for s, bases, js in blocks:
+        if s == 0:
+            for b in bases:
+                out.append(load(c0 + b)[:, :C])
+            continue
+        if pre is not None:
+            k0 = pre[s]
+            for b in bases:
+                out.append(pre_ref[k0:k0 + 8, pl.ds(c0 + b, C)])
+            continue
+        parts = [load(c0 + b) for b in bases]
+        g = (parts[0] if len(parts) == 1
+             else jnp.concatenate(parts, axis=0))
+        out.append(roll(g, W0 - s)[:, :C])
+    return jnp.concatenate(out, axis=0)
+
+
+def _slot_scatter8(nf, F, blocks, roll, offs, c0, W0, dtype):
+    """s8 scatter of a [64, C] slot-layout force block: roll whole
+    aligned class blocks, extract each corner at sublane offset 0,
+    merge per scatter base (_merged_scatter)."""
+    Fv8 = jnp.concatenate([F, jnp.zeros((64, 128), dtype)], axis=1)
+    rows = {}
+    p0 = 0
+    for s, bases, js in blocks:
+        blk = Fv8[8 * p0:8 * (p0 + len(js))]
+        if s:
+            blk = roll(blk, s)
+        for i, j in enumerate(js):
+            rows[j] = blk[8 * i:8 * i + 3]
+        p0 += len(js)
+    _merged_scatter(nf, rows, offs, c0, W0)
+
+
 def _gather_windows(load, offs, c0, W0, roll):
     """Per-corner rolled gather windows, minimizing vector work:
 
@@ -1218,6 +1295,20 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     kmu, kk = bkt_matrices_24()
     fm_np = np.concatenate([scal["mu_f"] * kmu, scal["kappa_f"] * kk],
                            axis=1)       # [24, 48]
+    # 8-row-aligned dataflow (default ON; the same relayout removal
+    # as the elastic align8): scr_v staged as [8, L] (dvs 0:3, dvk
+    # 3:6, zero pad 6:8), tile-wide class pre-rolls, class-block
+    # operand against the column-permuted constant, 8-row-slot output
+    # for the aligned scatter
+    a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
+    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    s8 = a8 and os.environ.get("HT_BKT_SCATTER8", "0") == "1"
+    A8B = _align8_blocks(offs) if a8 else None
+    NR = sorted({o % 128 for o in offs} - {0})
+    if a8:
+        fm_np = _align8_operator_cols(fm_np, offs, fields=2)
+        if s8:
+            fm_np = _align8_operator_rows(fm_np, offs)
 
     # python-float coefficients fold into the trace as weak-typed
     # scalars (no dtype promotion)
@@ -1250,12 +1341,17 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
     def kernel(Sa, Sb, K, cva, cvb, fm, out, conv_out, tail, nf,
-               scr_v):
+               scr_v, scr_vv):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             tail[...] = jnp.zeros_like(tail)
+            if a8:
+                # pad rows: never rewritten; zero once (the constant's
+                # pad columns are zero, but NaN garbage would poison
+                # the dot)
+                scr_v[6:8, :] = jnp.zeros((2, B + H), dtype)
 
         nf[...] = jnp.zeros_like(nf)
         Sv = Sa[...]
@@ -1274,9 +1370,39 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         scr_v[0:3, B:] = dvs_h
         scr_v[3:6, :B] = dvk_t
         scr_v[3:6, B:] = dvk_h
+        pre = None
+        if p8:
+            # tile-wide class pre-rolls: per-chunk gathers become
+            # aligned slices (the elastic pre8 mode; default off for
+            # BKT — the extra scratch crowds the conv-heavy VMEM)
+            sv = scr_v[...]
+            for k, sh in enumerate(NR):
+                scr_vv[8 * k:8 * k + 8] = roll(sv, B + H - sh)
+            pre = {sh: 8 * k for k, sh in enumerate(NR)}
 
         valid = Kv[4:5]
+        mode = _mxu_mode("highest")
+        prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+                else jax.lax.Precision.DEFAULT)
         for c0 in range(0, B, C):
+            if a8:
+                # aligned class-block operand [64, C] against the
+                # column/row-permuted constant; slot-layout output
+                # feeds the aligned scatter
+                X8 = _gather_blocks8(
+                    lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B, pre=pre, pre_ref=scr_vv)
+                F = _mxu_dot(fm[...], X8, mode, prec)
+                F = F * valid[:, c0:c0 + C]
+                if s8:
+                    _slot_scatter8(nf, F, A8B, roll, offs, c0, W0,
+                                   dtype)
+                else:
+                    Fv = jnp.concatenate(
+                        [F, jnp.zeros((24, 128), dtype)], axis=1)
+                    rows = _class_rolled_rows(Fv, offs, roll)
+                    _merged_scatter(nf, rows, offs, c0, W0)
+                continue
             # register-concat gather of the [6, W0] (dvs; dvk) node
             # fields, rolls class-batched; MXU operand [48, C] with
             # dvs rows 0:24, dvk rows 24:48 — no scr_w round-trip
@@ -1285,11 +1411,7 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
             wv = jnp.concatenate(
                 [w[0:3, :C] for w in wins]
                 + [w[3:6, :C] for w in wins], axis=0)
-            mode = _mxu_mode("highest")
-            F = _mxu_dot(fm[...], wv, mode,
-                         jax.lax.Precision.HIGHEST
-                         if mode == "highest"
-                         else jax.lax.Precision.DEFAULT)
+            F = _mxu_dot(fm[...], wv, mode, prec)
             F = F * valid[:, c0:c0 + C]
             # value scatter (dot result has the canonical layout)
             Fv = jnp.concatenate([F, jnp.zeros((24, 128), dtype)],
@@ -1323,6 +1445,16 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
     hb = _halo_block(B, o7)
     nh = B // hb
     blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
+    # a8 dataflow scratches (must mirror _make_bkt_uniform_kernel)
+    a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
+    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    nshift = len({o % 128 for o in offs} - {0})
+    scr_v = ((8, B + o7 + 128) if a8 else (6, B + o7 + 128))
+    scr_vv = ((8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
+    params = None
+    if not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -1330,7 +1462,7 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
             pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
             pl.BlockSpec((8, B), blk),
             pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
-            pl.BlockSpec((24, 48), lambda t: (0, 0)),
+            pl.BlockSpec(fm.shape, lambda t: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((8, B), blk),
                    pl.BlockSpec((R2s, B), blk)],
@@ -1338,8 +1470,10 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM((6, B + o7 + 128), dtype)],
+                        pltpu.VMEM(scr_v, dtype),
+                        pltpu.VMEM(scr_vv, dtype)],
         interpret=interpret,
+        compiler_params=params,
     )
     return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
 
@@ -1446,8 +1580,15 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
     n_valid = max(int(np.asarray(evalid).sum()), 1)
     max_mixed = float(os.environ.get("HT_BKT_NODEQ_MAX_MIXED", "0.25"))
     max_bins = int(os.environ.get("HT_BKT_NODEQ_MAX_BINS", "18"))
+    # absolute cap: the per-step mixed-element XLA pass intermittently
+    # faults the v5e runtime above ~8k elements (bisected on-chip;
+    # reproduced in a pure-XLA gather+dot+scatter scan, so it is a
+    # runtime issue, not a kernel bug) — decline to the corner-basis
+    # kernel beyond it until the toolchain resolves it
+    max_abs = int(os.environ.get("HT_BKT_NODEQ_MAX_MIXED_ABS", "8192"))
     if (os.environ.get("HT_BKT_NODEQ", "1") == "0"
             or len(mixed) > max_mixed * n_valid
+            or len(mixed) > max_abs
             or len(sets) > max_bins):
         return out
     out["declined"] = False
@@ -1474,7 +1615,32 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
         kmu, kk = bkt_matrices_24()
         fm = kmu if shear_only else np.concatenate([kmu, kk], axis=1)
         out["mix_fm"] = f(fm)
+        # per-chunk sorted-segment scatter tables (see
+        # bkt_mix_epilogue): the duplicate-index scatter-add becomes
+        # a presorted segment-sum + a unique-sorted column add
+        sc = []
+        for s0, s1 in _mix_chunk_bounds(M):
+            tgt = idx24[:, s0:s1].reshape(-1)
+            perm = np.argsort(tgt, kind="stable")
+            st = tgt[perm]
+            uniq, seg = np.unique(st, return_inverse=True)
+            sc.append((jnp.asarray(perm, jnp.int32),
+                       jnp.asarray(seg, jnp.int32),
+                       jnp.asarray(uniq, jnp.int32)))
+        out["mix_sc"] = sc
     return out
+
+
+def _mix_chunk_bounds(M):
+    """Static slice bounds of the mixed-element epilogue: slices of
+    <= HT_BKT_MIX_CHUNK elements (8192 default; single-shot passes
+    above ~8k intermittently fault the v5e runtime), capped at 32
+    slices to bound program growth."""
+    chunk = int(os.environ.get("HT_BKT_MIX_CHUNK", 8192))
+    nseg = -(-M // chunk)
+    if nseg > 32:
+        chunk = -(-M // 32)
+    return [(s0, min(s0 + chunk, M)) for s0 in range(0, M, chunk)]
 
 
 def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
@@ -1516,6 +1682,22 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
 
     kmu, kk = bkt_matrices_24()
     fm_np = np.concatenate([kmu, kk], axis=1)   # [24, 48]
+    # 8-row-aligned dataflow (see _make_bkt_uniform_kernel); the
+    # per-element mu_f/kappa_f operand scaling moves to the OUTPUT
+    # side (column scalars commute with the row-mixing matmul):
+    # Y = [kmu' ; kk'] @ X8, F = Y[:64]*mu + Y[64:]*ka
+    a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
+    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    s8 = a8 and os.environ.get("HT_BKT_SCATTER8", "0") == "1"
+    A8B = _align8_blocks(offs) if a8 else None
+    NR = sorted({o % 128 for o in offs} - {0})
+    if a8:
+        stack = np.zeros((48, 48))
+        stack[0:24, 0:24] = kmu
+        stack[24:48, 24:48] = kk
+        fm_np = _align8_operator_cols(stack, offs, fields=2)
+        if s8:
+            fm_np = _align8_operator_rows(fm_np, offs)
 
     def roll(x, shift):
         if interpret:
@@ -1554,12 +1736,14 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
     def kernel(Sa, Sb, Ka, cva, cvb, fm, out, conv_out, tail, nf,
-               scr_v):
+               scr_v, scr_vv):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             tail[...] = jnp.zeros_like(tail)
+            if a8:
+                scr_v[6:8, :] = jnp.zeros((2, B + H), dtype)
 
         nf[...] = jnp.zeros_like(nf)
         Sv = Sa[...]
@@ -1583,24 +1767,45 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         scr_v[0:3, B:] = dvs_h
         scr_v[3:6, :B] = dvk_t
         scr_v[3:6, B:] = dvk_h
+        pre = None
+        if p8:
+            sv = scr_v[...]
+            for k, sh in enumerate(NR):
+                scr_vv[8 * k:8 * k + 8] = roll(sv, B + H - sh)
+            pre = {sh: 8 * k for k, sh in enumerate(NR)}
 
         muf = Kv[4:5]
         kaf = Kv[5:6]
+        mode = _mxu_mode("highest")
+        prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+                else jax.lax.Precision.DEFAULT)
         for c0 in range(0, B, C):
-            wins = _gather_windows(
-                lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, W0, roll)
             # invalid elements have mu_f = kappa_f = 0, so no validity
-            # row is needed -- the operand scaling zeroes their force
+            # row is needed -- the mu/ka scaling zeroes their force
             mu_c = muf[:, c0:c0 + C]
             ka_c = kaf[:, c0:c0 + C]
+            if a8:
+                X8 = _gather_blocks8(
+                    lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B, pre=pre, pre_ref=scr_vv)
+                Y = _mxu_dot(fm[...], X8, mode, prec)
+                if s8:
+                    F = Y[:64] * mu_c + Y[64:] * ka_c
+                    _slot_scatter8(nf, F, A8B, roll, offs, c0, W0,
+                                   dtype)
+                    continue
+                F = Y[:24] * mu_c + Y[24:] * ka_c
+                Fv = jnp.concatenate(
+                    [F, jnp.zeros((24, 128), dtype)], axis=1)
+                rows = _class_rolled_rows(Fv, offs, roll)
+                _merged_scatter(nf, rows, offs, c0, W0)
+                continue
+            wins = _gather_windows(
+                lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, W0, roll)
             wv = jnp.concatenate(
                 [w[0:3, :C] * mu_c for w in wins]
                 + [w[3:6, :C] * ka_c for w in wins], axis=0)
-            mode = _mxu_mode("highest")
-            F = _mxu_dot(fm[...], wv, mode,
-                         jax.lax.Precision.HIGHEST
-                         if mode == "highest"
-                         else jax.lax.Precision.DEFAULT)
+            F = _mxu_dot(fm[...], wv, mode, prec)
             Fv = jnp.concatenate([F, jnp.zeros((24, 128), dtype)],
                                  axis=1)
             rows = _class_rolled_rows(Fv, offs, roll)
@@ -1640,6 +1845,11 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
     if not interpret:
         params = pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024)
+    a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
+    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    nshift = len({o % 128 for o in offs} - {0})
+    scr_v = ((8, B + o7 + 128) if a8 else (6, B + o7 + 128))
+    scr_vv = ((8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -1647,7 +1857,7 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
             pl.BlockSpec((8, B), blk), pl.BlockSpec((8, hb), blk1),
             pl.BlockSpec((8, B), blk),
             pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
-            pl.BlockSpec((24, 48), lambda t: (0, 0)),
+            pl.BlockSpec(fm.shape, lambda t: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((8, B), blk),
                    pl.BlockSpec((R2s, B), blk)],
@@ -1655,7 +1865,8 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
         scratch_shapes=[pltpu.VMEM((3, o7), dtype),
                         pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM((6, B + o7 + 128), dtype)],
+                        pltpu.VMEM(scr_v, dtype),
+                        pltpu.VMEM(scr_vv, dtype)],
         interpret=interpret,
         compiler_params=params,
     )
@@ -1908,7 +2119,7 @@ class PallasBrickTables:
         self.bkn_bin = nq["node_bin"]
         if nq["M"]:
             for k in ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
-                      "mix_muf", "mix_kaf", "mix_fm"):
+                      "mix_muf", "mix_kaf", "mix_fm", "mix_sc"):
                 setattr(self, k, nq[k])
 
 
@@ -2184,10 +2395,36 @@ def _make_packed_bkt_uniform_step(pt: PallasBrickTables,
 
 def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm):
     """Exact force correction for the mixed elements of the general-Q
-    node-basis tier (see the module block above _make_bkt_node_kernel):
-    recompute the damping vectors at the 24 corner slots under both the
-    element-basis state cm and the node-basis state the kernel used,
-    and add FM @ (mu_f (dvs_e - dvs_n)) through the linear update.
+    node-basis tier: chunked over HT_BKT_MIX_CHUNK-element slices.
+
+    The single-shot pass device-faults on v5e above ~8k mixed
+    elements (the [8, M] gather + [48, 8M] dot + 8M-index scatter in
+    one scan body trip some runtime limit; 8192 runs, 32768 faults —
+    empirically bisected), so the work runs in bounded static slices.
+    Slices beyond 32 collapse into larger ones to cap program growth.
+    Returns (Sn', cm')."""
+    M = int(mx["mix_idx"].shape[1])
+    bounds = _mix_chunk_bounds(M)
+    if len(bounds) > 1:
+        cms = []
+        for ci, (s0, s1) in enumerate(bounds):
+            sl = {k: (v[..., s0:s1]
+                      if k not in ("mix_fm", "mix_sc") else v)
+                  for k, v in mx.items()}
+            sl["mix_sc"] = [mx["mix_sc"][ci]]
+            Sn, cm_s = _bkt_mix_one(sl, shear_only, dtype, S, Sn,
+                                    cv, cm[..., s0:s1])
+            cms.append(cm_s)
+        return Sn, jnp.concatenate(cms, axis=-1)
+    return _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm)
+
+
+def _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm):
+    """One slice of the mixed-element correction (see the module block
+    above _make_bkt_node_kernel): recompute the damping vectors at the
+    24 corner slots under both the element-basis state cm and the
+    node-basis state the kernel used, and add
+    FM @ (mu_f (dvs_e - dvs_n)) through the linear update.
     mx: the mix_* constants (bkt_nodeq_tables).  Returns (Sn', cm')."""
     R2 = 6 if shear_only else 12
     idx = mx["mix_idx"]
@@ -2222,8 +2459,21 @@ def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm):
                      precision=jax.lax.Precision.HIGHEST)  # [24, M]
     M = X.shape[-1]
     vals = dF.reshape(8, 3, M) * mx["mix_invm"][:, None, :]
-    tgt = idx.reshape(-1)
-    Sn = Sn.at[0:3, tgt].add(vals.transpose(1, 0, 2).reshape(3, -1))
+    flat = vals.transpose(1, 0, 2).reshape(3, -1)
+    sc = mx.get("mix_sc")
+    if sc:
+        # presorted segment-sum + unique-sorted column add: avoids
+        # the duplicate-index scatter the v5e runtime intermittently
+        # faults on at large M, and lowers to the fast sorted path
+        perm, seg, uniq = sc[0]
+        contrib = jax.ops.segment_sum(
+            flat.T[perm], seg, num_segments=len(uniq),
+            indices_are_sorted=True)
+        Sn = Sn.at[0:3, uniq].add(contrib.T,
+                                  indices_are_sorted=True,
+                                  unique_indices=True)
+    else:
+        Sn = Sn.at[0:3, idx.reshape(-1)].add(flat)
     return Sn, jnp.concatenate(newcm, axis=0)
 
 
@@ -2246,7 +2496,7 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
     if pt.mix_M:
         consts["mix"] = {k: getattr(pt, k) for k in
                          ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
-                          "mix_muf", "mix_kaf", "mix_fm")}
+                          "mix_muf", "mix_kaf", "mix_fm", "mix_sc")}
     invm_row = pt.bkn_K[3]
 
     def step(cd, carry, x):

@@ -749,7 +749,7 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
         consts["mix"] = {
             bi: {k: mt.bkt_modes[bi][1][k] for k in
                  ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
-                  "mix_muf", "mix_kaf", "mix_fm")}
+                  "mix_muf", "mix_kaf", "mix_fm", "mix_sc")}
             for bi in mt.mix_slots}
     if mt.nl is not None and mt.nl["geostatic"]:
         # per-brick gravity/inv_mass node rows, padded to each brick's

@@ -285,6 +285,54 @@ def test_gslab_one_chip(problem):
     assert np.isfinite(u).all()
 
 
+def test_gmesh_one_chip_mosaic_vs_interpret():
+    """The general graded multi-chip path (parallel/gmesh.py) on a
+    LATERALLY graded mesh: Mosaic compile on the real chip == the
+    interpreter (covers the fused kernels + one-psum index interface
+    reconciliation under the align8 dataflow)."""
+    from jax.sharding import Mesh
+    from hercules_tpu.config import load_params
+    from hercules_tpu.cvm import CVM
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.parallel.gmesh import (build_gmesh_tables,
+                                             gmesh_u_global,
+                                             run_gmesh_solver)
+    from hercules_tpu.solver.assemble import assemble
+    p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+    cvm = CVM(f"{S}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def toexpand(tr, hi, lo, lv, rec):
+        from hercules_tpu.etree import morton
+        x, _, _ = morton.deinterleave3(hi, lo)
+        return lv < np.where(x < (1 << 28), 5, 4)
+
+    tree.refine(lambda tr, hi, lo, lv: {}, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 2, 0]], np.int32)
+    T = 6
+    rng = np.random.default_rng(5)
+    forces = rng.standard_normal((T, 1, 3)) * 1e8
+    st = build_gmesh_tables(mesh, tables, 1, src_ids=nid,
+                            min_brick_elems=32)
+    assert st.K > 0
+    us = {}
+    for itp in (False, True):
+        with Mesh(np.array(jax.devices()[:1]), ("d",)) as m:
+            state = run_gmesh_solver(st, m, forces, T, p.delta_t,
+                                     dtype=jnp.float32, chunk=T,
+                                     interpret=itp)
+        us[itp] = gmesh_u_global(st, state)
+    scale = np.abs(us[True]).max()
+    assert scale > 0
+    np.testing.assert_allclose(us[False], us[True], rtol=0,
+                               atol=1e-5 * scale)
+
+
 def _graded_problem():
     from hercules_tpu.config import load_params
     from hercules_tpu.cvm import CVM
