@@ -237,7 +237,7 @@ void ht_cvm_sample27(
     double ts, double ox, double oy, double oz, double zshift,
     const double* fr, double cts,
     int64_t epx, int64_t epy, int64_t epz,
-    const int32_t* dense, int32_t sh,
+    const int32_t* dense, int32_t sh, int64_t cells,
     const double* cvp, const double* cvs, const double* crho,
     int32_t mode,
     double* ovp, double* ovs, double* orho, int32_t* ook) {
@@ -271,7 +271,10 @@ void ht_cvm_sample27(
                                 spread3((uint64_t)qx >> sh)
                                 | (spread3((uint64_t)qy >> sh) << 1)
                                 | (spread3((uint64_t)qz >> sh) << 2);
-                            int32_t rec = dense[cell];
+                            // domains can extend past the cell space
+                            // (no record covers them): bounds-check
+                            ok = cell < (uint64_t)cells;
+                            int32_t rec = ok ? dense[cell] : -1;
                             ok = rec >= 0;
                             if (ok) {
                                 double vp = cvp[rec], vs = cvs[rec],
@@ -304,6 +307,85 @@ void ht_cvm_sample27(
     });
 }
 
+
+
+// fused group-id pass for mesh extraction (extract.py): walk the
+// sort permutation once, assign each ORIGINAL corner its node id
+// (= rank of its distinct key) and flag the first corner of each
+// group.  Replaces two full-key gathers + a cumsum + an int64
+// scatter (each O(8E) random-access numpy passes) with one pass.
+// Serial by construction (the running group id), but single-pass.
+void ht_group_ids(const uint64_t* hi, const uint64_t* lo,
+                  const int64_t* order, int64_t n,
+                  int32_t* gid, uint8_t* first) {
+    int64_t g = -1;
+    uint64_t ph = 0, pl = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = order[i];
+        if (g < 0 || hi[j] != ph || lo[j] != pl) {
+            g++;
+            first[i] = 1;
+            ph = hi[j];
+            pl = lo[j];
+        } else {
+            first[i] = 0;
+        }
+        gid[j] = (int32_t)g;
+    }
+}
+
+
+// fused 2:1-balance probe scan (octor_balancetree semantics,
+// octor.c:4397-4776): for each SOURCE leaf, probe one tick into each
+// of the 26 neighbor regions, floor-search the sorted leaf keys, and
+// mark any containing leaf more than one level coarser for
+// splitting.  Replaces the numpy pipeline that materialized 26
+// probe-coordinate arrays (~7 GB at 11M leaves) per sweep.
+void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
+                     const uint8_t* slevel, int64_t n,
+                     const int64_t* src, int64_t nsrc,
+                     int64_t fx, int64_t fy, int64_t fz,
+                     uint8_t* split) {
+    parallel_for(nsrc, [&](int64_t s0, int64_t e0) {
+        for (int64_t si = s0; si < e0; si++) {
+            int64_t i = src[si];
+            uint64_t l = slo[i], h = shi[i];
+            uint64_t hh = (h << 1) | (l >> 63);
+            int64_t x = (int64_t)(uint32_t)(compact3(l)
+                                            | (compact3(hh) << 21));
+            int64_t y = (int64_t)(uint32_t)(compact3(l >> 1)
+                                            | (compact3(hh >> 1) << 21));
+            int64_t z = (int64_t)(uint32_t)(compact3(l >> 2)
+                                            | (compact3(hh >> 2) << 21));
+            int L = slevel[i];
+            int64_t e = (int64_t)1 << (30 - L);
+            for (int dx = -1; dx <= 1; dx++)
+                for (int dy = -1; dy <= 1; dy++)
+                    for (int dz = -1; dz <= 1; dz++) {
+                        if (dx == 0 && dy == 0 && dz == 0) continue;
+                        int64_t px = x + (dx < 0 ? -1 : dx == 0 ? 0 : e);
+                        int64_t py = y + (dy < 0 ? -1 : dy == 0 ? 0 : e);
+                        int64_t pz = z + (dz < 0 ? -1 : dz == 0 ? 0 : e);
+                        if (px < 0 || py < 0 || pz < 0
+                            || px >= fx || py >= fy || pz >= fz)
+                            continue;
+                        uint64_t qh, ql;
+                        interleave_one((uint32_t)px, (uint32_t)py,
+                                       (uint32_t)pz, &qh, &ql);
+                        int64_t lo_i = 0, hi_i = n;
+                        while (lo_i < hi_i) {
+                            int64_t mid = (lo_i + hi_i) >> 1;
+                            bool le = (shi[mid] < qh)
+                                || (shi[mid] == qh && slo[mid] <= ql);
+                            if (le) lo_i = mid + 1; else hi_i = mid;
+                        }
+                        int64_t f = lo_i - 1;
+                        if (f >= 0 && (int)slevel[f] < L - 1)
+                            split[f] = 1;
+                    }
+        }
+    });
+}
 
 
 // corner Morton keys for mesh extraction (extract.py): for element i

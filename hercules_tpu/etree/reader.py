@@ -335,7 +335,8 @@ class EtreeReader:
         the level byte (psolve.c mesh_output keys elements with the
         octor level in the etree address space); the gap construction
         reproduces the reference's floor semantics for those exactly.
-        Cells whose floor fails the ancestor test hold -1."""
+        Cells whose floor fails the ancestor test hold -1.
+        Returns (dense, sh): cell = morton(x >> sh, y >> sh, z >> sh)."""
         if getattr(self, "_dense", None) is not None:
             return self._dense
         if self.n == 0:
@@ -344,28 +345,27 @@ class EtreeReader:
         x, y, z = morton.deinterleave3(self.hi, self.lo)
         orall = int(np.bitwise_or.reduce(x) | np.bitwise_or.reduce(y)
                     | np.bitwise_or.reduce(z))
-        if orall >> 31:
-            # full 32-bit address space (e.g. makecvm layered dbs):
-            # the 31-bit cell math below would overflow into neighbor
-            # cells — keep the exact floor-search paths
-            self._dense = (None, 0)
-            return self._dense
+        # cell shift: corners must be cell-aligned (>= lowbit zeros)
+        # and cells at least as fine as every nominal cube; hb covers
+        # full 32-bit address spaces (makecvm layered dbs use them)
+        hb = orall.bit_length() if orall else 1
         lowbit = (orall & -orall).bit_length() - 1 if orall else 31
         lmax = int(np.max(self.level))
-        ld = max(31 - lowbit, lmax)
+        sh = max(min(lowbit, 31 - lmax), 0)
+        ld = max(hb - sh, 1)
         cells = 1 << (3 * ld)
         if ld > 20 or cells > self._DENSE_MAX_CELLS:
             self._dense = (None, 0)
             return self._dense
-        sh = 31 - ld
         chi, clo = morton.interleave3(
             (x >> sh).astype(np.uint32), (y >> sh).astype(np.uint32),
             (z >> sh).astype(np.uint32))
         starts = clo.astype(np.int64)     # 3*ld <= 60 bits -> lo only
         gaps = np.diff(np.append(starts, cells))
-        # ancestor bound: cells past the leaf's nominal cube fail the
+        # ancestor bound: cells past the leaf's nominal cube (side
+        # 2^(31-level) ticks = 2^(31-level-sh) cells) fail the
         # ancestor test (floor still lands on this leaf, found=False)
-        s = 3 * (ld - (self.level.astype(np.int64) + 1))
+        s = 3 * (31 - self.level.astype(np.int64) - sh)
         s = np.maximum(s, 0)
         nominal_end = ((starts >> s) + 1) << s
         valid = np.minimum(gaps, nominal_end - starts)
@@ -376,7 +376,7 @@ class EtreeReader:
             np.arange(total, dtype=np.int64) - np.repeat(cum, valid))
         dense[pos] = np.repeat(np.arange(self.n, dtype=np.int32),
                                valid)
-        self._dense = (dense, ld)
+        self._dense = (dense, sh)
         return self._dense
 
     def search_points(self, x, y, z):
@@ -388,9 +388,8 @@ class EtreeReader:
         """
         if self.out_of_core:
             return self._search_points_ooc(x, y, z)
-        dense, lmax = self._dense_lut()
+        dense, sh = self._dense_lut()
         if dense is not None:
-            sh = 31 - lmax
             x = np.atleast_1d(np.asarray(x)).astype(np.uint32)
             y = np.atleast_1d(np.asarray(y)).astype(np.uint32)
             z = np.atleast_1d(np.asarray(z)).astype(np.uint32)

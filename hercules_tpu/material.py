@@ -131,7 +131,7 @@ def _fast_sample27(cvm, X, Y, Z, half_or_edge, ts, origin, zshift,
 
     if not isinstance(cvm, _CVM) or cvm.db.out_of_core:
         return None
-    dense, ld = cvm.db._dense_lut()
+    dense, sh = cvm.db._dense_lut()
     if dense is None:
         return None
     cols = cvm._field_arrays()
@@ -141,7 +141,7 @@ def _fast_sample27(cvm, X, Y, Z, half_or_edge, ts, origin, zshift,
         X, Y, Z, half_or_edge, ts, (origin.x, origin.y, origin.z),
         zshift, points, cvm.ticksize,
         (cvm.ctl.domain_endpoint_x, cvm.ctl.domain_endpoint_y,
-         cvm.ctl.domain_endpoint_z), dense, 31 - ld, cols, mode)
+         cvm.ctl.domain_endpoint_z), dense, sh, cols, mode)
     if r is None:
         return None
     ovp, ovs, orho, ook = r

@@ -112,25 +112,37 @@ def extract_mesh(tree: Octree) -> MeshArrays:
         del cx, cy, cz
     # unique corners in Z order -> node table; gnid = index
     order = morton.zorder_argsort(chi, clo)
-    shi, slo = chi[order], clo[order]
-    del chi, clo
-    newgrp = np.ones(len(shi), dtype=bool)
-    newgrp[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
-    gid_sorted = (np.cumsum(newgrp, dtype=np.int64) - 1).astype(
-        np.int32)
-    gid = np.empty(len(shi), dtype=np.int32)
-    gid[order] = gid_sorted
-    del gid_sorted
+    gg = native.group_ids(chi, clo, order)
+    if gg is not None:
+        # fused single pass: per-corner node ids + group starts (no
+        # full-key gathers, no cumsum, no id scatter)
+        gid, newgrp = gg
+        rep = order[newgrp]
+        nhi = chi[rep]             # keys at the group representatives
+        nlo = clo[rep]
+        del chi, clo, order, newgrp
+    else:
+        shi, slo = chi[order], clo[order]
+        del chi, clo
+        newgrp = np.ones(len(shi), dtype=bool)
+        newgrp[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+        gid_sorted = (np.cumsum(newgrp, dtype=np.int64) - 1).astype(
+            np.int32)
+        gid = np.empty(len(shi), dtype=np.int32)
+        gid[order] = gid_sorted
+        del gid_sorted
+        nhi = shi[newgrp]      # adjusted keys (sort/lookup space)
+        nlo = slo[newgrp]
+        del shi, slo
+        # representative corner of each group (corner rep%8 of
+        # element rep//8)
+        rep = order[newgrp]
+        del order, newgrp
     elem_lnid = gid.reshape(E, 8)
     del gid
-    nhi = shi[newgrp]          # adjusted keys (sort/lookup space)
-    nlo = slo[newgrp]
-    del shi, slo
     # real (unclamped) coordinates of each node, reconstructed
-    # arithmetically from the representative corner of each group
-    # (corner index rep%8 of element rep//8) — no 8E coord arrays
-    rep = order[newgrp]
-    del order, newgrp
+    # arithmetically from the representative corner — no 8E coord
+    # arrays
     rj = rep & 7
     re_ = rep >> 3
     ee = e[re_]

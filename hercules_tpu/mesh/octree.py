@@ -163,39 +163,30 @@ class Octree:
         """Enforce the 2-to-1 constraint across all 26 directions
         (octor_balancetree:4397-4776, prioritized ripple propagation).
 
-        Vectorized: process levels fine -> coarse; each leaf at level L
-        probes one tick just outside itself toward each of the 26
-        neighbor regions; any containing leaf at level < L-1 is split.
-        Returns the set of split (parent) leaves count for stats.
+        Each leaf probes one tick just outside itself toward each of
+        the 26 neighbor regions; any containing leaf more than one
+        level coarser is split.  The first sweep probes every leaf
+        (one fused native pass, no materialized probe arrays); ripple
+        iterations probe only the NEW children — splits only refine,
+        so an unsplit leaf's probes can never become violating
+        (monotone closure).  Returns the split count for stats.
         """
         nsplits = 0
+        frontier = None           # (hi, lo) of last sweep's children
         while True:
             if self.n == 0:
                 break
             self.sort()
-            x, y, z = self.coords()
-            e = self.edgeticks()
             lv = self.level.astype(np.int64)
             maxlv = int(lv.max())
             minlv = int(lv.min())
             if maxlv <= minlv + 1:
                 break
-            to_split = np.zeros(self.n, dtype=bool)
-            for L in range(maxlv, minlv + 1, -1):
-                sel = lv == L
-                if not sel.any():
-                    continue
-                qx, qy, qz = _neighbor_probes(
-                    x[sel], y[sel], z[sel], e[sel], self.farendp)
-                qhi, qlo = morton.interleave3(
-                    qx.astype(np.uint64), qy.astype(np.uint64),
-                    qz.astype(np.uint64))
-                idx = floor_indices(self.hi, self.lo, qhi, qlo)
-                ok = idx >= 0
-                safe = np.maximum(idx, 0)
-                # the containing leaf violates 2:1 if its level < L-1
-                viol = ok & (lv[safe] < L - 1)
-                to_split[safe[viol]] = True
+            if frontier is None:
+                src = np.arange(self.n, dtype=np.int64)
+            else:
+                src = self._positions_of(*frontier)
+            to_split = self._balance_probe(src)
             if not to_split.any():
                 break
             nsplits += int(to_split.sum())
@@ -205,8 +196,45 @@ class Octree:
             self.hi = np.concatenate([self.hi[~to_split], ch])
             self.lo = np.concatenate([self.lo[~to_split], cl])
             self.level = np.concatenate([self.level[~to_split], clv])
+            frontier = (ch, cl)
         self.sort()
         return nsplits
+
+    def _positions_of(self, khi, klo):
+        """Indices of the given (unique) leaf keys in the sorted
+        arrays."""
+        from .. import native
+        pos = native.exact_search(self.hi, self.lo, khi, klo)
+        if pos is None:
+            from .extract import _key128
+            pos = np.searchsorted(_key128(self.hi, self.lo),
+                                  _key128(khi, klo))
+        return np.asarray(pos, np.int64)
+
+    def _balance_probe(self, src):
+        """Split mask over the sorted leaves from the 26-probe scan of
+        the src leaf indices (native fused pass; NumPy fallback)."""
+        from .. import native
+        mask = native.balance_scan(self.hi, self.lo, self.level, src,
+                                   self.farendp)
+        if mask is not None:
+            return mask
+        x, y, z = self.coords()
+        e = self.edgeticks()
+        lv = self.level.astype(np.int64)
+        qx, qy, qz = _neighbor_probes(x[src], y[src], z[src], e[src],
+                                      self.farendp)
+        qhi, qlo = morton.interleave3(
+            qx.astype(np.uint64), qy.astype(np.uint64),
+            qz.astype(np.uint64))
+        idx = floor_indices(self.hi, self.lo, qhi, qlo)
+        ok = idx >= 0
+        safe = np.maximum(idx, 0)
+        srclv = np.tile(lv[src], 26)
+        viol = ok & (lv[safe] < srclv - 1)
+        mask = np.zeros(self.n, dtype=bool)
+        mask[safe[viol]] = True
+        return mask
 
     # ------------------------------------------------------------------
     def carve(self, delete_mask):

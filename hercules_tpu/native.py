@@ -68,6 +68,10 @@ def get_lib():
                                     u32p, i64, i64p]
     lib.ht_corner_keys.argtypes = [u32p, u32p, u32p, i64p, i64,
                                    i64, i64, i64, u64p, u64p]
+    lib.ht_balance_scan.argtypes = [u64p, u64p, u8p, i64, i64p, i64,
+                                    i64, i64, i64, u8p]
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    lib.ht_group_ids.argtypes = [u64p, u64p, i64p, i64, i32p_, u8p]
     f64p = ctypes.POINTER(ctypes.c_double)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f64 = ctypes.c_double
@@ -77,7 +81,7 @@ def get_lib():
         f64, f64, f64, f64, f64,
         f64p, f64,
         i64, i64, i64,
-        i32p, i32,
+        i32p, i32, i64,
         f64p, f64p, f64p,
         i32,
         f64p, f64p, f64p, i32p]
@@ -171,6 +175,51 @@ def sort_perm(hi, lo):
     return out
 
 
+def group_ids(hi, lo, order):
+    """Fused extraction group-id pass (ht_group_ids): returns
+    (gid int32 [n] in ORIGINAL index order, first bool [n] in sorted
+    positions), or None without the native library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_group_ids"):
+        return None
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    order = np.ascontiguousarray(order, np.int64)
+    n = len(order)
+    gid = np.empty(n, np.int32)
+    first = np.empty(n, np.uint8)
+    lib.ht_group_ids(
+        _p(hi, ctypes.POINTER(ctypes.c_uint64)),
+        _p(lo, ctypes.POINTER(ctypes.c_uint64)),
+        _p(order, ctypes.POINTER(ctypes.c_int64)), n,
+        _p(gid, ctypes.POINTER(ctypes.c_int32)),
+        _p(first, ctypes.POINTER(ctypes.c_uint8)))
+    return gid, first.astype(bool)
+
+
+def balance_scan(hi, lo, level, src, farendp):
+    """Fused 2:1-balance probe scan (ht_balance_scan): returns the
+    bool split mask over the sorted leaves, probing only from the
+    `src` leaf indices.  None when the native library is missing."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_balance_scan"):
+        return None
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    level = np.ascontiguousarray(level, np.uint8)
+    src = np.ascontiguousarray(src, np.int64)
+    out = np.zeros(len(level), np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ht_balance_scan(
+        _p(hi, u64p), _p(lo, u64p), _p(level, u8p), len(level),
+        _p(src, i64p), len(src),
+        int(farendp[0]), int(farendp[1]), int(farendp[2]),
+        _p(out, u8p))
+    return out.astype(bool)
+
+
 def corner_keys(x, y, z, e, farendp):
     """Morton keys of the 8 clamped corners of each element, [8E]
     arrays (hi, lo) in element-major which-order; None without the
@@ -225,7 +274,7 @@ def cvm_sample27(X, Y, Z, half_or_edge, ts, origin_xyz, zshift, fr,
         float(origin_xyz[2]), float(zshift),
         _p(fr, f64p), float(cts),
         int(endpoints[0]), int(endpoints[1]), int(endpoints[2]),
-        _p(dense, i32p), int(sh),
+        _p(dense, i32p), int(sh), len(dense),
         _p(cvp, f64p), _p(cvs, f64p), _p(crho, f64p),
         int(mode),
         _p(ovp, f64p), _p(ovs, f64p), _p(orho, f64p), _p(ook, i32p))

@@ -26,11 +26,15 @@ def build_layered_cvm(path, east_m, north_m, depth_m, res_m, layers,
     """Write a CVM etree with octants of edge ~res_m covering the
     domain, material from the layer table [n, 4] (top Vp Vs rho)."""
     layers = np.asarray(layers, np.float64)
-    # etree domain: 2^31 ticks across east extent (cvm.c convention)
+    # etree domain: 2^31 ticks across the LARGEST extent.  (Spanning
+    # the east extent like cvm.c would overflow the 32-bit record
+    # coordinates whenever north > 2*east — elongated domains aliased
+    # their keys modulo 2^32.)
+    maxdim = max(east_m, north_m, depth_m)
     endpoint = 1 << 31
-    ticksize = east_m / endpoint
+    ticksize = maxdim / endpoint
     # octant level whose edge is closest below res_m
-    level = int(np.ceil(np.log2(east_m / res_m)))
+    level = int(np.ceil(np.log2(maxdim / res_m)))
     edge_ticks = endpoint >> level
     edge_m = edge_ticks * ticksize
 
@@ -62,9 +66,9 @@ def build_layered_cvm(path, east_m, north_m, depth_m, res_m, layers,
         region_origin_longitude_deg=origin_lon,
         region_length_east_m=east_m, region_length_north_m=north_m,
         region_depth_shallow_m=0.0, region_depth_deep_m=depth_m,
-        domain_endpoint_x=endpoint,
-        domain_endpoint_y=int(endpoint * north_m / east_m),
-        domain_endpoint_z=int(endpoint * depth_m / east_m),
+        domain_endpoint_x=int(round(east_m / ticksize)),
+        domain_endpoint_y=int(round(north_m / ticksize)),
+        domain_endpoint_z=int(round(depth_m / ticksize)),
     )
     w = EtreeWriter(path, 12, appmeta=ctl.to_text(),
                     asciischema="L 3 Vp float 4 0 Vs float 4 4 "
