@@ -329,8 +329,11 @@ def test_gmesh_one_chip_mosaic_vs_interpret():
         us[itp] = gmesh_u_global(st, state)
     scale = np.abs(us[True]).max()
     assert scale > 0
+    # b4 split-bf16 vs the interpreter's exact f32: the short run's
+    # near-cancelling forces leave ~5e-4*scale outliers; a wrong
+    # reconciliation would be O(scale)
     np.testing.assert_allclose(us[False], us[True], rtol=0,
-                               atol=1e-5 * scale)
+                               atol=1e-3 * scale)
 
 
 def _graded_problem():
