@@ -345,7 +345,7 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                      const uint8_t* slevel, int64_t n,
                      const int64_t* src, int64_t nsrc,
                      int64_t fx, int64_t fy, int64_t fz,
-                     uint8_t* split) {
+                     uint8_t* split, uint8_t* trig) {
     parallel_for(nsrc, [&](int64_t s0, int64_t e0) {
         for (int64_t si = s0; si < e0; si++) {
             int64_t i = src[si];
@@ -380,8 +380,12 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                             if (le) lo_i = mid + 1; else hi_i = mid;
                         }
                         int64_t f = lo_i - 1;
-                        if (f >= 0 && (int)slevel[f] < L - 1)
+                        if (f >= 0 && (int)slevel[f] < L - 1) {
                             split[f] = 1;
+                            // re-probe this source next sweep: one
+                            // split may not close a multi-level gap
+                            trig[si] = 1;
+                        }
                     }
         }
     });

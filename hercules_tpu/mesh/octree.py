@@ -167,12 +167,15 @@ class Octree:
         the 26 neighbor regions; any containing leaf more than one
         level coarser is split.  The first sweep probes every leaf
         (one fused native pass, no materialized probe arrays); ripple
-        iterations probe only the NEW children — splits only refine,
-        so an unsplit leaf's probes can never become violating
-        (monotone closure).  Returns the split count for stats.
+        iterations probe only the NEW children plus the TRIGGERING
+        sources — a probe's containing leaf only changes when that
+        leaf splits, so new violations can involve only a new child
+        (as source) or a source whose probe just caused a split (its
+        point now lands in a child that may still be too coarse).
+        Returns the split count for stats.
         """
         nsplits = 0
-        frontier = None           # (hi, lo) of last sweep's children
+        frontier = None           # (hi, lo) keys to probe next sweep
         while True:
             if self.n == 0:
                 break
@@ -186,17 +189,26 @@ class Octree:
                 src = np.arange(self.n, dtype=np.int64)
             else:
                 src = self._positions_of(*frontier)
-            to_split = self._balance_probe(src)
+            to_split, trig = self._balance_probe(src)
             if not to_split.any():
                 break
             nsplits += int(to_split.sum())
             ch, cl, clv = _children(
                 self.hi[to_split], self.lo[to_split], self.level[to_split])
+            # next sweep's sources: the new children (they can force
+            # THEIR neighbors) plus the triggering sources — one
+            # split may not close a multi-level gap, so the probe
+            # that found it must look again at the new children
+            tsrc = src[trig]
+            keep_t = ~to_split[tsrc]        # (sources are unsplit,
+            tsrc = tsrc[keep_t]             #  but be safe)
+            fhi = np.concatenate([ch, self.hi[tsrc]])
+            flo = np.concatenate([cl, self.lo[tsrc]])
             # children are always in-domain: the parent was
             self.hi = np.concatenate([self.hi[~to_split], ch])
             self.lo = np.concatenate([self.lo[~to_split], cl])
             self.level = np.concatenate([self.level[~to_split], clv])
-            frontier = (ch, cl)
+            frontier = (fhi, flo)
         self.sort()
         return nsplits
 
@@ -212,13 +224,14 @@ class Octree:
         return np.asarray(pos, np.int64)
 
     def _balance_probe(self, src):
-        """Split mask over the sorted leaves from the 26-probe scan of
-        the src leaf indices (native fused pass; NumPy fallback)."""
+        """(split mask over the sorted leaves, triggered mask over
+        src) from the 26-probe scan of the src leaf indices (native
+        fused pass; NumPy fallback)."""
         from .. import native
-        mask = native.balance_scan(self.hi, self.lo, self.level, src,
-                                   self.farendp)
-        if mask is not None:
-            return mask
+        got = native.balance_scan(self.hi, self.lo, self.level, src,
+                                  self.farendp)
+        if got is not None:
+            return got
         x, y, z = self.coords()
         e = self.edgeticks()
         lv = self.level.astype(np.int64)
@@ -234,7 +247,8 @@ class Octree:
         viol = ok & (lv[safe] < srclv - 1)
         mask = np.zeros(self.n, dtype=bool)
         mask[safe[viol]] = True
-        return mask
+        trig = viol.reshape(26, len(src)).any(axis=0)
+        return mask, trig
 
     # ------------------------------------------------------------------
     def carve(self, delete_mask):

@@ -69,7 +69,7 @@ def get_lib():
     lib.ht_corner_keys.argtypes = [u32p, u32p, u32p, i64p, i64,
                                    i64, i64, i64, u64p, u64p]
     lib.ht_balance_scan.argtypes = [u64p, u64p, u8p, i64, i64p, i64,
-                                    i64, i64, i64, u8p]
+                                    i64, i64, i64, u8p, u8p]
     i32p_ = ctypes.POINTER(ctypes.c_int32)
     lib.ht_group_ids.argtypes = [u64p, u64p, i64p, i64, i32p_, u8p]
     f64p = ctypes.POINTER(ctypes.c_double)
@@ -198,9 +198,10 @@ def group_ids(hi, lo, order):
 
 
 def balance_scan(hi, lo, level, src, farendp):
-    """Fused 2:1-balance probe scan (ht_balance_scan): returns the
-    bool split mask over the sorted leaves, probing only from the
-    `src` leaf indices.  None when the native library is missing."""
+    """Fused 2:1-balance probe scan (ht_balance_scan): returns
+    (split mask over the sorted leaves, triggered mask over src) —
+    probing only from the `src` leaf indices.  None when the native
+    library is missing."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "ht_balance_scan"):
         return None
@@ -209,6 +210,7 @@ def balance_scan(hi, lo, level, src, farendp):
     level = np.ascontiguousarray(level, np.uint8)
     src = np.ascontiguousarray(src, np.int64)
     out = np.zeros(len(level), np.uint8)
+    trig = np.zeros(max(len(src), 1), np.uint8)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -216,8 +218,8 @@ def balance_scan(hi, lo, level, src, farendp):
         _p(hi, u64p), _p(lo, u64p), _p(level, u8p), len(level),
         _p(src, i64p), len(src),
         int(farendp[0]), int(farendp[1]), int(farendp[2]),
-        _p(out, u8p))
-    return out.astype(bool)
+        _p(out, u8p), _p(trig, u8p))
+    return out.astype(bool), trig[:len(src)].astype(bool)
 
 
 def corner_keys(x, y, z, e, farendp):
