@@ -392,6 +392,105 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
 }
 
 
+// fused dangling-node candidate scan for mesh extraction
+// (extract.py / octor.c:3867-3912 dnode_correlate semantics): for
+// each coarse element emit its 12 edge-midpoint and 6 face-center
+// candidates — node index (exact search over the sorted node keys,
+// far-boundary clamped) and, when present, the anchor corner node
+// indices.  One pass instead of ~30 numpy candidate/anchor lookup
+// batches with materialized coordinate arrays.
+// Candidate order per element: edges (axis-major, f1, f2) then faces
+// (axis, f) — extract.py's case order.
+void ht_dangling_scan(const uint64_t* nhi, const uint64_t* nlo,
+                      int64_t nn,
+                      const uint32_t* bx, const uint32_t* by,
+                      const uint32_t* bz, const int64_t* be,
+                      int64_t nb,
+                      int64_t fx, int64_t fy, int64_t fz,
+                      int64_t* out_nid, int64_t* out_anc,
+                      uint8_t* out_deps) {
+    auto find = [&](int64_t cx, int64_t cy, int64_t cz) -> int64_t {
+        if (cx > fx - 1) cx = fx - 1;
+        if (cy > fy - 1) cy = fy - 1;
+        if (cz > fz - 1) cz = fz - 1;
+        uint64_t qh, ql;
+        interleave_one((uint32_t)cx, (uint32_t)cy, (uint32_t)cz,
+                       &qh, &ql);
+        int64_t lo_i = 0, hi_i = nn;
+        while (lo_i < hi_i) {
+            int64_t mid = (lo_i + hi_i) >> 1;
+            bool lt = (nhi[mid] < qh)
+                || (nhi[mid] == qh && nlo[mid] < ql);
+            if (lt) lo_i = mid + 1; else hi_i = mid;
+        }
+        return (lo_i < nn && nhi[lo_i] == qh && nlo[lo_i] == ql)
+            ? lo_i : -1;
+    };
+    parallel_for(nb, [&](int64_t s, int64_t e0) {
+        for (int64_t i = s; i < e0; i++) {
+            int64_t x = bx[i], y = by[i], z = bz[i];
+            int64_t e = be[i], h = e >> 1;
+            int ci = 0;
+            for (int axis = 0; axis < 3; axis++)
+                for (int f1 = 0; f1 < 2; f1++)
+                    for (int f2 = 0; f2 < 2; f2++) {
+                        int a = (axis + 1) % 3, b = (axis + 2) % 3;
+                        int64_t off[3];
+                        off[axis] = h;
+                        off[a] = (int64_t)f1 * e;
+                        off[b] = (int64_t)f2 * e;
+                        int64_t r = i * 18 + ci++;
+                        int64_t nid = find(x + off[0], y + off[1],
+                                           z + off[2]);
+                        out_nid[r] = nid;
+                        out_deps[r] = 2;
+                        out_anc[r * 4 + 2] = -1;
+                        out_anc[r * 4 + 3] = -1;
+                        if (nid >= 0) {
+                            int64_t lo_o[3] = {off[0], off[1], off[2]};
+                            int64_t hi_o[3] = {off[0], off[1], off[2]};
+                            lo_o[axis] = 0;
+                            hi_o[axis] = e;
+                            out_anc[r * 4 + 0] = find(
+                                x + lo_o[0], y + lo_o[1], z + lo_o[2]);
+                            out_anc[r * 4 + 1] = find(
+                                x + hi_o[0], y + hi_o[1], z + hi_o[2]);
+                        } else {
+                            out_anc[r * 4 + 0] = -1;
+                            out_anc[r * 4 + 1] = -1;
+                        }
+                    }
+            for (int axis = 0; axis < 3; axis++)
+                for (int f = 0; f < 2; f++) {
+                    int64_t off[3] = {h, h, h};
+                    off[axis] = (int64_t)f * e;
+                    int64_t r = i * 18 + ci++;
+                    int64_t nid = find(x + off[0], y + off[1],
+                                       z + off[2]);
+                    out_nid[r] = nid;
+                    out_deps[r] = 4;
+                    if (nid >= 0) {
+                        int a = (axis + 1) % 3, b = (axis + 2) % 3;
+                        int k = 0;
+                        for (int c1 = 0; c1 < 2; c1++)
+                            for (int c2 = 0; c2 < 2; c2++) {
+                                int64_t co[3];
+                                co[axis] = (int64_t)f * e;
+                                co[a] = (int64_t)c1 * e;
+                                co[b] = (int64_t)c2 * e;
+                                out_anc[r * 4 + k++] = find(
+                                    x + co[0], y + co[1], z + co[2]);
+                            }
+                    } else {
+                        for (int k = 0; k < 4; k++)
+                            out_anc[r * 4 + k] = -1;
+                    }
+                }
+        }
+    });
+}
+
+
 // corner Morton keys for mesh extraction (extract.py): for element i
 // with corner (x, y, z) and edge e, emit the 8 corner keys
 // (which-order: bit0 = x, bit1 = y, bit2 = z, octor.c:1583-1588) with

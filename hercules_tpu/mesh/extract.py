@@ -163,6 +163,30 @@ def extract_mesh(tree: Octree) -> MeshArrays:
     bx, by, bz, be = x[big], y[big], z[big], e[big]
     h = be // 2
 
+    dn_entries = {}  # node id -> (anchor ids tuple)
+    scan = (native.dangling_scan(nhi, nlo, bx, by, bz, be,
+                                 tree.farendp)
+            if len(bx) else ((), (), ()))
+    if len(bx) and scan is not None:
+        # fused native scan: candidate rows in the same case order as
+        # the numpy path below; edges (cases 0:12) processed first so
+        # the edge classification wins ties exactly like the
+        # insertion-ordered dict build
+        nid18, anc18, deps18 = scan
+        for k in range(18):
+            ids = nid18[:, k]
+            m = ids >= 0
+            if not m.any():
+                continue
+            deps = 2 if k < 12 else 4
+            for nid, arow in zip(ids[m], anc18[m, k]):
+                nid = int(nid)
+                if nid not in dn_entries:
+                    dn_entries[nid] = tuple(int(a)
+                                            for a in arow[:deps])
+        # numpy candidate path skipped
+        bx, by, bz, be, h = bx[:0], by[:0], bz[:0], be[:0], h[:0]
+
     em_x, em_y, em_z = [], [], []   # edge midpoints
     em_a1 = []                      # anchor corner offsets (2 endpoints)
     em_a2 = []
@@ -219,8 +243,7 @@ def extract_mesh(tree: Octree) -> MeshArrays:
         hit = (nhi[pos] == qhi) & (nlo[pos] == qlo)
         return np.where(hit, pos, -1)
 
-    # edge-dangling
-    dn_entries = {}  # node id -> (anchor ids tuple)
+    # edge-dangling (numpy fallback when the native scan is absent)
     if len(bx):
         for k in range(12):
             ids = node_lookup(em_x[k], em_y[k], em_z[k])

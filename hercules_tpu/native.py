@@ -72,6 +72,10 @@ def get_lib():
                                     i64, i64, i64, u8p, u8p]
     i32p_ = ctypes.POINTER(ctypes.c_int32)
     lib.ht_group_ids.argtypes = [u64p, u64p, i64p, i64, i32p_, u8p]
+    lib.ht_dangling_scan.argtypes = [u64p, u64p, i64,
+                                     u32p, u32p, u32p, i64p, i64,
+                                     i64, i64, i64,
+                                     i64p, i64p, u8p]
     f64p = ctypes.POINTER(ctypes.c_double)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f64 = ctypes.c_double
@@ -173,6 +177,36 @@ def sort_perm(hi, lo):
     lib.ht_sort_perm_u128(_p(hi, u64p), _p(lo, u64p), len(hi),
                           _p(out, i64p))
     return out
+
+
+def dangling_scan(nhi, nlo, bx, by, bz, be, farendp):
+    """Fused dangling-candidate scan (ht_dangling_scan): returns
+    (nid [nb, 18], anchors [nb, 18, 4], deps [nb, 18]) in
+    extract.py's candidate case order, or None without the native
+    library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ht_dangling_scan"):
+        return None
+    nhi = np.ascontiguousarray(nhi, np.uint64)
+    nlo = np.ascontiguousarray(nlo, np.uint64)
+    bx = np.ascontiguousarray(bx, np.uint32)
+    by = np.ascontiguousarray(by, np.uint32)
+    bz = np.ascontiguousarray(bz, np.uint32)
+    be = np.ascontiguousarray(be, np.int64)
+    nb = len(be)
+    nid = np.empty((nb, 18), np.int64)
+    anc = np.empty((nb, 18, 4), np.int64)
+    deps = np.empty((nb, 18), np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ht_dangling_scan(
+        _p(nhi, u64p), _p(nlo, u64p), len(nhi),
+        _p(bx, u32p), _p(by, u32p), _p(bz, u32p), _p(be, i64p), nb,
+        int(farendp[0]), int(farendp[1]), int(farendp[2]),
+        _p(nid, i64p), _p(anc, i64p), _p(deps, u8p))
+    return nid, anc, deps
 
 
 def group_ids(hi, lo, order):
