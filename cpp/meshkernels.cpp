@@ -381,10 +381,28 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                         }
                         int64_t f = lo_i - 1;
                         if (f >= 0 && (int)slevel[f] < L - 1) {
-                            split[f] = 1;
-                            // re-probe this source next sweep: one
-                            // split may not close a multi-level gap
-                            trig[si] = 1;
+                            // containment check: on interval-sharded
+                            // trees the key space has gaps, so the
+                            // floor leaf may not actually contain the
+                            // probe point (a probe past the shard's
+                            // interval end floors onto its last
+                            // leaf).  A level-Lf leaf's key covers
+                            // exactly the keys matching its top bits
+                            // above 3*(30-Lf).
+                            int free_b = 3 * (30 - (int)slevel[f]);
+                            uint64_t xl = ql ^ slo[f];
+                            uint64_t xh = qh ^ shi[f];
+                            bool same_lo = free_b >= 64
+                                || (xl >> free_b) == 0;
+                            int hib = free_b > 64 ? free_b - 64 : 0;
+                            bool same_hi = (xh >> hib) == 0;
+                            if (same_lo && same_hi) {
+                                split[f] = 1;
+                                // re-probe this source next sweep:
+                                // one split may not close a
+                                // multi-level gap
+                                trig[si] = 1;
+                            }
                         }
                     }
         }

@@ -135,9 +135,16 @@ def choose_intervals(tree: Octree, weights, nproc):
     total = cum[-1]
     # first leaf index of each rank's block (rank 0 starts at key 0)
     idx = np.searchsorted(cum, np.arange(1, nproc) * (total / nproc))
-    idx = np.minimum(idx, tree.n - 1)
-    # strictly increasing starts (degenerate weights collapse blocks)
-    idx = np.maximum.accumulate(np.maximum(idx, np.arange(1, nproc)))
+    # strictly increasing starts: degenerate weights (all work in one
+    # coarse leaf) would otherwise collapse several blocks onto the
+    # same start and idle most ranks.  Clamp each split below its
+    # ceiling (leaving room for the splits after it), then bump each
+    # above its predecessor; tree.n >= nproc guarantees capacity.
+    idx = np.minimum(idx, tree.n - (nproc - 1) + np.arange(nproc - 1))
+    idx = np.maximum(idx, 1)
+    for r in range(1, nproc - 1):
+        if idx[r] <= idx[r - 1]:
+            idx[r] = idx[r - 1] + 1
     shi = np.concatenate([[np.uint64(0)], tree.hi[idx]])
     slo = np.concatenate([[np.uint64(0)], tree.lo[idx]])
     return shi.astype(np.uint64), slo.astype(np.uint64)
@@ -201,7 +208,21 @@ def balance_distributed(tree: Octree, starts, comm, max_rounds=64):
             idx = floor_indices(tree.hi, tree.lo, ghi, glo)
             ok = idx >= 0
             safe = np.maximum(idx, 0)
-            viol = ok & (tree.level[safe].astype(np.int64) < glv - 1)
+            # containment: the shard tiles interval ∩ domain, but
+            # guard against floor landing on a non-containing leaf
+            # (same check as Octree._balance_probe)
+            px, py, pz = morton.deinterleave3(ghi, glo)
+            px = px.astype(np.int64)
+            py = py.astype(np.int64)
+            pz = pz.astype(np.int64)
+            lx, ly, lz = tree.coords()
+            le = tree.edgeticks()
+            contains = (
+                (px >= lx[safe]) & (px < lx[safe] + le[safe])
+                & (py >= ly[safe]) & (py < ly[safe] + le[safe])
+                & (pz >= lz[safe]) & (pz < lz[safe] + le[safe]))
+            viol = (ok & contains
+                    & (tree.level[safe].astype(np.int64) < glv - 1))
             if not viol.any():
                 continue
             to_split = np.zeros(tree.n, bool)

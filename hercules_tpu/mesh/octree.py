@@ -244,7 +244,14 @@ class Octree:
         ok = idx >= 0
         safe = np.maximum(idx, 0)
         srclv = np.tile(lv[src], 26)
-        viol = ok & (lv[safe] < srclv - 1)
+        # containment: on interval-sharded trees the key space has
+        # gaps, so the floor leaf may not contain the probe point
+        # (a probe past the shard's interval end floors onto its
+        # last leaf) — require the probe inside the leaf's box
+        contains = ((qx >= x[safe]) & (qx < x[safe] + e[safe])
+                    & (qy >= y[safe]) & (qy < y[safe] + e[safe])
+                    & (qz >= z[safe]) & (qz < z[safe] + e[safe]))
+        viol = ok & contains & (lv[safe] < srclv - 1)
         mask = np.zeros(self.n, dtype=bool)
         mask[safe[viol]] = True
         trig = viol.reshape(26, len(src)).any(axis=0)

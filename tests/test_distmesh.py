@@ -16,6 +16,7 @@ import pytest
 
 from hercules_tpu.etree import morton
 from hercules_tpu.mesh import Octree, extract_mesh
+from hercules_tpu.mesh.extract import _key128
 from hercules_tpu.mesh.distributed import (LocalComm,
                                            balance_distributed,
                                            choose_intervals,
@@ -157,3 +158,68 @@ def test_generate_mesh_shard_simple_cvm():
         for k in ref.props:
             np.testing.assert_allclose(m.props[k], ref.props[k],
                                        rtol=0, atol=0)
+
+
+def _deep_te(tr, hi, lo, lv, rec):
+    """>=3-level gap fixture: a level-6 pocket just below the
+    z = 2^29 tick plane (a high Morton bit boundary, so probes from
+    the pocket cross a shard-interval end) in a level-3 field."""
+    x, y, z = morton.deinterleave3(hi, lo)
+    fine = ((z >= (1 << 29) - (1 << 27)) & (z < (1 << 29))
+            & (x < (1 << 27)) & (y < (1 << 27)))
+    return lv < np.where(fine, 6, 3)
+
+
+@pytest.mark.parametrize("nproc", [2, 8])
+def test_distributed_balance_multilevel_gap(nproc):
+    """Regression (round-4 advisor): the balance probe floor search
+    must check containment — on an interval-sharded tree a probe key
+    past the shard's interval end floors onto the shard's last leaf
+    and, without the check, spuriously splits it when >=2 levels
+    coarser.  Fixture forms 3-level gaps adjacent to interval
+    boundaries; the distributed closure must equal the serial one."""
+    otree = Octree.newtree(1000.0, 1000.0, 1000.0)
+    otree.refine(lambda tr, hi, lo, lv: {}, _deep_te)
+    otree.balance()
+    ref = extract_mesh(otree)
+
+    def build(comm):
+        tree = Octree.newtree(1000.0, 1000.0, 1000.0)
+        while tree.n < 8 * comm.nproc:
+            lmin = int(tree.level.min())
+            tree.refine(lambda tr, hi, lo, lv: {},
+                        lambda tr, hi, lo, lv, rec, _l=lmin:
+                        lv <= _l)
+        starts = choose_intervals(tree, np.ones(tree.n), comm.nproc)
+        tree, _ = shard_tree(tree, starts, comm.rank)
+        tree.refine(lambda tr, hi, lo, lv: {}, _deep_te)
+        balance_distributed(tree, starts, comm)
+        shard = extract_mesh_shard(tree, starts, comm)
+        return gather_mesh(shard, comm)
+
+    for m in run_ranks(nproc, build):
+        np.testing.assert_array_equal(m.elem_x, ref.elem_x)
+        np.testing.assert_array_equal(m.elem_level, ref.elem_level)
+        np.testing.assert_array_equal(m.elem_lnid, ref.elem_lnid)
+        np.testing.assert_array_equal(m.node_x, ref.node_x)
+        np.testing.assert_array_equal(m.dangling, ref.dangling)
+
+
+def test_choose_intervals_degenerate_weights():
+    """Regression (round-4 advisor): concentrated weights must not
+    collapse shards — starts must stay strictly increasing so every
+    rank gets at least one coarse leaf."""
+    tree = Octree.newtree(1000.0, 1000.0, 1000.0)
+    while tree.n < 64:
+        lmin = int(tree.level.min())
+        tree.refine(lambda tr, hi, lo, lv: {},
+                    lambda tr, hi, lo, lv, rec, _l=lmin: lv <= _l)
+    for wcase in ["first", "last", "middle"]:
+        w = np.full(tree.n, 1e-12)
+        w[{"first": 0, "last": tree.n - 1,
+           "middle": tree.n // 2}[wcase]] = 1e9
+        starts = choose_intervals(tree, w, 8)
+        keys = _key128(starts[0], starts[1])
+        assert (keys[1:] > keys[:-1]).all(), wcase
+        sizes = [shard_tree(tree, starts, r)[0].n for r in range(8)]
+        assert min(sizes) >= 1, (wcase, sizes)
