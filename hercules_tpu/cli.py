@@ -163,6 +163,22 @@ def main(argv=None):
         damping_histograms(sim.mesh, p, out=buf)
         mon.print(buf.getvalue())
 
+    if p.mesh_coordinates_for_matlab.lower() == "yes":
+        # saveMeshCoordinatesForMatlab (meshformatlab.c:30-250):
+        # corners list bounds the dumped region (xmin ymin xmax ymax
+        # zmin zmax in meters); whole domain when absent
+        from .io.matlab import write_matlab_mesh
+        mdir = p.mesh_coordinates_directory_for_matlab or "matlab"
+        if not os.path.isabs(mdir):
+            mdir = os.path.join(rundir0, mdir)
+        bbox = None
+        if p.mesh_corners_matlab is not None:
+            c = p.mesh_corners_matlab
+            bbox = (c[0], c[2], c[1], c[3], c[4], c[5])
+        nml = write_matlab_mesh(mdir, sim.mesh, p, bbox=bbox)
+        mon.print(f"matlab mesh coordinates written: {mdir} "
+                  f"({nml} elements)\n")
+
     if p.output_mesh and (mesh_out or p.mesh_etree_output_file):
         from .io.meshout import write_mesh_etree
         path = mesh_out or p.mesh_etree_output_file

@@ -231,6 +231,9 @@ class Params:
     # mesh output extras
     mesh_coordinates_for_matlab: str = "no"
     mesh_coordinates_directory_for_matlab: str = ""
+    # xmin ymin xmax ymax zmin zmax (m) of the region to dump for
+    # MATLAB plotting (meshformatlab.c:98-115)
+    mesh_corners_matlab: Optional[np.ndarray] = None
 
     # derived
     total_steps: int = 0
@@ -369,5 +372,9 @@ def load_params(physics_in: str, numerical_in: Optional[str] = None) -> Params:
         "mesh_coordinates_for_matlab", "no")
     p.mesh_coordinates_directory_for_matlab = n.get_string(
         "mesh_coordinates_directory_for_matlab", "")
+    mc = n.get_array("mesh_corners_matlab", 6)
+    if mc is None:
+        mc = phys.get_array("mesh_corners_matlab", 6)
+    p.mesh_corners_matlab = mc
 
     return p.finalize()

@@ -137,12 +137,44 @@ def read_coords(outdir):
     return coords
 
 
+def write_info(outdir, plan: DRMPlan):
+    """The reference's drm_information record (drm.c:679-684): node
+    and element counts of the classified DRM boundary, written by
+    part0/part1 and cross-checked by part2's sanity pass."""
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "drm_information")
+    with open(path, "w") as f:
+        f.write(f"drm_numberofnodes = {len(plan.node_ids)} \n"
+                f"drm_numberofelements = {len(plan.elem_idx)}")
+    return path
+
+
+def sanity_check(outdir, plan: DRMPlan):
+    """drm_sanity_check (drm.c:2439-2470): the part2 mesh must
+    classify the same number of DRM elements as the recording run —
+    a mismatch means the DRM boundary moved between parts.  No-op
+    when no drm_information record exists (pre-record dirs)."""
+    path = os.path.join(outdir, "drm_information")
+    if not os.path.exists(path):
+        return
+    from .config import ConfigFile
+    info = ConfigFile(path)
+    n_ref = info.get_int("drm_numberofelements")
+    if n_ref is not None and n_ref != len(plan.elem_idx):
+        raise RuntimeError(
+            f"drm boundary has changed: part2 classified "
+            f"{len(plan.elem_idx)} DRM elements but the recording "
+            f"run wrote drm_numberofelements = {n_ref} "
+            f"(drm.c:2459-2464)")
+
+
 class DRMRecorder:
     """PART1: append interface displacements every print_rate steps."""
 
     def __init__(self, outdir, plan: DRMPlan):
         os.makedirs(outdir, exist_ok=True)
         write_coords(outdir, plan)
+        write_info(outdir, plan)
         self.fp = open(os.path.join(outdir, "drm_disp.bin"), "wb")
         self.plan = plan
         self.count = 0
@@ -210,6 +242,7 @@ def effective_force_records(plan: DRMPlan, tables, u_records):
 def attach_drm(plan: DRMPlan, tables, params, outdir):
     """Build the device bundle for PART2 (consumed by make_step)."""
     import jax.numpy as jnp
+    sanity_check(outdir, plan)
     coords = read_coords(outdir)
     if len(coords) != len(plan.node_ids):
         raise ValueError(

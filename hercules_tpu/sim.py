@@ -478,7 +478,7 @@ class Simulation:
             sim.nl_tables = build_nonlinear_tables(mesh, params, cfg)
         if params.implement_drm:
             from .config import ConfigFile
-            from .drm import DRMConfig, classify, write_coords
+            from .drm import DRMConfig, classify, write_coords, write_info
             dcfg = DRMConfig.parse(ConfigFile(params.numerical_path))
             shift = (buildings.surface_shift if buildings is not None
                      else 0.0)
@@ -489,6 +489,7 @@ class Simulation:
             sim.drm_dir = ddir
             if dcfg.part == "part0":
                 write_coords(ddir, sim.drm_plan)
+                write_info(ddir, sim.drm_plan)
                 if verbose:
                     print(f"DRM part0: {len(sim.drm_plan.node_ids)} "
                           f"interface nodes written to {ddir}")

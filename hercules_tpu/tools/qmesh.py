@@ -36,7 +36,11 @@ def main(argv=None):
     print(f"mesh etree written: {mesh_out} ({n} records)")
     if matlab_dir:
         from ..io.matlab import write_matlab_mesh
-        write_matlab_mesh(matlab_dir, mesh, params)
+        bbox = None
+        if params.mesh_corners_matlab is not None:
+            c = params.mesh_corners_matlab
+            bbox = (c[0], c[2], c[1], c[3], c[4], c[5])
+        write_matlab_mesh(matlab_dir, mesh, params, bbox=bbox)
         print(f"matlab mesh coordinates written: {matlab_dir}")
     return 0
 
