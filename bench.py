@@ -434,8 +434,31 @@ def mesh_scale_bench():
                           sh.elem_level, sh.elem_lnid, sh.node_x,
                           sh.node_y, sh.node_z, sh.dn_ids,
                           sh.dn_anchors, sh.edge_m))
-            out[comm.rank] = (sh.lenum, len(sh.node_x), nbytes,
-                              sh.e_global)
+            # O(shard) solver-table build (parallel/shardbuild.py):
+            # SlabTables for this rank's device WITHOUT the global
+            # mesh; per-rank table bytes = the real per-process
+            # memory of a pod run
+            from hercules_tpu.config import Params
+            from hercules_tpu.parallel.shardbuild import \
+                build_slab_tables_shard
+            E_l = sh.lenum
+            sh.props = {"Vp": np.full(E_l, 6000.0),
+                        "Vs": np.full(E_l, 3464.0),
+                        "rho": np.full(E_l, 2700.0)}
+            prm = Params(region_length_east_m=1000.0,
+                         region_length_north_m=1000.0,
+                         region_depth_deep_m=1000.0,
+                         freq=1.0, end_time=1.0, delta_t=1e-3,
+                         type_of_damping="rayleigh").finalize()
+            st = build_slab_tables_shard(
+                sh, prm, comm, comm.nproc,
+                dev_slice=(comm.rank, comm.rank + 1))
+            tbytes = (sum(v.nbytes for v in st.c.values())
+                      + st.inv_mass.nbytes + st.mass_minusaM.nbytes
+                      + sum(g.nbytes for g in st.gnid_local
+                            if g is not None))
+            out[comm.rank] = (sh.lenum, len(sh.node_x),
+                              nbytes + tbytes, sh.e_global)
         comms = LocalComm.group(ranks)
         res = [None] * ranks
         t1 = time.time()
@@ -451,7 +474,8 @@ def mesh_scale_bench():
         bmax = max(r[2] for r in res)
         print(f"# meshscale sharded x{ranks}: {eg} elements in "
               f"{dts:.1f}s ({eg/dts:.3e} elem/s); largest shard "
-              f"{emax} elems ({emax/eg*100:.1f}%), per-rank arrays "
+              f"{emax} elems ({emax/eg*100:.1f}%), per-rank peak "
+              f"bytes (mesh shard + O(shard) slab solver tables) "
               f"<= {bmax/1e6:.1f} MB (vs {E} elems single-host)",
               file=sys.stderr)
 

@@ -288,6 +288,95 @@ def run_gslab_multihost(st, src_forces, total_steps, dt,
     return state
 
 
+def local_device_slice():
+    """(d0, d1): this process's contiguous range in jax.devices()
+    order (the slab-table dev_slice).  Asserts contiguity — JAX
+    orders global devices process-major on standard pods."""
+    ids = {id(d): i for i, d in enumerate(jax.devices())}
+    idx = sorted(ids[id(d)] for d in jax.local_devices())
+    assert idx == list(range(idx[0], idx[-1] + 1)), \
+        f"non-contiguous local device ids {idx}"
+    return idx[0], idx[-1] + 1
+
+
+def compute_forces_multihost(sm, shard, params, comm,
+                             chunk_bytes=64 << 20):
+    """Global (node_ids, forces [T, L, 3]) from per-shard source
+    location: each rank locates and evaluates only the sources inside
+    its shard (locate_points' ancestor check assigns each point to
+    exactly one shard), then the per-node force series merge by
+    summation in bounded allgather rounds.  Duplicate-node sums
+    accumulate in rank order (vs. global point order), so cross-rank
+    shared nodes can differ from the serial build by float rounding
+    only."""
+    ids, F = sm.compute_forces(shard, params, props=shard.props,
+                               partial=True)
+    T = params.total_steps
+    nloc = int(getattr(sm, "located_points", len(ids)))
+    ntot = comm.allreduce_sum(nloc)
+    if sm.type_of_source == "point" and ntot != 1:
+        raise RuntimeError(f"point source located by {ntot} shards")
+    if sm.type_of_source == "srfh" and ntot != len(sm.src_lon):
+        raise RuntimeError(
+            f"srfh: {ntot}/{len(sm.src_lon)} points located")
+    if ntot == 0:
+        raise RuntimeError("source entirely outside mesh")
+
+    # global id set
+    idrows = [g for g in comm.allgather_rows(
+        np.asarray(ids, np.float64)[:, None]) if len(g)]
+    gids = (np.unique(np.concatenate(idrows)[:, 0]).astype(np.int64)
+            if idrows else np.zeros(0, np.int64))
+    L = len(gids)
+    pos = np.searchsorted(gids, np.asarray(ids, np.int64))
+    out = np.zeros((T, L, 3))
+    # time-chunked row exchange: [local L, k*3] blocks (k collective —
+    # allgather widths must match across ranks)
+    lmax = comm.allreduce_max(len(ids))
+    k = max(1, int(chunk_bytes // max(lmax, 1) // 24))
+    for s in range(0, T, k):
+        kk = min(k, T - s)
+        blk = np.concatenate(
+            [np.asarray(ids, np.float64)[:, None],
+             F[s:s + kk].transpose(1, 0, 2).reshape(len(ids),
+                                                    kk * 3)], axis=1)
+        for got in comm.allgather_rows(blk):
+            if not len(got):
+                continue
+            p = np.searchsorted(gids, got[:, 0].astype(np.int64))
+            np.add.at(out[s:s + kk],
+                      (slice(None), p),
+                      got[:, 1:].reshape(len(got), kk, 3)
+                      .transpose(1, 0, 2))
+    return gids.astype(np.int32), out
+
+
+def run_shard_slab_pipeline(params, shard, comm):
+    """The O(shard) pod pipeline tail: shard-local slab tables ->
+    multihost slab solve, with NO process ever holding the global
+    mesh or global-length solver tables (octor.c:4904-6651 +
+    psolve.c:4705-4863 per-rank scalability, matched).  Raises
+    RuntimeError when the mesh is not slab-decomposable (callers fall
+    back to the gather_mesh chain).  Returns (st, state)."""
+    from ..source.model import SourceModel
+    from .shardbuild import build_slab_tables_shard
+
+    from .shardbuild import attach_sources_shard
+
+    n_dev = len(jax.devices())
+    # the table build decides slab-decomposability BEFORE the source
+    # pass (fail fast into the fallback chain)
+    st = build_slab_tables_shard(shard, params, comm, n_dev,
+                                 dev_slice=local_device_slice())
+    sm = SourceModel.parse(params)
+    src_ids, src_forces = compute_forces_multihost(sm, shard, params,
+                                                   comm)
+    attach_sources_shard(st, shard, src_ids, comm)
+    state = run_slab_multihost(st, src_forces, params.total_steps,
+                               params.delta_t)
+    return st, state
+
+
 def main(argv=None):
     """Pod launcher: `python -m hercules_tpu.parallel.multihost
     --coordinator host0:1234 --nprocs N --pid K <cvmdb> <physics.in>
@@ -319,12 +408,25 @@ def main(argv=None):
     if nproc == 1:
         mesh = generate_mesh(params, CVM(cvmdb))
     else:
-        # sharded meshing (mesh/distributed.py): every process
-        # refines/balances/extracts only its Z-order block — no
-        # host-0 global mesh, no pickle broadcast (octor.c:4904-5258
-        # octor_partitiontree semantics)
-        from ..mesh.distributed import generate_mesh_distributed
-        mesh = generate_mesh_distributed(params, CVM(cvmdb))
+        # O(shard) pipeline first: sharded meshing -> shard-local
+        # slab tables -> solve, no global mesh on any process
+        # (octor.c:4904-6651 scalability).  Non-slab meshes fall
+        # through to the gather_mesh chain below.
+        from ..mesh.distributed import JaxComm, gather_mesh, \
+            generate_mesh_shard
+        comm = JaxComm()
+        shard = generate_mesh_shard(params, CVM(cvmdb), comm)
+        try:
+            st, state = run_shard_slab_pipeline(params, shard, comm)
+            loc = max(float(np.abs(np.asarray(s.data)).max())
+                      for s in state[0].addressable_shards)
+            print(f"[multihost] done (shard slab, O(shard) memory): "
+                  f"process {pid} local |u|max = {loc:.6e}")
+            return 0
+        except RuntimeError as e:
+            print(f"[multihost] shard slab pipeline unavailable "
+                  f"({e}); gathering the global mesh")
+            mesh = gather_mesh(shard, comm)
 
     tables = assemble(mesh, params)
     sm = SourceModel.parse(params)

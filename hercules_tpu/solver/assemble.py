@@ -96,27 +96,35 @@ def assemble(mesh, params, boundary=True, halfspace=True) -> SolverTables:
     if params.type_of_damping == "bkt":
         kmu, kkappa = bkt_matrices_24()
         t.kmu, t.kkappa = kmu.T, kkappa.T
-        rmax = 2.0 * np.pi * params.freq * params.delta_t
-        b = {}
-        for name in ("shear", "kappa"):
-            g0 = props[f"g0_{name}"] * rmax
-            g1 = props[f"g1_{name}"] * rmax
-            c1_ = g0 / 2.0
-            c3_ = g1 / 2.0
-            b[f"{name}_c1"] = c1_
-            b[f"{name}_c2"] = c1_ * (1.0 - g0)
-            b[f"{name}_c3"] = c3_
-            b[f"{name}_c4"] = c3_ * (1.0 - g1)
-            b[f"{name}_e0"] = np.exp(-g0)
-            b[f"{name}_e1"] = np.exp(-g1)
-            b[f"{name}_coef"] = np.where(
-                props[f"b_{name}"] != 0,
-                props[f"b_{name}"] / rmax, 0.0)
-            b[f"a0_{name}"] = props[f"a0_{name}"]
-            b[f"a1_{name}"] = props[f"a1_{name}"]
-        # operator coefficients (damping.c:376-377)
-        b["mu_f"] = -0.5625 * t.c1
-        b["kappa_f"] = -0.5625 * (t.c2 + 2.0 / 3.0 * t.c1)
-        t.bkt = b
+        t.bkt = bkt_element_tables(props, t.c1, t.c2, params)
 
     return t
+
+
+def bkt_element_tables(props, c1, c2, params) -> dict:
+    """Per-element BKT recursion/combine coefficient rows
+    (calc_conv / constant_Q_addforce constants, damping.c:110-416)
+    from the attenuation props — shared by the global assemble and
+    the shard-local table builders (parallel/shardbuild.py)."""
+    rmax = 2.0 * np.pi * params.freq * params.delta_t
+    b = {}
+    for name in ("shear", "kappa"):
+        g0 = props[f"g0_{name}"] * rmax
+        g1 = props[f"g1_{name}"] * rmax
+        c1_ = g0 / 2.0
+        c3_ = g1 / 2.0
+        b[f"{name}_c1"] = c1_
+        b[f"{name}_c2"] = c1_ * (1.0 - g0)
+        b[f"{name}_c3"] = c3_
+        b[f"{name}_c4"] = c3_ * (1.0 - g1)
+        b[f"{name}_e0"] = np.exp(-g0)
+        b[f"{name}_e1"] = np.exp(-g1)
+        b[f"{name}_coef"] = np.where(
+            props[f"b_{name}"] != 0,
+            props[f"b_{name}"] / rmax, 0.0)
+        b[f"a0_{name}"] = props[f"a0_{name}"]
+        b[f"a1_{name}"] = props[f"a1_{name}"]
+    # operator coefficients (damping.c:376-377)
+    b["mu_f"] = -0.5625 * c1
+    b["kappa_f"] = -0.5625 * (c2 + 2.0 / 3.0 * c1)
+    return b

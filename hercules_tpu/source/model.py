@@ -343,18 +343,26 @@ class SourceModel:
         return 90.0 + strike - 180.0 * fi / PI
 
     # ------------------------------------------------------------------
-    def compute_forces(self, mesh, params, props=None):
+    def compute_forces(self, mesh, params, props=None, partial=False):
         """Compute (node_ids [L], forces [T, L, 3]).
 
         The moment scale is mu*area*slip per point source, with mu from
         the containing element's material (quakesource.c:1180-1202).
+
+        partial=True: `mesh` may be a MeshShard covering only part of
+        the domain — sources outside it are silently dropped instead
+        of raising (the caller merges rank results; the count of
+        locally located points is left in ``self.located_points``).
+        locate_points' ancestor check guarantees a point is claimed by
+        exactly one shard.
         """
         T = params.total_steps
         dt = params.delta_t
         props = props if props is not None else mesh.props
 
         if self.type_of_source in ("plane", "planewithkinks"):
-            return self._forces_extended(mesh, params, props)
+            return self._forces_extended(mesh, params, props,
+                                         partial=partial)
 
         if self.type_of_source == "point":
             lon = np.array([self.hypo_lon])
@@ -374,6 +382,7 @@ class SourceModel:
             nsrc = len(lon)
         else:
             raise NotImplementedError(self.type_of_source)
+        src_dtfn, src_slipfn = self.src_dtfn, self.src_slipfn
 
         if self.lonlat_or_cartesian == 1 and self.type_of_source == "point":
             dx, dy = np.asarray(lat, np.float64), np.asarray(lon, np.float64)
@@ -386,7 +395,22 @@ class SourceModel:
                                        params.region_length_north_m)
 
         found, eidx = locate_points(mesh, dx, dy, depth)
-        if not found.all():
+        if partial:
+            keep = np.flatnonzero(found)
+            self.located_points = len(keep)
+            dx, dy, depth = dx[keep], dy[keep], depth[keep]
+            strike, dip, rake = strike[keep], dip[keep], rake[keep]
+            area, slip, tinit = area[keep], slip[keep], tinit[keep]
+            eidx = eidx[keep]
+            nsrc = len(keep)
+            if self.type_of_source == "srfh":
+                if src_dtfn is not None:
+                    src_dtfn = [src_dtfn[i] for i in keep]
+                if src_slipfn:
+                    src_slipfn = [src_slipfn[i] for i in keep]
+            if nsrc == 0:
+                return (np.zeros(0, np.int32), np.zeros((T, 0, 3)))
+        elif not found.all():
             missing = np.flatnonzero(~found)
             raise RuntimeError(f"point sources outside mesh: {missing[:5]}")
 
@@ -424,9 +448,9 @@ class SourceModel:
                 self.source_function_type, times,
                 T0=self.average_risetime, Ts=self.ricker_ts,
                 Tp=self.ricker_tp, delay=float(tinit[i]),
-                dt_discrete=(self.src_dtfn[i]
-                             if self.src_dtfn is not None else None),
-                discrete=(self.src_slipfn[i] if self.src_slipfn else None))
+                dt_discrete=(src_dtfn[i]
+                             if src_dtfn is not None else None),
+                discrete=(src_slipfn[i] if src_slipfn else None))
             displacement = decay * max_slip
 
             nodal = source_initnodalforce(
@@ -454,7 +478,7 @@ class SourceModel:
         return node_ids, forces
 
     # ------------------------------------------------------------------
-    def _forces_extended(self, mesh, params, props):
+    def _forces_extended(self, mesh, params, props, partial=False):
         """Vectorized extended-fault force generation
         (compute_myForces_planes, quakesource.c:2632-3031)."""
         from .extended import extended_fault_points, batched_nodal_forces
@@ -465,7 +489,11 @@ class SourceModel:
         pts = extended_fault_points(self, params)
         found, eidx = locate_points(mesh, pts["x"], pts["y"], pts["z"])
         keep = np.flatnonzero(found)
-        if len(keep) == 0:
+        if partial:
+            self.located_points = len(keep)
+            if len(keep) == 0:
+                return (np.zeros(0, np.int32), np.zeros((T, 0, 3)))
+        elif len(keep) == 0:
             raise RuntimeError("extended fault entirely outside mesh")
         eidx = eidx[keep]
 

@@ -189,6 +189,136 @@ def test_multihost_two_process_slab_solve(tmp_path):
     np.testing.assert_allclose(u_mh, u_ref, rtol=1e-12, atol=1e-18)
 
 
+_TWO_PROC_SHARD_CODE = '''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+outpath = sys.argv[3]
+import jax
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=pid)
+print(f"RESULT pid={pid} procs={jax.process_count()} "
+      f"devices={len(jax.devices())}", flush=True)
+assert jax.process_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+from hercules_tpu.config import load_params
+from hercules_tpu.cvm import CVM
+import hercules_tpu.mesh.distributed as dist
+from hercules_tpu.parallel.multihost import run_slab_multihost
+from hercules_tpu.parallel.shardbuild import (attach_sources_shard,
+                                              build_slab_tables_shard)
+
+# O(shard) contract: the global mesh must NEVER materialize
+def _no_gather(*a, **k):
+    raise AssertionError("gather_mesh called on the O(shard) path")
+dist.gather_mesh = _no_gather
+
+S = "/root/reference/examples/simple"
+p = load_params(f"{S}/in/physics.in", f"{S}/in/numerical.in")
+cvm = CVM(f"{S}/simple_case.e")
+comm = dist.JaxComm()
+shard = generate = dist.generate_mesh_shard(p, cvm, comm)
+assert shard.lenum < shard.e_global
+st = build_slab_tables_shard(shard, p, comm, 2,
+                             dev_slice=(pid, pid + 1))
+# structural O(shard) assertions: one stacked device row, no
+# global-node-length array anywhere in the tables
+assert st.c["c1"].shape[0] == 1 and st.dev0 == pid
+N = shard.n_global
+for arr in (st.c["c1"], st.inv_mass, st.mass_minusaM):
+    assert arr.shape[-1] < N, (arr.shape, N)
+src_ids = np.array([shard.elem_lnid[0, 0] if pid == 0 else 0],
+                   np.int32)
+# both ranks must agree on the source: broadcast via comm
+rows = [g for g in comm.allgather_rows(
+    np.array([[float(src_ids[0])]]) if pid == 0
+    else np.zeros((0, 1)))]
+src_ids = np.array([int(r[0, 0]) for r in rows if len(r)], np.int32)
+attach_sources_shard(st, shard, src_ids, comm)
+T = 60
+forces = np.zeros((T, 1, 3)); forces[:10, 0, :] = 1e8
+state = run_slab_multihost(st, forces, T, p.delta_t,
+                           dtype=jnp.float64, chunk=30)
+u_loc = np.asarray(state[0].addressable_shards[0].data)  # [1,3,tot]
+g = st.gnid_local[pid]
+np.save(outpath + f".{pid}.npy", u_loc[0][:, :len(g)])
+np.save(outpath + f".g{pid}.npy", g)
+print("SOLVED", pid, float(np.abs(u_loc).max()), flush=True)
+os._exit(0)
+'''
+
+
+def test_multihost_two_process_shard_pipeline(tmp_path):
+    """The O(shard) pod pipeline for REAL: 2 jax.distributed
+    processes mesh their Z-blocks, build slab tables DIRECTLY from
+    the shards (gather_mesh monkeypatched to fail), and solve; the
+    reassembled field must equal the single-process oracle
+    (octor.c:4904-6651 / psolve.c:4705-4863 per-rank memory,
+    matched)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo", JAX_ENABLE_X64="1")
+    env.pop("XLA_FLAGS", None)
+    out = str(tmp_path / "u_shard")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _TWO_PROC_SHARD_CODE, str(i), "12679",
+         out],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/tmp", env=env) for i in range(2)]
+    outs = [None, None]
+
+    def wait(i):
+        try:
+            outs[i] = procs[i].communicate(timeout=240)[0]
+        except subprocess.TimeoutExpired:
+            procs[i].kill()
+            outs[i] = (procs[i].communicate()[0] or "") + "<timeout>"
+
+    ts = [threading.Thread(target=wait, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    res = [l for o in outs for l in o.splitlines()
+           if l.startswith("RESULT")]
+    assert len(res) == 2, outs
+    if not all("procs=2" in l for l in res):
+        pytest.skip("installed jaxlib does not aggregate CPU devices "
+                    f"across processes ({res})")
+    assert all("SOLVED" in o for o in outs), outs
+
+    # oracle: single-process slab solve on a 2-device submesh
+    from hercules_tpu.parallel.slab import run_slab_solver
+    from jax.sharding import Mesh
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    mesh = generate_mesh(p, cvm)
+    tables = assemble(mesh, p)
+    src_ids = np.array([mesh.elem_lnid[0, 0]], np.int32)
+    T = 60
+    forces = np.zeros((T, 1, 3))
+    forces[:10, 0, :] = 1e8
+    st = build_slab_tables(mesh, tables, 2, src_ids=src_ids)
+    with Mesh(np.array(jax.devices()[:2]), ("d",)) as m:
+        state = run_slab_solver(st, m, forces, T, p.delta_t,
+                                dtype=jnp.float64, chunk=30)
+    u_ref = slab_u_global(st, np.asarray(state[0]), mesh.nnum)
+    assert np.abs(u_ref).max() > 0
+
+    u_mh = np.zeros_like(u_ref)
+    for pid in range(2):
+        u = np.load(out + f".{pid}.npy")
+        g = np.load(out + f".g{pid}.npy")
+        u_mh[g] = u.T
+    # 2-process gloo collectives vs the single-process 2-device
+    # oracle: identical tables (test_shardbuild proves bitwise
+    # equality), ulp-level reduction-order differences in the halo
+    # adds — same tolerance as the gather-based two-process test
+    np.testing.assert_allclose(u_mh, u_ref, rtol=1e-12, atol=1e-18)
+
+
 @pytest.mark.parametrize("damping", ["rayleigh", "bkt"])
 def test_gslab_multihost_single_process(damping):
     """run_gslab_multihost on the 8-device single-process mesh equals
