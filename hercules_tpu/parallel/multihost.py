@@ -288,6 +288,43 @@ def run_gslab_multihost(st, src_forces, total_steps, dt,
     return state
 
 
+def run_gmesh_multihost(st, src_forces, total_steps, dt,
+                        dtype=jnp.float32, chunk=None, axis="d",
+                        interpret=False):
+    """General graded-mesh solver over the global (multi-host) device
+    mesh: the pod path for LATERALLY graded meshes (parallel/gmesh.py
+    — any brick decomposition, one [K, 9] interface psum per step).
+    The reference's halo is partition-agnostic (psolve.c:4946-5079);
+    this is the multihost expression of the same property."""
+    from .gmesh import make_gmesh_step
+
+    mesh_dev = global_device_mesh(axis)
+    n_dev = st.n_dev
+    assert n_dev == len(jax.devices()), \
+        f"gmesh tables built for {n_dev} shards but the global mesh " \
+        f"has {len(jax.devices())} devices"
+    scan_fn, tdev = make_gmesh_step(st, mesh_dev, axis=axis,
+                                    dtype=dtype, interpret=interpret)
+    npdt = np.dtype(jnp.zeros((), dtype).dtype)
+    sharded = lambda a: make_global(np.asarray(a), mesh_dev, P(axis))
+    repl = lambda a: make_global(a, mesh_dev, P())
+    tdev = jax.tree.map(sharded, tdev)
+    Ss = tuple(sharded(np.zeros((n_dev, 8, gb.LEN), npdt))
+               for gb in st.bricks)
+    state = (Ss, sharded(np.zeros((n_dev, 8, st.NL), npdt)))
+    if chunk is None:
+        chunk = min(total_steps, 1000)
+    dt2 = dt * dt
+    s = 0
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        xs = (repl(np.asarray(src_forces[s:s + k] * dt2, npdt)),
+              repl(np.arange(s, s + k, dtype=np.int32)))
+        state = scan_fn(tdev, state, xs)
+        s += k
+    return state
+
+
 def local_device_slice():
     """(d0, d1): this process's contiguous range in jax.devices()
     order (the slab-table dev_slice).  Asserts contiguity — JAX
@@ -433,10 +470,9 @@ def main(argv=None):
     src_ids, src_forces = sm.compute_forces(mesh, params)
     # table construction decides the decomposition; only IT may fall
     # back (a RuntimeError mid-solve must propagate, not be retried).
-    # Fallback chain: slab -> graded gslab -> unstructured sharded
-    # (gslab's own build constraints -- z layers not divisible by the
-    # device count, plane exceeding the VMEM tile -- land on sharded)
-    st = gst = None
+    # Fallback chain (choose_path order): slab -> graded gslab ->
+    # general gmesh -> unstructured sharded (single-process only)
+    st = gst = gmt = None
     try:
         st = build_slab_tables(mesh, tables, len(jax.devices()),
                                src_ids=src_ids)
@@ -445,17 +481,24 @@ def main(argv=None):
         try:
             gst = build_gslab_tables(mesh, tables, len(jax.devices()),
                                      src_ids=src_ids)
-        except RuntimeError as e:
-            print(f"[multihost] structured decompositions unavailable "
-                  f"({e}); using the unstructured sharded path")
-    if st is None and gst is None:
+        except RuntimeError:
+            from .gmesh import build_gmesh_tables, gmesh_u_global
+            try:
+                gmt = build_gmesh_tables(mesh, tables,
+                                         len(jax.devices()),
+                                         src_ids=src_ids)
+            except RuntimeError as e:
+                print(f"[multihost] structured decompositions "
+                      f"unavailable ({e}); using the unstructured "
+                      f"sharded path")
+    if st is None and gst is None and gmt is None:
         from .partition import shard_tables
         from .sharded import gather_global as sh_gather, run_sharded
         if nproc > 1:
             raise RuntimeError(
                 "unstructured sharded fallback is single-process only "
                 "(its tables are not built shard-locally); re-mesh to "
-                "a slab/gslab-decomposable shape for pod runs")
+                "a slab/gslab/gmesh-decomposable shape for pod runs")
         ust = shard_tables(tables, mesh, len(jax.devices()),
                            src_ids=src_ids)
         state = run_sharded(ust, global_device_mesh(), src_forces,
@@ -463,6 +506,18 @@ def main(argv=None):
         if pid == 0:
             ug = sh_gather(ust, state[0], mesh.nnum)
             print(f"[multihost] done (unstructured): "
+                  f"|u|max = {np.abs(ug).max():.6e}")
+        return 0
+    if gmt is not None:
+        from .gmesh import gmesh_u_global
+        state = run_gmesh_multihost(gmt, src_forces,
+                                    params.total_steps,
+                                    params.delta_t)
+        us = (tuple(gather_global(a) for a in state[0]),
+              gather_global(state[1]))
+        if pid == 0:
+            ug = gmesh_u_global(gmt, us, mesh.nnum)
+            print(f"[multihost] done (gmesh): "
                   f"|u|max = {np.abs(ug).max():.6e}")
         return 0
     if st is not None:
