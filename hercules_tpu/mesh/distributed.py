@@ -240,6 +240,76 @@ def balance_distributed(tree: Octree, starts, comm, max_rounds=64):
     raise RuntimeError("distributed balance did not converge")
 
 
+def repartition(tree: Octree, starts, comm, max_ratio=1.1):
+    """Post-refinement repartition (octor_partitiontree,
+    octor.c:4904-5258 + tree_setdistribution :2084-2142): recompute
+    the interval table from ACTUAL leaf counts and migrate leaves to
+    their new owners.  The coarse-pass interval table is a static
+    vsrule estimate; a CVM feature inside one coarse leaf (a sharp
+    low-Vs basin) skews it arbitrarily — octor fixes this by
+    repartitioning with real counts after every refinement step, and
+    so does this.
+
+    Returns the new starts (or the old ones when the current split is
+    already within max_ratio of balanced).  Migration rides the same
+    bulk-synchronous allgather as the balance exchange; each rank
+    keeps only rows it owns, so steady-state memory stays O(shard)
+    (the transient is bounded by the migrated volume)."""
+    counts = comm.allgather_rows(np.array([[tree.n]], np.int64))
+    counts = np.array([int(c[0, 0]) for c in counts], np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return starts
+    ideal = total / comm.nproc
+    if counts.max() <= max_ratio * max(ideal, 1.0):
+        return starts
+    prefix = np.concatenate([[0], np.cumsum(counts)])
+    # new split targets: global leaf ranks total*r/P, keyed by the
+    # leaf that holds each rank (strictly increasing by construction
+    # when total >= nproc)
+    targets = (np.arange(1, comm.nproc) * total) // comm.nproc
+    targets = np.maximum(targets, np.arange(1, comm.nproc))
+    lo, hi = int(prefix[comm.rank]), int(prefix[comm.rank + 1])
+    mine = (targets >= lo) & (targets < hi)
+    li = targets[mine] - lo
+    rows = np.stack([np.flatnonzero(mine).astype(np.uint64),
+                     tree.hi[li], tree.lo[li]], axis=1) \
+        if mine.any() else np.zeros((0, 3), np.uint64)
+    shi = np.zeros(comm.nproc, np.uint64)
+    slo = np.zeros(comm.nproc, np.uint64)
+    got_n = 0
+    for got in comm.allgather_rows(rows):
+        for r in np.asarray(got, np.uint64):
+            shi[int(r[0]) + 1] = r[1]
+            slo[int(r[0]) + 1] = r[2]
+            got_n += 1
+    assert got_n == comm.nproc - 1, "repartition split keys missing"
+    new_starts = (shi, slo)
+
+    # migrate leaves to their new owners
+    own = owner_of(shi, slo, tree.hi, tree.lo)
+    keep = own == comm.rank
+    out = np.stack([tree.hi[~keep], tree.lo[~keep],
+                    tree.level[~keep].astype(np.uint64)], axis=1)
+    parts_h = [tree.hi[keep]]
+    parts_l = [tree.lo[keep]]
+    parts_v = [tree.level[keep]]
+    for r, got in enumerate(comm.allgather_rows(out)):
+        if r == comm.rank or not len(got):
+            continue
+        g = np.asarray(got, np.uint64)
+        sel = owner_of(shi, slo, g[:, 0], g[:, 1]) == comm.rank
+        if sel.any():
+            parts_h.append(g[sel, 0])
+            parts_l.append(g[sel, 1])
+            parts_v.append(g[sel, 2].astype(np.uint8))
+    tree.hi = np.concatenate(parts_h)
+    tree.lo = np.concatenate(parts_l)
+    tree.level = np.concatenate(parts_v)
+    tree.sort()
+    return new_starts
+
+
 # ---------------------------------------------------------------------------
 # sharded extraction with exact global numbering
 
@@ -722,6 +792,10 @@ def generate_mesh_shard(params, cvm, comm, buildings=None,
                         > rec_["Vs"] / (params.factor * _s))
         rec = tree.refine(setrec, te)
         balance_distributed(tree, starts, comm)
+        # octor repartitions with ACTUAL leaf counts after each
+        # refinement step (octor.c:4904) — the coarse vsrule estimate
+        # cannot anticipate sharp CVM features inside one coarse leaf
+        starts = repartition(tree, starts, comm)
         if verbose:
             print(f"  [rank {comm.rank}] meshing step x{mstep}: "
                   f"{tree.n} leaves")

@@ -223,3 +223,59 @@ def test_choose_intervals_degenerate_weights():
         assert (keys[1:] > keys[:-1]).all(), wcase
         sizes = [shard_tree(tree, starts, r)[0].n for r in range(8)]
         assert min(sizes) >= 1, (wcase, sizes)
+
+
+def _skewed_te(tr, hi, lo, lv, rec):
+    """Deliberately skewed load: a level-7 pocket confined to ONE
+    corner octant (all inside a single coarse leaf, so the coarse
+    vsrule estimate cannot split it), level 3 elsewhere."""
+    x, y, z = morton.deinterleave3(hi, lo)
+    fine = ((x < (1 << 27)) & (y < (1 << 27)) & (z < (1 << 27)))
+    return lv < np.where(fine, 7, 3)
+
+
+@pytest.mark.parametrize("nproc", [4, 8])
+def test_repartition_balances_skewed_load(nproc):
+    """octor_partitiontree semantics (octor.c:4904-5258): after
+    refinement, shards are re-split by ACTUAL leaf counts — a fine
+    region hidden inside one coarse leaf must not leave one rank with
+    nearly all elements; the gathered mesh stays bit-exact vs the
+    serial oracle."""
+    from hercules_tpu.mesh.distributed import repartition
+
+    otree = Octree.newtree(1000.0, 1000.0, 1000.0)
+    otree.refine(lambda tr, hi, lo, lv: {}, _skewed_te)
+    otree.balance()
+    ref = extract_mesh(otree)
+
+    def build(comm):
+        tree = Octree.newtree(1000.0, 1000.0, 1000.0)
+        while tree.n < 8 * comm.nproc:
+            lmin = int(tree.level.min())
+            tree.refine(lambda tr, hi, lo, lv: {},
+                        lambda tr, hi, lo, lv, rec, _l=lmin:
+                        lv <= _l)
+        starts = choose_intervals(tree, np.ones(tree.n), comm.nproc)
+        tree, _ = shard_tree(tree, starts, comm.rank)
+        tree.refine(lambda tr, hi, lo, lv: {}, _skewed_te)
+        balance_distributed(tree, starts, comm)
+        skew_before = tree.n
+        starts = repartition(tree, starts, comm)
+        shard = extract_mesh_shard(tree, starts, comm)
+        return tree.n, skew_before, gather_mesh(shard, comm)
+
+    results = run_ranks(nproc, build)
+    sizes = [r[0] for r in results]
+    before = [r[1] for r in results]
+    E = ref.lenum
+    # the skewed split concentrated most leaves on one rank ...
+    assert max(before) > 2.0 * E / nproc, before
+    # ... and the repartition spreads them near-evenly
+    assert max(sizes) <= 1.2 * E / nproc, sizes
+    assert min(sizes) >= 1, sizes
+    for _, _, m in results:
+        np.testing.assert_array_equal(m.elem_x, ref.elem_x)
+        np.testing.assert_array_equal(m.elem_level, ref.elem_level)
+        np.testing.assert_array_equal(m.elem_lnid, ref.elem_lnid)
+        np.testing.assert_array_equal(m.node_x, ref.node_x)
+        np.testing.assert_array_equal(m.dangling, ref.dangling)
