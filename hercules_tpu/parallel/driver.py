@@ -584,7 +584,7 @@ class GMeshPath(_PathBase):
     def sample(self, t, carry):
         if not self._has_st:
             return jnp.zeros((0, 3), self.dtype)
-        Ss, S_l = carry
+        Ss, S_l = carry[0], carry[1]
         out = jnp.zeros((self._S, 3), self.dtype)
         for bi in self._st_bricks:
             pts = Ss[bi][0:3][:, t[f"st_lidx{bi}"]]   # [3, S, 8]
@@ -597,7 +597,7 @@ class GMeshPath(_PathBase):
         return out
 
     def snap_pair(self, carry):
-        Ss, S_l = carry
+        Ss, S_l = carry[0], carry[1]
         return (tuple(S[0:3] for S in Ss) + (S_l[0:3],),
                 tuple(S[3:6] for S in Ss) + (S_l[3:6],))
 
@@ -607,7 +607,8 @@ class GMeshPath(_PathBase):
         return (one, one)
 
     def tail(self, state):
-        return ()
+        # nl plastic state legs (checkpoint tail), empty when elastic
+        return tuple(state[2]) if len(state) > 2 else ()
 
     def _u_of(self, parts, row0=0):
         from .gmesh import gmesh_u_global
@@ -636,16 +637,20 @@ class GMeshPath(_PathBase):
         return self._u_of(parts, row0=3)
 
     def init_state(self):
+        from .gmesh import init_nl_gmesh_state
         Ss = tuple(jnp.zeros((self.n_dev, 8, gb.LEN), self.dtype)
                    for gb in self.st.bricks)
-        return (Ss, jnp.zeros((self.n_dev, 8, self.st.NL),
-                              self.dtype))
+        state = (Ss, jnp.zeros((self.n_dev, 8, self.st.NL),
+                               self.dtype))
+        if self.st.nl is not None:
+            state = state + (init_nl_gmesh_state(self.st, self.dtype),)
+        return state
 
     def state_from_global(self, u, up, tail_flat):
-        if tail_flat:
+        st = self.st
+        if tail_flat and st.nl is None:
             raise RuntimeError("unexpected checkpoint tail for the "
                                "elastic gmesh path")
-        st = self.st
         npdt = np.dtype(jnp.zeros((), self.dtype).dtype)
         Ss = []
         for gb in st.bricks:
@@ -659,7 +664,15 @@ class GMeshPath(_PathBase):
         if st.NL:
             S_l[:, 0:3] = np.asarray(u)[st.gnid_loose].T[None]
             S_l[:, 3:6] = np.asarray(up)[st.gnid_loose].T[None]
-        return (tuple(Ss), jnp.asarray(S_l))
+        state = (tuple(Ss), jnp.asarray(S_l))
+        if st.nl is not None:
+            from .gmesh import init_nl_gmesh_state
+            nls = (tuple(jnp.asarray(a, self.dtype)
+                         for a in tail_flat)
+                   if tail_flat else init_nl_gmesh_state(st,
+                                                         self.dtype))
+            state = state + (nls,)
+        return state
 
 
 class ShardedPath(_PathBase):

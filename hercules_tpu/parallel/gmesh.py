@@ -95,11 +95,14 @@ class GMeshTables:
     ls_cols: object = None
     src_direct_loose: list = field(default_factory=list)
     N: int = 0                  # global node count
+    # nonlinear subset bundle (_nl_gmesh_bundle), None when absent
+    nl: dict = None
 
 
 def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
                        dtype=jnp.float32,
-                       min_brick_elems=2048) -> GMeshTables:
+                       min_brick_elems=2048, nl_tables=None,
+                       params=None) -> GMeshTables:
     from ..solver.pallas_brick import (_tier_kco, pallas_fits,
                                        pallas_geometry)
 
@@ -111,6 +114,25 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
         raise RuntimeError("plan exceeds the fused kernel envelope")
     if len(plan.bricks) < 1:
         raise RuntimeError("no dense bricks")
+
+    # nonlinear elements: the fused kernels skip them (coefficients
+    # zeroed below, stiffness.c:46-105 linear-element map) and a
+    # per-device XLA subset pass re-adds plastic + damping forces
+    # (attach_nonlinear_gmesh); here we only need their concat
+    # columns for the zeroing
+    nl_cols = None
+    if nl_tables is not None and len(nl_tables.eidx):
+        valid_cols = np.flatnonzero(plan.evalid_cat)
+        col_of = -np.ones(tables.E, np.int64)
+        col_of[plan.eidx_cat[valid_cols]] = valid_cols
+        nl_cols = col_of[nl_tables.eidx]
+        if not (nl_cols >= 0).all():
+            raise RuntimeError("nonlinear element missing from plan; "
+                               "unstructured path only")
+        off_loose = plan.bricks[-1].off + plan.bricks[-1].nb
+        if (nl_cols >= off_loose).any():
+            raise RuntimeError("nonlinear elements in the loose "
+                               "section; unstructured path only")
 
     t_host, metas, TOT = assemble_brick_tables(plan, tables,
                                                src_ids=src_ids)
@@ -164,6 +186,9 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
             w = [(0, 0)] * (x.ndim - 1) + [(0, nb - x.shape[-1])]
             return np.pad(x, w)
 
+        nlb = (nl_cols[(nl_cols >= b.off)
+                       & (nl_cols < b.off + b.nb)] - b.off
+               if nl_cols is not None else None)
         cms, mms, invs = [], [], []
         for d in range(n_dev):
             ez_d = int(ez_of[d])
@@ -177,6 +202,12 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
             c1[ez_d * plane:] = 0.0        # ghost-plane elements
             c2[ez_d * plane:] = 0.0
             c3[ez_d * plane:] = 0.0
+            if nlb is not None and len(nlb):
+                loc = nlb - int(z0s[d]) * plane
+                loc = loc[(loc >= 0) & (loc < ez_d * plane)]
+                c1[loc] = 0.0              # nl elements: subset pass
+                c2[loc] = 0.0
+                c3[loc] = 0.0
             beta = np.divide(c3, c1, out=np.zeros_like(c1),
                              where=c1 != 0)
             cms.append(pad_nb(np.stack([c1, c2, beta])))
@@ -256,6 +287,9 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
     st.ep_src_direct_bricks = [(a, pp, rows, iv) for a, pp, rows, iv
                                in ep["src_direct"] if a < NB]
     # map direct brick sources onto per-device fragment tables
+    if nl_cols is not None:
+        st.nl = _nl_gmesh_bundle(st, plan, mesh, tables, nl_tables,
+                                 params, nl_cols, dtype)
     st.src_brick = []
     for a, pp, rows, iv in st.ep_src_direct_bricks:
         gb = st.bricks[a]
@@ -277,6 +311,138 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
             (a, i32(np.stack(lidx)), jnp.asarray(np.stack(lmask)),
              i32(np.asarray(rows)), iv))
     return st
+
+
+def _nl_gmesh_bundle(st, plan, mesh, tables, nl_tables, params,
+                     nl_cols, dtype):
+    """Per-DEVICE nonlinear subset tables for the gmesh path
+    (VERDICT r4 item 3: the fused multi-chip nonlinear).
+
+    The single-chip mesh path (pallas_mesh.attach_nonlinear_mesh)
+    gathers nl-element corners, updates the plastic state
+    (compute_nonlinear_state, nonlinear.c:1671) and scatters the
+    stress-integral + damping forces pre-reconciliation
+    (compute_addforce_nl, nonlinear.c:1544).  Every piece of that
+    pass is element-local, and each element belongs to exactly one
+    device's fragment layers — so the same pass runs per device on
+    its own element slice, padded to a common width (shard_map needs
+    one program), and the forces flow through the existing
+    shared-plane recovery + interface psum like any kernel force
+    (the reference runs the same loops on every rank).
+
+    Geostatic loading is NOT supported here yet (falls back to the
+    unstructured path): its gravity/bottom-reaction machinery needs
+    per-fragment re-derivation."""
+    from ..nonlinear import nl_device_tables
+
+    t = nl_tables
+    if t.cfg.geostatic_loading_t > 0:
+        raise RuntimeError("geostatic loading on multi-chip: "
+                           "unstructured path only (for now)")
+    n_dev = st.n_dev
+    Enl = len(t.eidx)
+    g = plan.gnid_cat
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    f = lambda x: jnp.asarray(x, dtype)
+
+    brick_of = np.zeros(Enl, np.int64)
+    dev = np.zeros(Enl, np.int64)
+    lcol = np.zeros(Enl, np.int64)
+    for bi, b in enumerate(plan.bricks):
+        m = (nl_cols >= b.off) & (nl_cols < b.off + b.nb)
+        if not m.any():
+            continue
+        gb = st.bricks[bi]
+        brick_of[m] = bi
+        pos = nl_cols[m] - b.off
+        offs = np.asarray(b.corner_offsets())
+        if not (g[b.off + pos[:, None] + offs[None, :]]
+                == mesh.elem_lnid[t.eidx[m]]).all():
+            raise RuntimeError("brick corner order does not match "
+                               "elem_lnid; unstructured path only")
+        z = pos // gb.plane
+        r = pos % gb.plane
+        d_ = np.searchsorted(gb.z0s, z, side="right") - 1
+        dev[m] = np.clip(d_, 0, n_dev - 1)
+        lcol[m] = (z - gb.z0s[dev[m]]) * gb.plane + r
+
+    counts = np.bincount(dev, minlength=n_dev)
+    Mnl = max(int(counts.max()), 1)
+    slot = np.zeros(Enl, np.int64)
+    for d in range(n_dev):
+        m = dev == d
+        slot[m] = np.arange(int(m.sum()))
+
+    # stacked per-device material rows, benign padding (mu=lam=0 ->
+    # zero stress/force; k=1, sensitivity=1 keep the multiplier
+    # algebra finite)
+    def stack_mat(v, padval):
+        out = np.full((n_dev, Mnl), padval, np.float64)
+        out[dev, slot] = np.asarray(v, np.float64)
+        return out
+
+    nd = nl_device_tables(t, dtype)     # for S/F operators + flags
+    mats = {
+        "nl_mu": stack_mat(t.mu, 0.0),
+        "nl_lam": stack_mat(t.lam, 0.0),
+        "nl_alpha": stack_mat(t.alpha, 0.0),
+        "nl_k": stack_mat(t.k, 1.0),
+        "nl_hard": stack_mat(t.hard, 0.0),
+        "nl_strainrate": stack_mat(t.strainrate, 0.0),
+        "nl_sensitivity": stack_mat(t.sensitivity, 1.0),
+        "nl_h": stack_mat(t.h, 1.0),
+        "nl_c3": stack_mat(tables.c3[t.eidx], 0.0),
+        "nl_c4": stack_mat(tables.c4[t.eidx], 0.0),
+    }
+
+    # per-brick gather/scatter over the flat per-device (slot, corner)
+    # space; flat buffer = Mnl*8 rows + one trailing zero row that
+    # padded entries point at
+    gathers, scatters = [], []
+    for bi, b in enumerate(plan.bricks):
+        gb = st.bricks[bi]
+        sel = brick_of == bi
+        Mb = max(int(np.bincount(dev[sel],
+                                 minlength=n_dev).max()), 1) \
+            if sel.any() else 0
+        if Mb == 0:
+            continue
+        offs = np.asarray(b.corner_offsets())
+        loc = np.zeros((n_dev, Mb * 8), np.int64)
+        dst = np.full((n_dev, Mb * 8), Mnl * 8, np.int64)
+        sc_perm = np.full((n_dev, Mb * 8), Mnl * 8, np.int64)
+        sc_col = np.full((n_dev, Mb * 8), gb.LEN - 1, np.int64)
+        sc_invm = np.zeros((n_dev, Mb * 8), np.float64)
+        for d in range(n_dev):
+            m = sel & (dev == d)
+            k = int(m.sum())
+            if not k:
+                continue
+            l8 = (lcol[m][:, None] + offs[None, :]).ravel()
+            d8 = (slot[m][:, None] * 8
+                  + np.arange(8)[None, :]).ravel()
+            loc[d, :k * 8] = l8
+            dst[d, :k * 8] = d8
+            order = np.argsort(l8, kind="stable")
+            sc_perm[d, :k * 8] = d8[order]
+            sc_col[d, :k * 8] = l8[order]
+            gpos = (nl_cols[m][:, None] + offs[None, :]).ravel()
+            sc_invm[d, :k * 8] = \
+                tables.inv_mass[g[gpos]][order]
+        gathers.append((bi, i32(loc), i32(dst)))
+        scatters.append((bi, i32(sc_perm), i32(sc_col),
+                         f(sc_invm)))
+
+    bundle = {
+        "n": Mnl, "dt": params.delta_t, "dt2": params.delta_t ** 2,
+        "S_op": nd["S"], "F_op": nd["F"], "mcat": f(tables.m48.T),
+        "model": nd["model"], "rate_dep": nd["rate_dep"],
+        "gather": gathers, "scatter": scatters,
+        "mats": mats,
+        # host-side metadata for state conversion (checkpoints)
+        "dev": dev, "slot": slot, "eidx": t.eidx,
+    }
+    return bundle
 
 
 def _pad_maps(rows_list, cols_list, pad_row, pad_col):
@@ -322,6 +488,17 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
     for ai, (a, lidx, lmask, rows, iv) in enumerate(st.src_brick):
         tdev[f"dsl{ai}"] = lidx
         tdev[f"dsm{ai}"] = lmask
+    nl = st.nl
+    if nl is not None:
+        for k, v in nl["mats"].items():
+            tdev[k] = jnp.asarray(v, dtype)
+        for gi, (bi, loc, dst) in enumerate(nl["gather"]):
+            tdev[f"nlgl{gi}"] = loc
+            tdev[f"nlgd{gi}"] = dst
+        for gi, (bi, perm, col, invm) in enumerate(nl["scatter"]):
+            tdev[f"nlsp{gi}"] = perm
+            tdev[f"nlsc{gi}"] = col
+            tdev[f"nlsm{gi}"] = invm
 
     ring_dn = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     ring_up = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -330,22 +507,72 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
 
     def local_step(t, carry, x):
         srcf, _step = x
-        (Ss, S_l) = carry
+        if nl is not None:
+            (Ss, S_l, nls) = carry
+        else:
+            (Ss, S_l) = carry
         idx = jax.lax.axis_index(axis)
         uns = []
 
+        # ---- pass 1: fused kernels + direct brick sources ----------
         for bi, gb in enumerate(st.bricks):
             S = Ss[bi]
-            u, up = S[0:3], S[3:6]
             un = calls[bi](S, S, t[f"K{bi}"], dd)
-            iv = t[f"K{bi}"][6]
-            m1 = t[f"K{bi}"][3:6]
             for ai, (a, _l, _m, rows, ivv) in enumerate(st.src_brick):
                 if a != bi:
                     continue
                 sf = jnp.where(t[f"dsm{ai}"][:, None],
                                srcf[rows] * ivv, 0)
                 un = un.at[:3, t[f"dsl{ai}"]].add(sf.T)
+            uns.append(un)
+
+        # ---- nonlinear subset pass (pre-halo, pre-reconciliation) --
+        # plastic state update + stress-integral & damping forces of
+        # the nl elements owned by THIS device; the forces flow into
+        # the shared-plane recovery and interface psum like any
+        # kernel force (nonlinear.c:1544-1823 on every rank)
+        if nl is not None:
+            from ..nonlinear import nl_force, nl_state_update
+            Mnl = nl["n"]
+            ue_f = jnp.zeros((Mnl * 8 + 1, 3), dtype)
+            upe_f = jnp.zeros((Mnl * 8 + 1, 3), dtype)
+            for gi, (bi, _, _) in enumerate(nl["gather"]):
+                loc = t[f"nlgl{gi}"]
+                dsti = t[f"nlgd{gi}"]
+                ue_f = ue_f.at[dsti].set(Ss[bi][0:3][:, loc].T)
+                upe_f = upe_f.at[dsti].set(Ss[bi][3:6][:, loc].T)
+            ue = ue_f[:-1].reshape(Mnl, 24)
+            upe = upe_f[:-1].reshape(Mnl, 24)
+            d_dev = {"S": nl["S_op"], "F": nl["F_op"],
+                     "model": nl["model"],
+                     "rate_dep": nl["rate_dep"],
+                     "mu": t["nl_mu"], "lam": t["nl_lam"],
+                     "alpha": t["nl_alpha"], "k": t["nl_k"],
+                     "hard": t["nl_hard"],
+                     "strainrate": t["nl_strainrate"],
+                     "sensitivity": t["nl_sensitivity"],
+                     "h": t["nl_h"]}
+            nls = nl_state_update(d_dev, ue, nls, nl["dt"])
+            fnl = nl_force(d_dev, nls, nl["dt2"])
+            du = ue - upe
+            a_ = t["nl_c3"][:, None] * du
+            b_ = t["nl_c4"][:, None] * du
+            f_lin = -(jnp.concatenate([a_, b_], 1) @ nl["mcat"].T)
+            F_flat = jnp.concatenate(
+                [(fnl + f_lin).reshape(-1, 3),
+                 jnp.zeros((1, 3), dtype)], axis=0)
+            for gi, (bi, _, _, _) in enumerate(nl["scatter"]):
+                vals = (F_flat[t[f"nlsp{gi}"]]
+                        * t[f"nlsm{gi}"][:, None])
+                uns[bi] = uns[bi].at[0:3, t[f"nlsc{gi}"]].add(vals.T)
+
+        # ---- pass 2: within-brick fragment halos -------------------
+        for bi, gb in enumerate(st.bricks):
+            S = Ss[bi]
+            u, up = S[0:3], S[3:6]
+            un = uns[bi]
+            iv = t[f"K{bi}"][6]
+            m1 = t[f"K{bi}"][3:6]
 
             # within-brick fragment halo: shared-plane force recovery
             # + ppermute (identical to gslab.py's fused path)
@@ -386,7 +613,7 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
             un = jax.lax.dynamic_update_slice(
                 un, wbot * bot_new + (1.0 - wbot)
                 * dslice(un, zb, 3)[:3], (z0, zb))
-            uns.append(un)
+            uns[bi] = un
 
         # ---- loose elements (replicated small XLA pass) -----------
         u_l, up_l = S_l[0:3], S_l[3:6]
@@ -461,6 +688,8 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
 
         Sn_l = jnp.concatenate(
             [un_l, u_l, S_l[6:8]], axis=0)
+        if nl is not None:
+            return (tuple(uns), Sn_l, nls), None
         return (tuple(uns), Sn_l), None
 
     one = (P(axis),) * NB
@@ -469,6 +698,8 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
     # the same small pass, which keeps the driver's uniform
     # leading-device-axis state convention
     sspec = (one, P(axis))
+    if nl is not None:
+        sspec = sspec + ((P(axis),) * 3,)
     return local_step, tdev, sspec
 
 
@@ -499,6 +730,8 @@ def run_gmesh_solver(st: GMeshTables, mesh_dev, src_forces,
     Ss = tuple(jnp.zeros((n_dev, 8, gb.LEN), dtype)
                for gb in st.bricks)
     state = (Ss, jnp.zeros((n_dev, 8, st.NL), dtype))
+    if st.nl is not None:
+        state = state + (init_nl_gmesh_state(st, dtype),)
     if chunk is None:
         chunk = min(total_steps, 1000)
     dt2 = dt * dt
@@ -513,13 +746,22 @@ def run_gmesh_solver(st: GMeshTables, mesh_dev, src_forces,
     return state
 
 
+def init_nl_gmesh_state(st: GMeshTables, dtype):
+    """Zero plastic state for the per-device nl subset pass:
+    (stresses, pstrains, ep) stacked over devices."""
+    n_dev, Mnl = st.n_dev, st.nl["n"]
+    return (jnp.zeros((n_dev, Mnl, 8, 6), dtype),
+            jnp.zeros((n_dev, Mnl, 8, 6), dtype),
+            jnp.zeros((n_dev, Mnl, 8), dtype))
+
+
 def gmesh_u_global(st: GMeshTables, state, N=None):
     """Global [N, 3] displacement from the sharded state (loose
     section written first so brick copies win at shared nodes — all
     copies agree after reconciliation anyway)."""
     if N is None:
         N = st.N
-    Ss, S_l = state
+    Ss, S_l = state[0], state[1]
     u = np.zeros((N, 3))
     if st.NL:
         u[st.gnid_loose] = np.asarray(S_l)[0, 0:3].T

@@ -967,7 +967,30 @@ class Simulation:
             raise RuntimeError(
                 f"requested ndev={ndev} but only {len(devs)} devices "
                 f"are visible")
-        if (self.nl_tables is not None or drm is not None
+        path = None
+        if (self.nl_tables is not None and drm is None
+                and fb_ids is None and prefer in (None, "gmesh")):
+            # fused multi-chip nonlinear: the gmesh path runs the
+            # same per-element subset pass on every device
+            # (nonlinear.c:1544-1823 on every rank) — no demotion to
+            # the unstructured layout.  Geostatic loading and
+            # nl+BKT still fall through to ShardedPath.
+            from .parallel.driver import GMeshPath
+            from .parallel.gmesh import build_gmesh_tables
+            try:
+                gmt = build_gmesh_tables(
+                    self.mesh, self.tables, ndev,
+                    src_ids=self.src_ids, dtype=dtype,
+                    nl_tables=self.nl_tables, params=p)
+                path = GMeshPath(gmt, self.mesh, dtype=dtype,
+                                 interpret=(jax.default_backend()
+                                            != "tpu"))
+            except RuntimeError:
+                if prefer == "gmesh":
+                    raise
+        if path is not None:
+            pass
+        elif (self.nl_tables is not None or drm is not None
                 or fb_ids is not None):
             # nonlinear state, DRM effective forces and fixed-base
             # prescribed displacements are per-element / per-node —
