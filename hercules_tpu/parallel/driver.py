@@ -638,17 +638,21 @@ class GMeshPath(_PathBase):
 
     def init_state(self):
         from .gmesh import init_nl_gmesh_state
+        st = self.st
         Ss = tuple(jnp.zeros((self.n_dev, 8, gb.LEN), self.dtype)
-                   for gb in self.st.bricks)
-        state = (Ss, jnp.zeros((self.n_dev, 8, self.st.NL),
-                               self.dtype))
-        if self.st.nl is not None:
-            state = state + (init_nl_gmesh_state(self.st, self.dtype),)
+                   for gb in st.bricks)
+        state = (Ss, jnp.zeros((self.n_dev, 8, st.NL), self.dtype))
+        if st.damping == "bkt":
+            state = state + (tuple(
+                jnp.zeros((self.n_dev, st.conv_rows_node, gb.LEN),
+                          st.conv_dtype_node) for gb in st.bricks),)
+        elif st.nl is not None:
+            state = state + (init_nl_gmesh_state(st, self.dtype),)
         return state
 
     def state_from_global(self, u, up, tail_flat):
         st = self.st
-        if tail_flat and st.nl is None:
+        if tail_flat and st.nl is None and st.damping != "bkt":
             raise RuntimeError("unexpected checkpoint tail for the "
                                "elastic gmesh path")
         npdt = np.dtype(jnp.zeros((), self.dtype).dtype)
@@ -665,7 +669,19 @@ class GMeshPath(_PathBase):
             S_l[:, 0:3] = np.asarray(u)[st.gnid_loose].T[None]
             S_l[:, 3:6] = np.asarray(up)[st.gnid_loose].T[None]
         state = (tuple(Ss), jnp.asarray(S_l))
-        if st.nl is not None:
+        if st.damping == "bkt":
+            if tail_flat:
+                assert len(tail_flat) == len(st.bricks), \
+                    "gmesh BKT tail must have one array per brick"
+                conv = tuple(jnp.asarray(a, st.conv_dtype_node)
+                             for a in tail_flat)
+            else:
+                conv = tuple(
+                    jnp.zeros((self.n_dev, st.conv_rows_node,
+                               gb.LEN), st.conv_dtype_node)
+                    for gb in st.bricks)
+            state = state + (conv,)
+        elif st.nl is not None:
             from .gmesh import init_nl_gmesh_state
             nls = (tuple(jnp.asarray(a, self.dtype)
                          for a in tail_flat)

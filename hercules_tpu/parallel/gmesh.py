@@ -30,9 +30,13 @@ multi-chip.  This path removes that restriction:
 Per step the path moves: one plane triplet ppermute per brick (the
 within-brick halo) + one [K, 9] psum — all O(surface), riding ICI.
 
-Scope: elastic damping (rayleigh/mass/none), packed [8, LEN] state.
-BKT / nonlinear / DRM fall back to gslab (depth-graded) or the
-unstructured sharded path.
+Scope: rayleigh/mass/none damping, BKT with one Q set per brick
+(uniform-Q node-basis kernels; the conv recursion is node-local and
+displacement copies reconcile through the existing plane/psum
+machinery, so attenuation adds ZERO exchange), and nonlinear soil
+(per-device plastic subset passes, _nl_gmesh_bundle).  Packed
+[8, LEN] state.  Heterogeneous-Q BKT, geostatic loading and DRM fall
+back to gslab (depth-graded) or the unstructured sharded path.
 """
 
 from __future__ import annotations
@@ -97,6 +101,11 @@ class GMeshTables:
     N: int = 0                  # global node count
     # nonlinear subset bundle (_nl_gmesh_bundle), None when absent
     nl: dict = None
+    # BKT (per-brick uniform-Q node-basis tier; VERDICT r4 item 4)
+    shear_only: bool = False
+    conv_rows_node: int = 0
+    conv_dtype_node: object = None
+    bk_scal: list = None        # per-brick coefficient set
 
 
 def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
@@ -106,14 +115,20 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
     from ..solver.pallas_brick import (_tier_kco, pallas_fits,
                                        pallas_geometry)
 
-    if tables.damping not in ("rayleigh", "mass", "none"):
-        raise RuntimeError("gmesh path is elastic-only; BKT uses "
-                           "gslab or the unstructured path")
+    bkt = tables.damping == "bkt"
+    if tables.damping not in ("rayleigh", "mass", "none", "bkt"):
+        raise RuntimeError(f"gmesh: unsupported damping "
+                           f"{tables.damping}")
+    if bkt and nl_tables is not None:
+        raise RuntimeError("nonlinear+BKT: unstructured path only")
     plan = build_plan(mesh, min_brick_elems=min_brick_elems)
-    if not mesh_plan_applies(plan, tables.damping, max_bricks=1 << 30):
+    if not mesh_plan_applies(plan, "rayleigh", max_bricks=1 << 30):
         raise RuntimeError("plan exceeds the fused kernel envelope")
     if len(plan.bricks) < 1:
         raise RuntimeError("no dense bricks")
+    if bkt and len(plan.loose_eidx):
+        raise RuntimeError("gmesh BKT with loose elements: use gslab "
+                           "or the unstructured path")
 
     # nonlinear elements: the fused kernels skip them (coefficients
     # zeroed below, stiffness.c:46-105 linear-element map) and a
@@ -142,6 +157,31 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
 
     st = GMeshTables(n_dev=n_dev, damping=tables.damping, bricks=[],
                      NL=NL, N=mesh.nnum)
+    if bkt:
+        # per-brick uniform-Q node-basis tier (gslab's packed BKT
+        # form): ONE coefficient set per brick.  The conv recursion is
+        # node-local and shared-plane/interface displacement copies
+        # stay identical under the existing reconciliation, so the
+        # memory variables need NO extra exchange — the comm volume
+        # per step is unchanged (damping.c:110-222 + the
+        # partition-agnostic halo psolve.c:4946-5079)
+        from ..solver.pallas_brick import (bkt_conv_dtype,
+                                           bkt_kappa_zero,
+                                           detect_bkt_uniform)
+        st.shear_only = bkt_kappa_zero(tables.bkt)
+        st.conv_rows_node = 8 if st.shear_only else 16
+        st.conv_dtype_node = (dtype if st.shear_only
+                              else bkt_conv_dtype(dtype))
+        scals = [detect_bkt_uniform(
+            tables.bkt, plan.eidx_cat[b.off:b.off + b.nb],
+            plan.evalid_cat[b.off:b.off + b.nb], st.shear_only)
+            for b in plan.bricks]
+        if not all(s is not None for s in scals):
+            raise RuntimeError(
+                "gmesh BKT needs one Q set per brick (the "
+                "heterogeneous-Q node tier is single-chip only); "
+                "use gslab or the unstructured path")
+        st.bk_scal = scals
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
 
@@ -189,39 +229,53 @@ def build_gmesh_tables(mesh, tables, n_dev, src_ids=None,
         nlb = (nl_cols[(nl_cols >= b.off)
                        & (nl_cols < b.off + b.nb)] - b.off
                if nl_cols is not None else None)
-        cms, mms, invs = [], [], []
+        cms, mms, invs, vals = [], [], [], []
         for d in range(n_dev):
             ez_d = int(ez_of[d])
             n0 = b.off + int(z0s[d]) * plane
             real = (ez_d + 1) * plane
             n1 = n0 + real
             sel = slice(n0, n1)
-            c1 = t_host["c1"][sel].copy()
-            c2 = t_host["c2"][sel].copy()
-            c3 = t_host["c3"][sel].copy()
-            c1[ez_d * plane:] = 0.0        # ghost-plane elements
-            c2[ez_d * plane:] = 0.0
-            c3[ez_d * plane:] = 0.0
-            if nlb is not None and len(nlb):
-                loc = nlb - int(z0s[d]) * plane
-                loc = loc[(loc >= 0) & (loc < ez_d * plane)]
-                c1[loc] = 0.0              # nl elements: subset pass
-                c2[loc] = 0.0
-                c3[loc] = 0.0
-            beta = np.divide(c3, c1, out=np.zeros_like(c1),
-                             where=c1 != 0)
-            cms.append(pad_nb(np.stack([c1, c2, beta])))
+            if bkt:
+                v = plan.evalid_cat[sel].astype(np.float64).copy()
+                v[ez_d * plane:] = 0.0     # ghost-plane elements
+                vals.append(pad_nb(v))
+            else:
+                c1 = t_host["c1"][sel].copy()
+                c2 = t_host["c2"][sel].copy()
+                c3 = t_host["c3"][sel].copy()
+                c1[ez_d * plane:] = 0.0    # ghost-plane elements
+                c2[ez_d * plane:] = 0.0
+                c3[ez_d * plane:] = 0.0
+                if nlb is not None and len(nlb):
+                    loc = nlb - int(z0s[d]) * plane
+                    loc = loc[(loc >= 0) & (loc < ez_d * plane)]
+                    c1[loc] = 0.0          # nl elements: subset pass
+                    c2[loc] = 0.0
+                    c3[loc] = 0.0
+                beta = np.divide(c3, c1, out=np.zeros_like(c1),
+                                 where=c1 != 0)
+                cms.append(pad_nb(np.stack([c1, c2, beta])))
             mms.append(pad_nb(t_host["mass_minusaM"][:, sel]))
             invs.append(pad_nb(t_host["inv_mass"][sel]))
             gb.gnid_local.append(plan.gnid_cat[sel])
-        cm = np.stack(cms)
-        gb.tier, gb.kco = _tier_kco(
-            cm[:, 0].ravel(), cm[:, 1].ravel(), cm[:, 2].ravel(),
-            cm[:, 0].ravel() != 0)
-        kp = np.concatenate(
-            [cm, np.stack(mms), np.stack(invs)[:, None, :],
-             np.zeros((n_dev, 1, cm.shape[-1]))], axis=1)
-        gb.Kp = f(pad(kp))
+        if bkt:
+            # uniform-Q node-basis kernel consts (build_bkt_uniform_
+            # call K layout): mass_minusaM 0:3, inv_mass 3, valid 4
+            kp = np.concatenate(
+                [np.stack(mms), np.stack(invs)[:, None, :],
+                 np.stack(vals)[:, None, :],
+                 np.zeros((n_dev, 3, nb))], axis=1)
+            gb.Kp = f(pad(kp))
+        else:
+            cm = np.stack(cms)
+            gb.tier, gb.kco = _tier_kco(
+                cm[:, 0].ravel(), cm[:, 1].ravel(), cm[:, 2].ravel(),
+                cm[:, 0].ravel() != 0)
+            kp = np.concatenate(
+                [cm, np.stack(mms), np.stack(invs)[:, None, :],
+                 np.zeros((n_dev, 1, cm.shape[-1]))], axis=1)
+            gb.Kp = f(pad(kp))
         # sources are injected ONLY through the epilogue's group /
         # direct split (interface_epilogue_consts) — a gslab-style
         # first-copy injection here would double-count group sources
@@ -464,18 +518,27 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
     """(local_step, tdev_sharded, trep, state_spec) for the general
     graded multi-chip path."""
     from ..physics.kmats import spectral_factors
-    from ..solver.pallas_brick import build_call_packed, diag_dd
+    from ..solver.pallas_brick import (build_bkt_uniform_call,
+                                       build_call_packed, diag_dd)
 
     n_dev = st.n_dev
     f1e, f2e = spectral_factors()
     dd = diag_dd(f1e, f2e, dtype)
     ep = st.ep
+    bkt = st.damping == "bkt"
 
     calls = []
-    for gb in st.bricks:
-        calls.append(build_call_packed(
-            gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, f1e, f2e,
-            dtype, interpret=interpret, tier=gb.tier, kco=gb.kco))
+    for bi, gb in enumerate(st.bricks):
+        if bkt:
+            calls.append(build_bkt_uniform_call(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, dtype,
+                st.bk_scal[bi], shear_only=st.shear_only,
+                conv_dtype=st.conv_dtype_node, interpret=interpret))
+        else:
+            calls.append(build_call_packed(
+                gb.offs, gb.B, gb.offs[7], gb.T, gb.LEN, f1e, f2e,
+                dtype, interpret=interpret, tier=gb.tier,
+                kco=gb.kco))
 
     tdev = {}
     for bi, gb in enumerate(st.bricks):
@@ -507,17 +570,26 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
 
     def local_step(t, carry, x):
         srcf, _step = x
-        if nl is not None:
+        convs = None
+        if bkt:
+            (Ss, S_l, convs) = carry
+        elif nl is not None:
             (Ss, S_l, nls) = carry
         else:
             (Ss, S_l) = carry
         idx = jax.lax.axis_index(axis)
         uns = []
+        new_conv = []
 
         # ---- pass 1: fused kernels + direct brick sources ----------
         for bi, gb in enumerate(st.bricks):
             S = Ss[bi]
-            un = calls[bi](S, S, t[f"K{bi}"], dd)
+            if bkt:
+                un, cvn = calls[bi](S, S, t[f"K{bi}"], convs[bi],
+                                    convs[bi])
+                new_conv.append(cvn)
+            else:
+                un = calls[bi](S, S, t[f"K{bi}"], dd)
             for ai, (a, _l, _m, rows, ivv) in enumerate(st.src_brick):
                 if a != bi:
                     continue
@@ -571,8 +643,13 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
             S = Ss[bi]
             u, up = S[0:3], S[3:6]
             un = uns[bi]
-            iv = t[f"K{bi}"][6]
-            m1 = t[f"K{bi}"][3:6]
+            if bkt:
+                # uniform-BKT K layout: mm 0:3, invm 3, valid 4
+                iv = t[f"K{bi}"][3]
+                m1 = t[f"K{bi}"][0:3]
+            else:
+                iv = t[f"K{bi}"][6]
+                m1 = t[f"K{bi}"][3:6]
 
             # within-brick fragment halo: shared-plane force recovery
             # + ppermute (identical to gslab.py's fused path)
@@ -688,6 +765,8 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
 
         Sn_l = jnp.concatenate(
             [un_l, u_l, S_l[6:8]], axis=0)
+        if bkt:
+            return (tuple(uns), Sn_l, tuple(new_conv)), None
         if nl is not None:
             return (tuple(uns), Sn_l, nls), None
         return (tuple(uns), Sn_l), None
@@ -698,7 +777,9 @@ def gmesh_step_builder(st: GMeshTables, axis="d", dtype=jnp.float32,
     # the same small pass, which keeps the driver's uniform
     # leading-device-axis state convention
     sspec = (one, P(axis))
-    if nl is not None:
+    if bkt:
+        sspec = sspec + (one,)
+    elif nl is not None:
         sspec = sspec + ((P(axis),) * 3,)
     return local_step, tdev, sspec
 
@@ -730,7 +811,11 @@ def run_gmesh_solver(st: GMeshTables, mesh_dev, src_forces,
     Ss = tuple(jnp.zeros((n_dev, 8, gb.LEN), dtype)
                for gb in st.bricks)
     state = (Ss, jnp.zeros((n_dev, 8, st.NL), dtype))
-    if st.nl is not None:
+    if st.damping == "bkt":
+        state = state + (tuple(
+            jnp.zeros((n_dev, st.conv_rows_node, gb.LEN),
+                      st.conv_dtype_node) for gb in st.bricks),)
+    elif st.nl is not None:
         state = state + (init_nl_gmesh_state(st, dtype),)
     if chunk is None:
         chunk = min(total_steps, 1000)

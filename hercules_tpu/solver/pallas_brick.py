@@ -1586,12 +1586,52 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
     # runtime issue, not a kernel bug) — decline to the corner-basis
     # kernel beyond it until the toolchain resolves it
     max_abs = int(os.environ.get("HT_BKT_NODEQ_MAX_MIXED_ABS", "8192"))
+    # run coalescing: mixed elements of a layered model are whole
+    # element PLANES of the brick — near-contiguous column ranges
+    # broken only by the invalid node-row columns (the +1 node per
+    # axis).  Coalescing across small gaps gives a handful of DENSE
+    # ranges, and the epilogue becomes static slices (_bkt_mix_runs):
+    # no gather, no scatter (the op the v5e runtime faults on at
+    # large M), HBM-bandwidth execution — the absolute mixed cap then
+    # only applies to the scattered-gather fallback.  Bridged columns
+    # need no masking: invalid columns carry zero coefficients, and a
+    # VALID un-mixed element's carried state recurses with exactly
+    # the coefficients of its corners' node recursion, so its
+    # correction muf*(dvs_e - dvs_n) is identically zero.
+    mix_runs = None
+    n_mixed_true = len(mixed)
+    if len(mixed):
+        gap_tol = int(os.environ.get("HT_BKT_MIX_GAP", "512"))
+        max_runs = int(os.environ.get("HT_BKT_MIX_RUNS", "64"))
+        brk = np.flatnonzero(np.diff(mixed) > gap_tol)
+        rstarts = np.concatenate([[0], brk + 1])
+        rends = np.concatenate([brk + 1, [len(mixed)]])
+        spans = [(int(mixed[s]), int(mixed[e - 1]) + 1)
+                 for s, e in zip(rstarts, rends)]
+        width = sum(e - s for s, e in spans)
+        if (len(spans) <= max_runs
+                and width <= 2 * len(mixed) + 64 * len(spans)):
+            # redefine the mixed set as the dense ranges (carry,
+            # tables, and conversions all use the same column list)
+            mixed = np.concatenate(
+                [np.arange(s, e) for s, e in spans])
+            mix_runs = []
+            q = 0
+            for s, e in spans:
+                mix_runs.append((s, q, e - s))
+                q += e - s
+    # the DENSE set is canonical for carries AND conversions in both
+    # the accepted and declined cases, so cross-basis restores of a
+    # nodeq checkpoint always agree on the mix layout
+    out["mixed_cols"] = mixed
+    out["M"] = len(mixed)
     if (os.environ.get("HT_BKT_NODEQ", "1") == "0"
-            or len(mixed) > max_mixed * n_valid
-            or len(mixed) > max_abs
+            or n_mixed_true > max_mixed * n_valid
+            or (mix_runs is None and len(mixed) > max_abs)
             or len(sets) > max_bins):
         return out
     out["declined"] = False
+    out["mix_runs"] = mix_runs
     f = lambda x: jnp.asarray(x, dtype)
     # K block (build_bkt_node_call layout): mass_minusaM 0:3,
     # inv_mass 3, mu_f 4, kappa_f 5, set index 6
@@ -1617,16 +1657,18 @@ def bkt_nodeq_tables(coef_e, muf, kaf, mm, invm, evalid, offs,
         out["mix_fm"] = f(fm)
         # per-chunk sorted-segment scatter tables (see
         # bkt_mix_epilogue): the duplicate-index scatter-add becomes
-        # a presorted segment-sum + a unique-sorted column add
+        # a presorted segment-sum + a unique-sorted column add.
+        # Only the scattered-gather fallback needs them
         sc = []
-        for s0, s1 in _mix_chunk_bounds(M):
-            tgt = idx24[:, s0:s1].reshape(-1)
-            perm = np.argsort(tgt, kind="stable")
-            st = tgt[perm]
-            uniq, seg = np.unique(st, return_inverse=True)
-            sc.append((jnp.asarray(perm, jnp.int32),
-                       jnp.asarray(seg, jnp.int32),
-                       jnp.asarray(uniq, jnp.int32)))
+        if mix_runs is None:
+            for s0, s1 in _mix_chunk_bounds(M):
+                tgt = idx24[:, s0:s1].reshape(-1)
+                perm = np.argsort(tgt, kind="stable")
+                st = tgt[perm]
+                uniq, seg = np.unique(st, return_inverse=True)
+                sc.append((jnp.asarray(perm, jnp.int32),
+                           jnp.asarray(seg, jnp.int32),
+                           jnp.asarray(uniq, jnp.int32)))
         out["mix_sc"] = sc
     return out
 
@@ -1704,17 +1746,27 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
             return jnp.roll(x, shift, axis=1)
         return pltpu.roll(x, jnp.int32(shift), 1)
 
-    def cf_rows(binrow):
+    # [RC, nb] operand of the distinct coefficient sets (pallas
+    # kernels may not capture array constants — it rides the call
+    # like fm does)
+    sets_rc = np.asarray(sets, np.float64).T.astype(
+        np.dtype(jnp.zeros((), dtype).dtype))
+
+    def cf_rows(binrow, sc):
         """[RC, W] per-node coefficient rows from the set index row
-        (nodes with bin == nb -- no adjacent element -- get zeros)."""
-        ms = [(binrow == float(b)).astype(dtype) for b in range(nb)]
-        rows = []
-        for r in range(RC):
-            acc = ms[0] * sets[0][r]
-            for b in range(1, nb):
-                acc = acc + ms[b] * sets[b][r]
-            rows.append(acc)
-        return jnp.concatenate(rows, axis=0)
+        (nodes with bin == nb -- no adjacent element -- get zeros).
+
+        One-hot masks contracted against the [RC, nb] set operand on
+        the MXU: exactly one term per column is nonzero and HIGHEST
+        precision multiplies by exact 0/1, so the rows equal the
+        streamed-row values bit-for-bit — at ~1/RC'th the VPU cost of
+        the masked row sums this replaces (round 5: the nodeq kernel
+        was VPU-bound on exactly that masked reconstruction)."""
+        oh = jnp.concatenate(
+            [(binrow == float(b)).astype(dtype) for b in range(nb)],
+            axis=0)                                    # [nb, W]
+        return jax.lax.dot(sc, oh,
+                           precision=jax.lax.Precision.HIGHEST)
 
     def rec(u3, up3, cv, cf):
         """(conv_next [R2, W], dvs [3, W], dvk [3, W]) node fields;
@@ -1735,7 +1787,7 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         dvk = g[8:9] * du + u3 - g[6:7] * k0n - g[7:8] * k1n
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
-    def kernel(Sa, Sb, Ka, cva, cvb, fm, out, conv_out, tail, nf,
+    def kernel(Sa, Sb, Ka, cva, cvb, fm, sc, out, conv_out, tail, nf,
                scr_v, scr_vv):
         t = pl.program_id(0)
 
@@ -1752,12 +1804,13 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         Sbv = Sb[...]
         cvav = cva[...].astype(dtype)
         cvbv = cvb[...][:, :H].astype(dtype)
+        scv = sc[...]
 
         cn_t, dvs_t, dvk_t = rec(u, up, cvav[:R2],
-                                 cf_rows(Kv[6:7]))
+                                 cf_rows(Kv[6:7], scv))
         cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
                                  cvbv[:R2],
-                                 cf_rows(cvbv[R2:R2 + 1]))
+                                 cf_rows(cvbv[R2:R2 + 1], scv))
         # padding rows carry the (constant) bin index so the halo
         # stream serves next tile's cf_rows without a K halo operand
         pad = jnp.zeros((R2s - R2 - 1, B), dtype)
@@ -1817,7 +1870,7 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
         out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
 
-    return kernel, jnp.asarray(fm_np, dtype), R2s
+    return kernel, jnp.asarray(fm_np, dtype), R2s, jnp.asarray(sets_rc)
 
 
 def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
@@ -1828,7 +1881,7 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
     conv_next [R2s, LEN]).  K rows: mass_minusaM 0:3, inv_mass 3,
     mu_f 4, kappa_f 5, bin 6; conv row R2 carries the bin index (must
     be pre-filled by init/restore)."""
-    kernel, fm, R2s = _make_bkt_node_kernel(
+    kernel, fm, R2s, sc = _make_bkt_node_kernel(
         offs, B, o7, T, dtype, sets, shear_only=shear_only,
         conv_dtype=conv_dtype, interpret=interpret)
     if conv_dtype is None:
@@ -1858,6 +1911,7 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
             pl.BlockSpec((8, B), blk),
             pl.BlockSpec((R2s, B), blk), pl.BlockSpec((R2s, hb), blk1),
             pl.BlockSpec(fm.shape, lambda t: (0, 0)),
+            pl.BlockSpec(sc.shape, lambda t: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((8, B), blk),
                    pl.BlockSpec((R2s, B), blk)],
@@ -1870,7 +1924,7 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
         interpret=interpret,
         compiler_params=params,
     )
-    return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
+    return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm, sc)
 
 
 def detect_bkt_uniform(bkt_tables, eidx, evalid, shear_only):
@@ -2117,6 +2171,7 @@ class PallasBrickTables:
         self.bkn_K = nq["K"]
         self.bkn_sets = nq["sets"]
         self.bkn_bin = nq["node_bin"]
+        self.mix_runs = nq.get("mix_runs")
         if nq["M"]:
             for k in ("mix_idx", "mix_ce", "mix_cn", "mix_invm",
                       "mix_muf", "mix_kaf", "mix_fm", "mix_sc"):
@@ -2393,16 +2448,26 @@ def _make_packed_bkt_uniform_step(pt: PallasBrickTables,
     return step, consts
 
 
-def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm):
+def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm,
+                     runs=None, offs=None):
     """Exact force correction for the mixed elements of the general-Q
-    node-basis tier: chunked over HT_BKT_MIX_CHUNK-element slices.
+    node-basis tier.
 
-    The single-shot pass device-faults on v5e above ~8k mixed
-    elements (the [8, M] gather + [48, 8M] dot + 8M-index scatter in
-    one scan body trip some runtime limit; 8192 runs, 32768 faults —
-    empirically bisected), so the work runs in bounded static slices.
-    Slices beyond 32 collapse into larger ones to cap program growth.
+    Preferred form (runs + offs given): the mixed elements of a
+    layered model are whole element planes — contiguous column runs —
+    so the correction is DENSE static slices (_bkt_mix_runs): no
+    gather, no scatter-add (the op bisected to fault the v5e runtime
+    at large M), HBM-bandwidth cost.
+
+    Fallback (scattered mixed columns): chunked gathers over
+    HT_BKT_MIX_CHUNK-element slices with a presorted segment-sum
+    scatter; the single-shot pass device-faults on v5e above ~8k
+    mixed elements (8192 runs, 32768 faults — empirically bisected),
+    and HT_BKT_NODEQ_MAX_MIXED_ABS caps this form.
     Returns (Sn', cm')."""
+    if runs is not None and offs is not None:
+        return _bkt_mix_runs(mx, runs, offs, shear_only, dtype,
+                             S, Sn, cv, cm)
     M = int(mx["mix_idx"].shape[1])
     bounds = _mix_chunk_bounds(M)
     if len(bounds) > 1:
@@ -2417,6 +2482,56 @@ def bkt_mix_epilogue(mx, shear_only, dtype, S, Sn, cv, cm):
             cms.append(cm_s)
         return Sn, jnp.concatenate(cms, axis=-1)
     return _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm)
+
+
+def _bkt_mix_runs(mx, runs, offs, shear_only, dtype, S, Sn, cv, cm):
+    """Dense run form of the mixed correction: per contiguous mixed
+    column run [c0, c0+L), every 'gather' is a static slice at
+    corner offset o and every 'scatter' a static slice-add — the
+    identical float sequence to _bkt_mix_one (same rec3 op order,
+    same operator dot), with zero irregular memory ops."""
+    R2 = 6 if shear_only else 12
+    cm = cm.astype(dtype)
+    cms_out = []
+    for c0, m0, L in runs:
+        u8 = jnp.stack([S[0:3, c0 + o:c0 + o + L] for o in offs],
+                       axis=1)                        # [3, 8, L]
+        up8 = jnp.stack([S[3:6, c0 + o:c0 + o + L] for o in offs],
+                        axis=1)
+        cvg = jnp.stack([cv[:R2, c0 + o:c0 + o + L] for o in offs],
+                        axis=1).astype(dtype)         # [R2, 8, L]
+        du8 = u8 - up8
+        ce = mx["mix_ce"][..., m0:m0 + L]
+        cn = mx["mix_cn"][..., m0:m0 + L]
+        cmr = cm[..., m0:m0 + L]
+
+        def rec3(cf, s0, s1):
+            # same op order as _bkt_mix_one / the kernel's rec
+            s0n = cf[1] * u8 + cf[0] * up8 + cf[4] * s0
+            s1n = cf[3] * u8 + cf[2] * up8 + cf[5] * s1
+            dv = cf[8] * du8 + u8 - cf[6] * s0n - cf[7] * s1n
+            return s0n, s1n, dv
+
+        s0e, s1e, dvs_e = rec3(ce[:9], cmr[0:3], cmr[3:6])
+        _, _, dvs_n = rec3(cn[:9], cvg[0:3], cvg[3:6])
+        parts = [mx["mix_muf"][m0:m0 + L] * (dvs_e - dvs_n)]
+        newcm = [s0e, s1e]
+        if not shear_only:
+            k0e, k1e, dvk_e = rec3(ce[9:], cmr[6:9], cmr[9:12])
+            _, _, dvk_n = rec3(cn[9:], cvg[6:9], cvg[9:12])
+            parts.append(mx["mix_kaf"][m0:m0 + L] * (dvk_e - dvk_n))
+            newcm += [k0e, k1e]
+        X = jnp.concatenate(
+            [p.transpose(1, 0, 2).reshape(24, -1) for p in parts],
+            axis=0)
+        dF = jax.lax.dot(mx["mix_fm"], X,
+                         precision=jax.lax.Precision.HIGHEST)
+        vals = dF.reshape(8, 3, L) * mx["mix_invm"][:, None,
+                                                    m0:m0 + L]
+        for j, o in enumerate(offs):
+            Sn = Sn.at[0:3, c0 + o:c0 + o + L].add(vals[j])
+        cms_out.append(jnp.concatenate(newcm, axis=0))
+    return Sn, jnp.concatenate(cms_out, axis=-1)
 
 
 def _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm):
@@ -2510,7 +2625,10 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
         Sn, cvn = call(S, S, cd["K"], cv, cv)
         if pt.mix_M:
             Sn, cmn = bkt_mix_epilogue(cd["mix"], pt.bkt_shear_only,
-                                       dtype, S, Sn, cv, carry[2])
+                                       dtype, S, Sn, cv, carry[2],
+                                       runs=getattr(pt, "mix_runs",
+                                                    None),
+                                       offs=pt.offs)
         if pt.src_pos is not None:
             Sn = Sn.at[0:3, pt.src_pos].add(
                 srcf.T * invm_row[pt.src_pos][None, :])

@@ -816,7 +816,9 @@ def _make_mesh_step_packed(mt: MeshPallasTables, interpret=False):
                         # includes the correction
                         Sn, new_mix[slot] = bkt_mix_epilogue(
                             cd["mix"][b], mt.bkt_shear_only, dtype,
-                            Ss[b], Sn, conv[b], conv[slot])
+                            Ss[b], Sn, conv[b], conv[slot],
+                            runs=mval.get("mix_runs"),
+                            offs=mt.geo[b][0])
                 Sns.append(Sn)
                 new_conv.append(cv)
         else:

@@ -198,3 +198,47 @@ def test_predict_and_report_shape():
     assert r16["t_compute_s"] < r["t_compute_s"]
     txt = scaling_report(601, 301, 85, 11.3e6, 4.0e8)
     assert "eups" in txt and "256" in txt
+
+
+def test_gmesh_comm_bkt_no_extra_exchange(monkeypatch):
+    """gmesh + BKT (round 5): the memory-variable recursion is
+    node-local and displacement copies reconcile through the existing
+    plane/psum machinery, so attenuation adds ZERO exchange — the
+    traced traffic equals the elastic model exactly."""
+    from hercules_tpu.etree import morton
+    from hercules_tpu.material import MeshOrigin, correct_properties
+    from hercules_tpu.mesh import Octree, extract_mesh
+    from hercules_tpu.parallel.comm_model import gmesh_comm
+    from hercules_tpu.parallel.gmesh import (build_gmesh_tables,
+                                             run_gmesh_solver)
+
+    p = load_params(f"{SIMPLE}/in/physics.in",
+                    f"{SIMPLE}/in/numerical.in")
+    p.type_of_damping = "bkt"
+    p.finalize()
+    cvm = CVM(f"{SIMPLE}/simple_case.e")
+    tree = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def toexpand(tr, hi, lo, lv, rec):
+        x, y, z = morton.deinterleave3(hi, lo)
+        return lv < np.where(x < (1 << 28), 5, 4)
+
+    tree.refine(lambda tr, hi, lo, lv: {}, toexpand)
+    tree.balance()
+    mesh = extract_mesh(tree)
+    correct_properties(mesh, cvm, p, MeshOrigin.from_params(p, cvm.ctl))
+    tables = assemble(mesh, p)
+    nid = np.array([mesh.elem_lnid[mesh.lenum // 2, 0]], np.int32)
+    st = build_gmesh_tables(mesh, tables, 4, src_ids=nid,
+                            min_brick_elems=32)
+    assert st.bk_scal is not None
+    model = gmesh_comm(st)
+
+    rec = Recorder(monkeypatch)
+    devs = np.array(jax.devices()[:4])
+    m = Mesh(devs, ("d",))
+    run_gmesh_solver(st, m, np.zeros((1, 1, 3)), 1, p.delta_t,
+                     dtype=jnp.float32, interpret=True)
+    sent, phases = rec.sent_bytes(4)
+    assert max(sent) == model.detail["fragment_bytes"]
+    assert rec.psums == [st.K * 9 * 4]

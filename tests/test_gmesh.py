@@ -136,9 +136,54 @@ def test_gmesh_driver_stations_and_restart():
                                rtol=0, atol=1e-11 * scale)
 
 
-def test_gmesh_rejects_bkt():
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_gmesh_bkt_matches_unstructured(n_dev):
+    """gmesh + BKT (VERDICT r4 item 4): laterally graded mesh with
+    attenuation on the multi-chip general path — per-brick uniform-Q
+    node-basis kernels, conv needing NO extra exchange (node-local
+    recursion; displacement copies stay identical under the existing
+    plane/psum reconciliation; damping.c:110-222 +
+    psolve.c:4946-5079)."""
+    from hercules_tpu.parallel.gmesh import (build_gmesh_tables,
+                                             gmesh_u_global,
+                                             run_gmesh_solver)
+    from hercules_tpu.solver.step import run_solver
+
+    p, mesh, tables = _lateral_mesh(damping="bkt")
+    src_ids = np.array([int(mesh.dn_anchors[0, 0]),
+                        int(mesh.elem_lnid[mesh.lenum // 2, 0])],
+                       np.int32)
+    T = 30
+    rng = np.random.default_rng(11)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+
+    state_u, _ = run_solver(tables, src_ids, forces, T, p.delta_t,
+                            dtype=jnp.float64)
+    u_ref = np.asarray(state_u[0])
+    scale = np.abs(u_ref).max()
+    assert scale > 0
+
+    st = build_gmesh_tables(mesh, tables, n_dev, src_ids=src_ids,
+                            dtype=jnp.float64, min_brick_elems=32)
+    assert st.bk_scal is not None
+    mesh_dev = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    state = run_gmesh_solver(st, mesh_dev, forces, T, p.delta_t,
+                             dtype=jnp.float64, chunk=15,
+                             interpret=True)
+    u_g = gmesh_u_global(st, state)
+    np.testing.assert_allclose(u_g, u_ref, rtol=0, atol=1e-11 * scale)
+
+
+def test_gmesh_rejects_heterogeneous_q():
+    """Per-brick mixed Q sets stay off gmesh (the heterogeneous-Q
+    node tier is single-chip only)."""
     from hercules_tpu.parallel.gmesh import build_gmesh_tables
 
     p, mesh, tables = _lateral_mesh(damping="bkt")
-    with pytest.raises(RuntimeError):
-        build_gmesh_tables(mesh, tables, 4)
+    # perturb one element's Q rows so the brick is no longer uniform
+    for k in ("a0_shear", "a1_shear"):
+        tables.bkt[k] = np.asarray(tables.bkt[k]).copy()
+        tables.bkt[k][0] *= 1.5
+        tables.bkt[k][0] += 0.01
+    with pytest.raises(RuntimeError, match="one Q set per brick"):
+        build_gmesh_tables(mesh, tables, 4, min_brick_elems=32)

@@ -313,3 +313,38 @@ def test_assignment_invariants(het_shear):
     # fill whole element planes (z-major layout: below each interface)
     M = len(pt.bkn_mixed_cols)
     assert 0 < M < len(ecols) // 2
+
+
+def test_mix_runs_equals_gather_epilogue(het_full, monkeypatch):
+    """Round-5 dense run epilogue (_bkt_mix_runs: static slices, no
+    gather/scatter — the scatter is the op that faults the v5e
+    runtime at large M) vs the scattered-gather fallback: identical
+    trajectories on the layered fixture."""
+    from hercules_tpu.solver.pallas_brick import run_pallas_solver
+
+    p, mesh, tables, plan = het_full
+    monkeypatch.setenv("HT_BKT_NODEQ_MAX_MIXED", "0.9")
+    monkeypatch.setenv("HT_BKT_NODEQ_MAX_MIXED_ABS", "100000000")
+    T = 12
+    rng = np.random.default_rng(5)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+
+    pt = PallasBrickTables(plan, tables, dtype=jnp.float64)
+    assert pt.bkt_nodeq and pt.mix_M > 0
+    assert pt.mix_runs is not None          # layered => few runs
+    state_r, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                   p.delta_t, dtype=jnp.float64,
+                                   interpret=True)
+
+    monkeypatch.setenv("HT_BKT_MIX_RUNS", "0")
+    pt2 = PallasBrickTables(plan, tables, dtype=jnp.float64)
+    assert pt2.bkt_nodeq and pt2.mix_runs is None
+    state_g, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                   p.delta_t, dtype=jnp.float64,
+                                   interpret=True)
+    u_r = pallas_u_global(plan, state_r[0], mesh.nnum)
+    u_g = pallas_u_global(plan, state_g[0], mesh.nnum)
+    scale = np.abs(u_g).max()
+    assert scale > 0
+    np.testing.assert_allclose(u_r, u_g, rtol=0, atol=1e-14 * scale)
