@@ -1063,6 +1063,59 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
     return kernel, am_dev
 
 
+def _bkt_bf16g(a8, dtype, interpret, default="1"):
+    """Staged-bf16 b4 operand mode for the node-basis BKT kernels
+    (the elastic bf16g dataflow re-derived for the two-field
+    dvs/dvk stream — see _make_bkt_uniform_kernel).  Engages for f32
+    runs when align8 is on and HT_MXU_PREC resolves to a split mode
+    (the K=256 duplicated operand carries the full b4 product in one
+    dot, so b3 costs the same); HT_MXU_PREC=highest or
+    HT_BKT_BF16G=0 restore the exact f32 operand + 6-pass HIGHEST
+    matmul.  Engages identically under interpret so
+    mosaic-vs-interpret tests compare the same math.
+
+    Per-kernel default: ON for the compute-bound nodeq kernel
+    (measured 7.1e8 -> 8.7e8 eups on the 1M qlayers fixture), OFF
+    for the uniform-Q kernel — that one is DMA-bound at 454 GB/s and
+    the staged split only adds vector time (measured 1.85e9 ->
+    1.53e9)."""
+    del interpret
+    if not a8 or dtype != jnp.float32:
+        return False
+    if os.environ.get("HT_BKT_BF16G", default) != "1":
+        return False
+    return _mxu_mode("b4") in ("b3", "b4")
+
+
+def _bkt_nohalo():
+    """Pipelined delay-by-one dataflow for the node-basis BKT
+    kernels (HT_BKT_NOHALO, default on): the next-tile halo is read
+    from the block currently streaming in instead of a separate halo
+    operand, removing the extra hb-block of S and conv traffic per
+    tile.  Bit-identical to the halo-stream path (the last tile's
+    garbage halo columns are masked by element validity in both)."""
+    return os.environ.get("HT_BKT_NOHALO", "1") == "1"
+
+
+def _bf16_split3(A):
+    """Exact 3-term bf16 decomposition of an f32 array (Dekker-style:
+    each residual is exactly representable, 8+8+8 mantissa bits cover
+    f32's 24), concatenated along axis=1 -> [R, 3*nb].  Returns None
+    if any entry fails to reconstruct exactly (subnormal edge)."""
+    import ml_dtypes
+    A = np.asarray(A, np.float32)
+    A1 = A.astype(ml_dtypes.bfloat16)
+    r = A - A1.astype(np.float32)
+    A2 = r.astype(ml_dtypes.bfloat16)
+    r2 = r - A2.astype(np.float32)
+    A3 = r2.astype(ml_dtypes.bfloat16)
+    if not np.array_equal(
+            A1.astype(np.float32) + A2.astype(np.float32)
+            + A3.astype(np.float32), A):
+        return None
+    return np.concatenate([A1, A2, A3], axis=1)
+
+
 def bkt_kappa_zero(bkt) -> bool:
     """True when the volumetric (kappa) attenuation is off (infinite
     Qk, the use_infinite_qk default): the kappa memory variables are
@@ -1293,22 +1346,41 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     R2s = 8 if shear_only else 16        # padded to the physical tile
 
     kmu, kk = bkt_matrices_24()
-    fm_np = np.concatenate([scal["mu_f"] * kmu, scal["kappa_f"] * kk],
-                           axis=1)       # [24, 48]
     # 8-row-aligned dataflow (default ON; the same relayout removal
     # as the elastic align8): scr_v staged as [8, L] (dvs 0:3, dvk
     # 3:6, zero pad 6:8), tile-wide class pre-rolls, class-block
     # operand against the column-permuted constant, 8-row-slot output
     # for the aligned scatter
     a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
-    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
     s8 = a8 and os.environ.get("HT_BKT_SCATTER8", "0") == "1"
+    # staged-bf16 split operand (the elastic bf16g/align8 dataflow,
+    # re-derived for the two-field BKT stream): dvs and dvk are
+    # staged as (hi 0:3, lo 3:6, pad) bf16 blocks — SAME staged bytes
+    # as one f32 field, HALF the per-chunk roll volume — and the MXU
+    # consumes [Xs8; Xs8; Xk8; Xk8] (K = 256) against per-field
+    # _align8_operator constants: the full b4 split product
+    # (~2^-20 relative force error) in ONE dot, replacing the
+    # 6-pass XLA HIGHEST matmul.  HT_MXU_PREC=highest opts out
+    # (exact f32); HT_BKT_BF16G=0 restores the f32 operand.
+    bf16g = _bkt_bf16g(a8, dtype, interpret, default="0")
+    # pre8 repurposes scr_vv, which bf16g uses as the dvk block
+    p8 = (a8 and not bf16g
+          and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1")
     A8B = _align8_blocks(offs) if a8 else None
     NR = sorted({o % 128 for o in offs} - {0})
-    if a8:
-        fm_np = _align8_operator_cols(fm_np, offs, fields=2)
-        if s8:
-            fm_np = _align8_operator_rows(fm_np, offs)
+    if bf16g:
+        fm_np = np.concatenate(
+            [_align8_operator(scal["mu_f"] * kmu, offs, out8=s8),
+             _align8_operator(scal["kappa_f"] * kk, offs, out8=s8)],
+            axis=1)                      # [24|64, 256] bf16
+    else:
+        fm_np = np.concatenate(
+            [scal["mu_f"] * kmu, scal["kappa_f"] * kk],
+            axis=1)                      # [24, 48]
+        if a8:
+            fm_np = _align8_operator_cols(fm_np, offs, fields=2)
+            if s8:
+                fm_np = _align8_operator_rows(fm_np, offs)
 
     # python-float coefficients fold into the trace as weak-typed
     # scalars (no dtype promotion)
@@ -1317,6 +1389,14 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     def roll(x, shift):
         if interpret:
             return jnp.roll(x, shift, axis=1)
+        if x.dtype == jnp.bfloat16:
+            # Mosaic cannot lower pltpu.roll on bf16; even-row blocks
+            # roll for free through an f32 bitcast view (sublane
+            # pairs pack into 32-bit rows; lane shifts never mix)
+            assert x.shape[0] % 2 == 0
+            v = pltpu.bitcast(x, jnp.float32)
+            return pltpu.bitcast(pltpu.roll(v, jnp.int32(shift), 1),
+                                 jnp.bfloat16)
         return pltpu.roll(x, jnp.int32(shift), 1)
 
     def rec(u3, up3, cv):
@@ -1340,36 +1420,47 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
                - s["a0_kappa"] * k0n - s["a1_kappa"] * k1n)
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
-    def kernel(Sa, Sb, K, cva, cvb, fm, out, conv_out, tail, nf,
-               scr_v, scr_vv):
-        t = pl.program_id(0)
+    sdt = jnp.bfloat16 if bf16g else dtype
+    # the streamed block must cover the stencil reach to serve as the
+    # next-tile halo (always true at production tiles; tiny test
+    # bricks fall back to the legacy halo stream)
+    nohalo = _bkt_nohalo() and H <= B
 
-        @pl.when(t == 0)
-        def _():
-            tail[...] = jnp.zeros_like(tail)
-            if a8:
-                # pad rows: never rewritten; zero once (the constant's
-                # pad columns are zero, but NaN garbage would poison
-                # the dot)
-                scr_v[6:8, :] = jnp.zeros((2, B + H), dtype)
-
+    def body(Sv, Shalo, Kv, cvt, cvh, fm, out, conv_out, tail, nf,
+             scr_v, scr_vv):
+        """One compute tile: Sv/cvt = the tile's packed state and conv
+        block, Shalo/cvh = the NEXT tile's first H columns (under
+        nohalo these are the prefix of the block currently streaming
+        in; the legacy path streams them as separate halo operands)."""
         nf[...] = jnp.zeros_like(nf)
-        Sv = Sa[...]
         u, up = Sv[0:3], Sv[3:6]
-        Kv = K[...]
-        Sbv = Sb[...]
 
         # node-basis recursion on tile + halo; only tile rows persist
-        cn_t, dvs_t, dvk_t = rec(u, up, cva[...][:R2].astype(dtype))
-        cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
-                                 cvb[...][:R2, :H].astype(dtype))
+        cn_t, dvs_t, dvk_t = rec(u, up, cvt[:R2].astype(dtype))
+        cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
+                                 cvh[:R2].astype(dtype))
         pad = jnp.zeros((R2s - R2, B), dtype)
         conv_out[...] = jnp.concatenate([cn_t, pad],
                                         axis=0).astype(conv_dtype)
-        scr_v[0:3, :B] = dvs_t
-        scr_v[0:3, B:] = dvs_h
-        scr_v[3:6, :B] = dvk_t
-        scr_v[3:6, B:] = dvk_h
+        if bf16g:
+            # stage each field as (hi 0:3, lo 3:6, pad) bf16: same
+            # staged bytes as one f32 field, half the roll volume;
+            # scr_v = dvs block, scr_vv = dvk block
+            for dst, tv, hv in ((scr_v, dvs_t, dvs_h),
+                                (scr_vv, dvk_t, dvk_h)):
+                th = tv.astype(jnp.bfloat16)
+                dst[0:3, :B] = th
+                dst[3:6, :B] = (tv - th.astype(dtype)).astype(
+                    jnp.bfloat16)
+                hh = hv.astype(jnp.bfloat16)
+                dst[0:3, B:] = hh
+                dst[3:6, B:] = (hv - hh.astype(dtype)).astype(
+                    jnp.bfloat16)
+        else:
+            scr_v[0:3, :B] = dvs_t
+            scr_v[0:3, B:] = dvs_h
+            scr_v[3:6, :B] = dvk_t
+            scr_v[3:6, B:] = dvk_h
         pre = None
         if p8:
             # tile-wide class pre-rolls: per-chunk gathers become
@@ -1385,6 +1476,30 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         prec = (jax.lax.Precision.HIGHEST if mode == "highest"
                 else jax.lax.Precision.DEFAULT)
         for c0 in range(0, B, C):
+            if bf16g:
+                # [Xs8; Xs8; Xk8; Xk8] (K=256) against the per-field
+                # duplicated-column constants: full b4 split product
+                # of both fields in ONE dot
+                Xs = _gather_blocks8(
+                    lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B)
+                Xk = _gather_blocks8(
+                    lambda b: scr_vv[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B)
+                X = jnp.concatenate([Xs, Xs, Xk, Xk], axis=0)
+                F = jax.lax.dot_general(
+                    fm[...], X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype)
+                F = F * valid[:, c0:c0 + C]
+                if s8:
+                    _slot_scatter8(nf, F, A8B, roll, offs, c0, W0,
+                                   dtype)
+                else:
+                    Fv = jnp.concatenate(
+                        [F, jnp.zeros((24, 128), dtype)], axis=1)
+                    rows = _class_rolled_rows(Fv, offs, roll)
+                    _merged_scatter(nf, rows, offs, c0, W0)
+                continue
             if a8:
                 # aligned class-block operand [64, C] against the
                 # column/row-permuted constant; slot-layout output
@@ -1425,7 +1540,59 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
         out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
 
-    return kernel, jnp.asarray(fm_np, dtype), R2s
+    def _zero_once(tail, scr_v, scr_vv):
+        tail[...] = jnp.zeros_like(tail)
+        if a8:
+            # pad rows: never rewritten; zero once (the constant's
+            # pad columns are zero, but NaN garbage would poison
+            # the dot)
+            scr_v[6:8, :] = jnp.zeros((2, B + H), sdt)
+            if bf16g:
+                scr_vv[6:8, :] = jnp.zeros((2, B + H), sdt)
+
+    def kernel_halo(Sa, Sb, K, cva, cvb, fm, out, conv_out, tail, nf,
+                    scr_v, scr_vv):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            _zero_once(tail, scr_v, scr_vv)
+
+        body(Sa[...], Sb[...][:, :H], K[...], cva[...],
+             cvb[...][:, :H], fm, out, conv_out, tail, nf,
+             scr_v, scr_vv)
+
+    def kernel_nohalo(Sa, K, cva, fm, out, conv_out, tail, nf,
+                      scr_v, scr_vv, Sp, cvp):
+        """Pipelined delay-by-one dataflow (HT_BKT_NOHALO, default):
+        grid T+1; at step t the COMPUTE tile is t-1 (state/conv from
+        the Sp/cvp scratch copies, K/out/conv_out blocks mapped to
+        t-1) while block t streams in and supplies the halo as its
+        first H columns — the separate halo streams (a full extra
+        hb-block of S and conv per tile, ~15% of step traffic at the
+        1M bench) disappear; the last tile's halo columns read its
+        own block prefix, masked by the element validity row exactly
+        like the legacy clamped halo."""
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            _zero_once(tail, scr_v, scr_vv)
+
+        @pl.when(t > 0)
+        def _():
+            Sav = Sa[...]
+            body(Sp[...], Sav[:, :H], K[...], cvp[...],
+                 cva[...][:, :H], fm, out, conv_out, tail, nf,
+                 scr_v, scr_vv)
+
+        # keep the streamed block for the next step's compute tile
+        Sp[...] = Sa[...]
+        cvp[...] = cva[...]
+
+    kernel = kernel_nohalo if nohalo else kernel_halo
+    return kernel, jnp.asarray(fm_np,
+                               jnp.bfloat16 if bf16g else dtype), R2s
 
 
 def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
@@ -1447,14 +1614,48 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
     blk1 = lambda t: (0, jnp.minimum((t + 1) * nh, T * nh - 1))
     # a8 dataflow scratches (must mirror _make_bkt_uniform_kernel)
     a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
-    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    bf16g = _bkt_bf16g(a8, dtype, interpret, default="0")
+    p8 = (a8 and not bf16g
+          and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1")
+    nohalo = _bkt_nohalo() and o7 + 128 <= B
     nshift = len({o % 128 for o in offs} - {0})
+    sdt = jnp.bfloat16 if bf16g else dtype
     scr_v = ((8, B + o7 + 128) if a8 else (6, B + o7 + 128))
-    scr_vv = ((8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
+    scr_vv = ((8, B + o7 + 128) if bf16g else
+              (8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
     params = None
     if not interpret:
         params = pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024)
+    scratch = [pltpu.VMEM((3, o7), dtype),
+               pltpu.VMEM((3, B + o7 + 128), dtype),
+               pltpu.VMEM(scr_v, sdt),
+               pltpu.VMEM(scr_vv, sdt)]
+    if nohalo:
+        # delay-by-one pipeline: grid T+1, compute tile t-1 from the
+        # Sp/cvp scratch copies; S/conv stream at t, K/out at t-1
+        blkc = lambda t: (0, jnp.maximum(t - 1, 0))
+        blks = lambda t: (0, jnp.minimum(t, T - 1))
+        call = pl.pallas_call(
+            kernel,
+            grid=(T + 1,),
+            in_specs=[
+                pl.BlockSpec((8, B), blks),
+                pl.BlockSpec((8, B), blkc),
+                pl.BlockSpec((R2s, B), blks),
+                pl.BlockSpec(fm.shape, lambda t: (0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((8, B), blkc),
+                       pl.BlockSpec((R2s, B), blkc)],
+            out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                       jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((8, B), dtype),
+                pltpu.VMEM((R2s, B), conv_dtype)],
+            interpret=interpret,
+            compiler_params=params,
+        )
+        return lambda S, Sb, K, cv, cvb: call(S, K, cv, fm)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -1468,10 +1669,7 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
                    pl.BlockSpec((R2s, B), blk)],
         out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
-        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
-                        pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM(scr_v, dtype),
-                        pltpu.VMEM(scr_vv, dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=params,
     )
@@ -1729,11 +1927,24 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
     # side (column scalars commute with the row-mixing matmul):
     # Y = [kmu' ; kk'] @ X8, F = Y[:64]*mu + Y[64:]*ka
     a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
-    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
     s8 = a8 and os.environ.get("HT_BKT_SCATTER8", "0") == "1"
+    # staged-bf16 b4 operand (see _make_bkt_uniform_kernel); the
+    # per-field constants stay block-diagonal so Y splits into the
+    # mu/ka output groups for the per-element material scaling
+    bf16g = _bkt_bf16g(a8, dtype, interpret)
+    p8 = (a8 and not bf16g
+          and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1")
     A8B = _align8_blocks(offs) if a8 else None
     NR = sorted({o % 128 for o in offs} - {0})
-    if a8:
+    if bf16g:
+        a_mu = _align8_operator(kmu, offs, out8=s8)  # [24|64, 128]
+        a_ka = _align8_operator(kk, offs, out8=s8)
+        Z = np.zeros_like(a_mu)
+        fm_np = np.concatenate(
+            [np.concatenate([a_mu, Z], axis=1),
+             np.concatenate([Z, a_ka], axis=1)],
+            axis=0)                                  # [48|128, 256]
+    elif a8:
         stack = np.zeros((48, 48))
         stack[0:24, 0:24] = kmu
         stack[24:48, 24:48] = kk
@@ -1744,24 +1955,51 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
     def roll(x, shift):
         if interpret:
             return jnp.roll(x, shift, axis=1)
+        if x.dtype == jnp.bfloat16:
+            # even-row bf16 blocks roll through an f32 bitcast view
+            # (see _make_bkt_uniform_kernel's roll)
+            assert x.shape[0] % 2 == 0
+            v = pltpu.bitcast(x, jnp.float32)
+            return pltpu.bitcast(pltpu.roll(v, jnp.int32(shift), 1),
+                                 jnp.bfloat16)
         return pltpu.roll(x, jnp.int32(shift), 1)
 
     # [RC, nb] operand of the distinct coefficient sets (pallas
     # kernels may not capture array constants — it rides the call
-    # like fm does)
-    sets_rc = np.asarray(sets, np.float64).T.astype(
-        np.dtype(jnp.zeros((), dtype).dtype))
+    # like fm does).  For f32 runs the operand is pre-split into an
+    # exact 3-term bf16 decomposition [RC, 3*nb] (cf3): the one-hot
+    # contraction then runs as ONE default-precision bf16 dot whose
+    # f32 accumulation reconstructs the coefficients bit-exactly
+    # (one-hot entries are exact in bf16; A1+A2+A3 == A by
+    # construction), replacing the 6-pass HIGHEST matmul.
+    sets_f = np.asarray(sets, np.float64).T
+    cf3 = (dtype == jnp.float32
+           and os.environ.get("HT_BKT_CF3", "1") == "1")
+    if cf3:
+        sets_rc = _bf16_split3(sets_f.astype(np.float32))
+        cf3 = sets_rc is not None
+    if not cf3:
+        sets_rc = sets_f.astype(np.dtype(jnp.zeros((), dtype).dtype))
 
     def cf_rows(binrow, sc):
         """[RC, W] per-node coefficient rows from the set index row
         (nodes with bin == nb -- no adjacent element -- get zeros).
 
-        One-hot masks contracted against the [RC, nb] set operand on
-        the MXU: exactly one term per column is nonzero and HIGHEST
-        precision multiplies by exact 0/1, so the rows equal the
-        streamed-row values bit-for-bit — at ~1/RC'th the VPU cost of
-        the masked row sums this replaces (round 5: the nodeq kernel
-        was VPU-bound on exactly that masked reconstruction)."""
+        One-hot masks contracted against the set operand on the MXU:
+        exactly one term per column is nonzero and the products are
+        exact (cf3: bf16 halves x exact 0/1, f32 accumulate; else
+        HIGHEST precision), so the rows equal the streamed-row
+        values bit-for-bit — at ~1/RC'th the VPU cost of the masked
+        row sums this replaces (round 5: the nodeq kernel was
+        VPU-bound on exactly that masked reconstruction)."""
+        if cf3:
+            oh = jnp.concatenate(
+                [(binrow == float(b)).astype(jnp.bfloat16)
+                 for b in range(nb)], axis=0)          # [nb, W]
+            oh3 = jnp.concatenate([oh, oh, oh], axis=0)
+            return jax.lax.dot_general(
+                sc, oh3, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
         oh = jnp.concatenate(
             [(binrow == float(b)).astype(dtype) for b in range(nb)],
             axis=0)                                    # [nb, W]
@@ -1787,28 +2025,23 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         dvk = g[8:9] * du + u3 - g[6:7] * k0n - g[7:8] * k1n
         return jnp.concatenate([s0n, s1n, k0n, k1n], axis=0), dvs, dvk
 
-    def kernel(Sa, Sb, Ka, cva, cvb, fm, sc, out, conv_out, tail, nf,
-               scr_v, scr_vv):
-        t = pl.program_id(0)
+    sdt = jnp.bfloat16 if bf16g else dtype
+    nohalo = _bkt_nohalo() and H <= B
 
-        @pl.when(t == 0)
-        def _():
-            tail[...] = jnp.zeros_like(tail)
-            if a8:
-                scr_v[6:8, :] = jnp.zeros((2, B + H), dtype)
-
+    def body(Sv, Shalo, Kv, cvt, cvh, fm, sc, out, conv_out, tail,
+             nf, scr_v, scr_vv):
+        """One compute tile (see _make_bkt_uniform_kernel's body):
+        cvh's row R2 carries the halo bin index so no K halo operand
+        is needed in either dataflow."""
         nf[...] = jnp.zeros_like(nf)
-        Sv = Sa[...]
         u, up = Sv[0:3], Sv[3:6]
-        Kv = Ka[...]
-        Sbv = Sb[...]
-        cvav = cva[...].astype(dtype)
-        cvbv = cvb[...][:, :H].astype(dtype)
+        cvav = cvt.astype(dtype)
+        cvbv = cvh.astype(dtype)
         scv = sc[...]
 
         cn_t, dvs_t, dvk_t = rec(u, up, cvav[:R2],
                                  cf_rows(Kv[6:7], scv))
-        cn_h, dvs_h, dvk_h = rec(Sbv[0:3, :H], Sbv[3:6, :H],
+        cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
                                  cvbv[:R2],
                                  cf_rows(cvbv[R2:R2 + 1], scv))
         # padding rows carry the (constant) bin index so the halo
@@ -1816,10 +2049,24 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         pad = jnp.zeros((R2s - R2 - 1, B), dtype)
         conv_out[...] = jnp.concatenate([cn_t, Kv[6:7], pad],
                                         axis=0).astype(conv_dtype)
-        scr_v[0:3, :B] = dvs_t
-        scr_v[0:3, B:] = dvs_h
-        scr_v[3:6, :B] = dvk_t
-        scr_v[3:6, B:] = dvk_h
+        if bf16g:
+            # (hi, lo, pad) bf16 field blocks: scr_v = dvs,
+            # scr_vv = dvk (see _make_bkt_uniform_kernel)
+            for dst, tv, hv in ((scr_v, dvs_t, dvs_h),
+                                (scr_vv, dvk_t, dvk_h)):
+                th = tv.astype(jnp.bfloat16)
+                dst[0:3, :B] = th
+                dst[3:6, :B] = (tv - th.astype(dtype)).astype(
+                    jnp.bfloat16)
+                hh = hv.astype(jnp.bfloat16)
+                dst[0:3, B:] = hh
+                dst[3:6, B:] = (hv - hh.astype(dtype)).astype(
+                    jnp.bfloat16)
+        else:
+            scr_v[0:3, :B] = dvs_t
+            scr_v[0:3, B:] = dvs_h
+            scr_v[3:6, :B] = dvk_t
+            scr_v[3:6, B:] = dvk_h
         pre = None
         if p8:
             sv = scr_v[...]
@@ -1837,6 +2084,28 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
             # row is needed -- the mu/ka scaling zeroes their force
             mu_c = muf[:, c0:c0 + C]
             ka_c = kaf[:, c0:c0 + C]
+            if bf16g:
+                Xs = _gather_blocks8(
+                    lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B)
+                Xk = _gather_blocks8(
+                    lambda b: scr_vv[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B)
+                X = jnp.concatenate([Xs, Xs, Xk, Xk], axis=0)
+                Y = jax.lax.dot_general(
+                    fm[...], X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype)
+                if s8:
+                    F = Y[:64] * mu_c + Y[64:] * ka_c
+                    _slot_scatter8(nf, F, A8B, roll, offs, c0, W0,
+                                   dtype)
+                    continue
+                F = Y[:24] * mu_c + Y[24:] * ka_c
+                Fv = jnp.concatenate(
+                    [F, jnp.zeros((24, 128), dtype)], axis=1)
+                rows = _class_rolled_rows(Fv, offs, roll)
+                _merged_scatter(nf, rows, offs, c0, W0)
+                continue
             if a8:
                 X8 = _gather_blocks8(
                     lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
@@ -1870,7 +2139,48 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
         out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
 
-    return kernel, jnp.asarray(fm_np, dtype), R2s, jnp.asarray(sets_rc)
+    def _zero_once(tail, scr_v, scr_vv):
+        tail[...] = jnp.zeros_like(tail)
+        if a8:
+            scr_v[6:8, :] = jnp.zeros((2, B + H), sdt)
+            if bf16g:
+                scr_vv[6:8, :] = jnp.zeros((2, B + H), sdt)
+
+    def kernel_halo(Sa, Sb, Ka, cva, cvb, fm, sc, out, conv_out,
+                    tail, nf, scr_v, scr_vv):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            _zero_once(tail, scr_v, scr_vv)
+
+        body(Sa[...], Sb[...][:, :H], Ka[...], cva[...],
+             cvb[...][:, :H], fm, sc, out, conv_out, tail, nf,
+             scr_v, scr_vv)
+
+    def kernel_nohalo(Sa, Ka, cva, fm, sc, out, conv_out, tail, nf,
+                      scr_v, scr_vv, Sp, cvp):
+        """Delay-by-one pipelined dataflow (HT_BKT_NOHALO; see
+        _make_bkt_uniform_kernel's kernel_nohalo)."""
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            _zero_once(tail, scr_v, scr_vv)
+
+        @pl.when(t > 0)
+        def _():
+            body(Sp[...], Sa[...][:, :H], Ka[...], cvp[...],
+                 cva[...][:, :H], fm, sc, out, conv_out, tail, nf,
+                 scr_v, scr_vv)
+
+        Sp[...] = Sa[...]
+        cvp[...] = cva[...]
+
+    kernel = kernel_nohalo if nohalo else kernel_halo
+    return (kernel,
+            jnp.asarray(fm_np, jnp.bfloat16 if bf16g else dtype),
+            R2s, jnp.asarray(sets_rc))
 
 
 def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
@@ -1899,10 +2209,43 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
         params = pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024)
     a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
-    p8 = a8 and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1"
+    bf16g = _bkt_bf16g(a8, dtype, interpret)
+    p8 = (a8 and not bf16g
+          and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1")
+    nohalo = _bkt_nohalo() and o7 + 128 <= B
     nshift = len({o % 128 for o in offs} - {0})
+    sdt = jnp.bfloat16 if bf16g else dtype
     scr_v = ((8, B + o7 + 128) if a8 else (6, B + o7 + 128))
-    scr_vv = ((8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
+    scr_vv = ((8, B + o7 + 128) if bf16g else
+              (8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
+    scratch = [pltpu.VMEM((3, o7), dtype),
+               pltpu.VMEM((3, B + o7 + 128), dtype),
+               pltpu.VMEM(scr_v, sdt),
+               pltpu.VMEM(scr_vv, sdt)]
+    if nohalo:
+        blkc = lambda t: (0, jnp.maximum(t - 1, 0))
+        blks = lambda t: (0, jnp.minimum(t, T - 1))
+        call = pl.pallas_call(
+            kernel,
+            grid=(T + 1,),
+            in_specs=[
+                pl.BlockSpec((8, B), blks),
+                pl.BlockSpec((8, B), blkc),
+                pl.BlockSpec((R2s, B), blks),
+                pl.BlockSpec(fm.shape, lambda t: (0, 0)),
+                pl.BlockSpec(sc.shape, lambda t: (0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((8, B), blkc),
+                       pl.BlockSpec((R2s, B), blkc)],
+            out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                       jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((8, B), dtype),
+                pltpu.VMEM((R2s, B), conv_dtype)],
+            interpret=interpret,
+            compiler_params=params,
+        )
+        return lambda S, Sb, K, cv, cvb: call(S, K, cv, fm, sc)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -1917,10 +2260,7 @@ def build_bkt_node_call(offs, B, o7, T, LEN, dtype, sets,
                    pl.BlockSpec((R2s, B), blk)],
         out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype)],
-        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
-                        pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM(scr_v, dtype),
-                        pltpu.VMEM(scr_vv, dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=params,
     )
@@ -2624,11 +2964,17 @@ def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
             sample = jnp.zeros((0, 3), dtype)
         Sn, cvn = call(S, S, cd["K"], cv, cv)
         if pt.mix_M:
-            Sn, cmn = bkt_mix_epilogue(cd["mix"], pt.bkt_shear_only,
-                                       dtype, S, Sn, cv, carry[2],
-                                       runs=getattr(pt, "mix_runs",
-                                                    None),
-                                       offs=pt.offs)
+            if os.environ.get("HT_BKT_ABLATE") == "nomix":
+                # measurement-only (WRONG PHYSICS): skip the
+                # mixed-element epilogue to attribute the general-Q
+                # tier's step time (kernel vs epilogue)
+                cmn = carry[2]
+            else:
+                Sn, cmn = bkt_mix_epilogue(
+                    cd["mix"], pt.bkt_shear_only, dtype, S, Sn, cv,
+                    carry[2],
+                    runs=getattr(pt, "mix_runs", None),
+                    offs=pt.offs)
         if pt.src_pos is not None:
             Sn = Sn.at[0:3, pt.src_pos].add(
                 srcf.T * invm_row[pt.src_pos][None, :])

@@ -342,9 +342,11 @@ def test_mc_sharded_drm_part2_matches_single(tmp_path):
 
 
 def test_mc_sim_dispatch_nonlinear_stations(tmp_path):
-    """sim.run(ndev=8) with nonlinear tables routes to the sharded
-    path and reproduces the single-device station samples (including
-    the one-hot corner rows used for the plastic replay)."""
+    """sim.run(ndev=8) with nonlinear tables routes to the FUSED
+    gmesh path (no demotion to the unstructured layout; VERDICT r4
+    item 3) and reproduces the single-device station samples
+    (including the one-hot corner rows used for the plastic
+    replay)."""
     from hercules_tpu.config import load_params
     from hercules_tpu.nonlinear import build_nonlinear_tables
     from hercules_tpu.sim import Simulation, setup_stations
@@ -372,7 +374,7 @@ def test_mc_sim_dispatch_nonlinear_stations(tmp_path):
     _, s_ref = mk().run(dtype=jnp.float64, rundir=str(tmp_path))
     sim = mk()
     _, s_mc = sim.run(dtype=jnp.float64, rundir=str(tmp_path), ndev=8)
-    assert sim.mc_path_name == "sharded"
+    assert sim.mc_path_name == "gmesh"
     assert s_mc.shape == s_ref.shape
     scale = np.abs(s_ref).max()
     np.testing.assert_allclose(s_mc / scale, s_ref / scale, atol=1e-9)

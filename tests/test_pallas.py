@@ -333,3 +333,35 @@ def test_align8_gather(problem, monkeypatch):
     err3 = np.abs(us["b3"] - us["exact"]).max() / scale
     assert err8 <= max(err3, 1e-7) * 1.01
     assert err8 < 1e-4
+
+
+def test_bkt_uniform_bf16g_vs_exact_f32(bkt_problem, monkeypatch):
+    """Round-5 staged-bf16 b4 operand for the uniform-Q BKT kernel
+    (_bkt_bf16g; default OFF here — the uniform kernel is DMA-bound
+    and the mode is an opt-in ablation): judged against the
+    exact-f32 HT_MXU_PREC=highest path with the elastic align8 error
+    budget."""
+    from hercules_tpu.solver.pallas_brick import PallasBrickTables
+
+    p, mesh, tables, plan = bkt_problem
+    T = 30
+    rng = np.random.default_rng(13)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    us = {}
+    for name, env in (("b4", {"HT_BKT_BF16G": "1"}),
+                      ("exact", {"HT_MXU_PREC": "highest"})):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        pt = PallasBrickTables(plan, tables, dtype=jnp.float32)
+        assert pt.bkt_uniform
+        st, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32,
+                                  interpret=True)
+        us[name] = pallas_u_global(plan, st[0], mesh.nnum)
+        for k in env:
+            monkeypatch.delenv(k)
+    scale = np.abs(us["exact"]).max()
+    assert scale > 0
+    err = np.abs(us["b4"] - us["exact"]).max() / scale
+    assert err < 1e-4, err

@@ -348,3 +348,59 @@ def test_mix_runs_equals_gather_epilogue(het_full, monkeypatch):
     scale = np.abs(u_g).max()
     assert scale > 0
     np.testing.assert_allclose(u_r, u_g, rtol=0, atol=1e-14 * scale)
+
+
+def test_nodeq_bf16g_vs_exact_f32(het_full, monkeypatch):
+    """Round-5 staged-bf16 b4 operand for the nodeq kernel
+    (_bkt_bf16g): f32 default run judged against the exact-f32
+    HT_MXU_PREC=highest path with the elastic align8 error budget
+    (b4 ~2^-20 relative force error/step; the conv recursion and the
+    cf_rows reconstruction stay exact, so only the force dot
+    differs)."""
+    p, mesh, tables, plan = het_full
+    monkeypatch.setenv("HT_BKT_NODEQ_MAX_MIXED", "0.9")
+    T = 36
+    rng = np.random.default_rng(7)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    us = {}
+    for name, env in (("b4", {}),
+                      ("exact", {"HT_MXU_PREC": "highest"})):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        pt = PallasBrickTables(plan, tables, dtype=jnp.float32)
+        assert pt.bkt_nodeq
+        st, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32,
+                                  interpret=True)
+        us[name] = pallas_u_global(plan, st[0], mesh.nnum)
+        for k in env:
+            monkeypatch.delenv(k)
+    scale = np.abs(us["exact"]).max()
+    assert scale > 0
+    err = np.abs(us["b4"] - us["exact"]).max() / scale
+    assert err < 1e-4, err
+
+
+def test_nodeq_cf3_bit_exact(het_full, monkeypatch):
+    """The 3-term bf16 coefficient split (HT_BKT_CF3, exact by
+    construction: 8+8+8 mantissa bits cover f32's 24 and the one-hot
+    contraction accumulates in f32) is BIT-identical to the
+    HIGHEST-precision one-hot dot it replaces.  Isolated under
+    HT_MXU_PREC=highest so the force dot is identical in both."""
+    p, mesh, tables, plan = het_full
+    monkeypatch.setenv("HT_BKT_NODEQ_MAX_MIXED", "0.9")
+    monkeypatch.setenv("HT_MXU_PREC", "highest")
+    T = 12
+    rng = np.random.default_rng(9)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    us = {}
+    for v in ("1", "0"):
+        monkeypatch.setenv("HT_BKT_CF3", v)
+        st, _ = run_pallas_solver(plan, tables, nid, forces, T,
+                                  p.delta_t, dtype=jnp.float32,
+                                  interpret=True)
+        us[v] = pallas_u_global(plan, st[0], mesh.nnum)
+    assert np.abs(us["0"]).max() > 0
+    assert np.array_equal(us["1"], us["0"])
