@@ -707,11 +707,21 @@ def main():
     # paths' traffic is exactly countable (VERDICT round-1 item 2).
     # The +1-tile halo operand is narrowed to _halo_block(B, o7) lanes
     # (pallas_brick.py), so it counts at hb/B of a full block.
-    from hercules_tpu.solver.pallas_brick import _halo_block
-    LEN = ((plan.bricks[0].nb + 32767) // 32768 + 1) * 32768
-    Btile = 32768
-    hb = _halo_block(Btile, int(plan.bricks[0].corner_offsets()[7]))
-    Ttile = LEN // Btile
+    from hercules_tpu.solver.pallas_brick import (_bkt_nohalo,
+                                                  _elastic_nohalo,
+                                                  _halo_block,
+                                                  pallas_geometry)
+    o7b = int(plan.bricks[0].corner_offsets()[7])
+    Btile, Ttile, LEN = pallas_geometry(plan.bricks[0].corner_offsets(),
+                                        plan.bricks[0].nb)
+    hb = _halo_block(Btile, o7b)
+    # the delay-by-one pipelined kernels (HT_*_NOHALO, default) read
+    # the halo from the block already streaming in — no halo stream
+    nohalo = ((_bkt_nohalo() if tables.damping == "bkt"
+               else _elastic_nohalo())
+              and o7b + 128 <= Btile)
+    if nohalo:
+        hb = 0
     if tables.damping == "bkt" and which == "packed":
         # node-basis BKT: S r/w + K + conv r/w (shear-only: 8 f32
         # rows; full: 16 bf16 rows = 8 f32-equivalents each way,

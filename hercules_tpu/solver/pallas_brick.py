@@ -485,6 +485,22 @@ def _halo_block(B, o7):
     return min(hb, B)
 
 
+def _elastic_nohalo() -> bool:
+    """Delay-by-one pipelined dataflow for the packed elastic kernel
+    (HT_PALLAS_NOHALO; see the BKT _bkt_nohalo twin): the next-tile
+    halo reads the block currently streaming in instead of a separate
+    halo operand, removing 36.7 of 146.8 MB/step (25%) of traffic at
+    the 1M bench shape (o7+129 = 16900 rounds the halo block up to a
+    FULL tile).  Default OFF: the one-process A/B measured 283
+    us/step legacy vs 287-297 nohalo — the legacy layout fully
+    overlaps compute under its larger DMA stream, while the
+    delay-by-one structure exposes ~80 us of compute/copies, netting
+    slightly negative for the DMA-bound elastic kernel.  Kept as an
+    opt-in ablation; the VMEM-resident loop is the byte-cut that
+    actually pays (run_resident)."""
+    return os.environ.get("HT_PALLAS_NOHALO", "0") == "1"
+
+
 def _use_mxu() -> bool:
     """Route the 24x24 element operator through the MXU (one
     [48,24]@[24,C] constant matmul) instead of the VPU butterfly +
@@ -678,18 +694,170 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             U = _bf24_stage(U, k)
         return U
 
+    nohalo = (packed_state and _elastic_nohalo()
+              and o7 + 128 <= B)
+
+    def make_run(dd, amv, out, tail, nf, scr_s, scr_sv, scr_w,
+                 scr_f):
+        """Factory for the per-tile compute body: returns
+        run(Sv, Sbv, ua, upa, ub, upb, cm, mm, invm, write_out=None)
+        closing over the scratch refs.  The streaming kernels call it
+        once per grid step on their block operands; the VMEM-resident
+        kernel (build_resident_call) calls it per TILE with slices of
+        the resident state and a write_out callback."""
+        def run(Sv, Sbv, ua, upa, ub, upb, cm, mm, invm,
+                write_out=None):
+            nf[...] = jnp.zeros_like(nf)
+            cmv = cm[...]
+            ddv = dd[...]
+
+            if staged:
+                # stage W = u + beta*(u - up) for the tile + halo once,
+                # then pre-shift it once per lane-shift class: every corner
+                # window in every chunk becomes a plain aligned slice (the
+                # per-chunk [3, W0] rolls collapse into one tile-wide roll
+                # per class)
+                H = o7 + 128
+                L = B + H
+                ut0, ub0 = ua[...], ub[:, :H]
+                up0, upb0 = upa[...], upb[:, :H]
+                if bf16g:
+                    # rows 0:3 = Wh, 3:6 = Wl (bf16): same staged bytes as
+                    # one f32 W, no per-chunk split
+                    Wt = ut0 + beta_s * (ut0 - up0)
+                    Wh = Wt.astype(jnp.bfloat16)
+                    scr_s[0:3, :B] = Wh
+                    scr_s[3:6, :B] = (Wt - Wh.astype(dtype)).astype(
+                        jnp.bfloat16)
+                    Wb = ub0 + beta_s * (ub0 - upb0)
+                    Whb = Wb.astype(jnp.bfloat16)
+                    scr_s[0:3, B:] = Whb
+                    scr_s[3:6, B:] = (Wb - Whb.astype(dtype)).astype(
+                        jnp.bfloat16)
+                else:
+                    scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
+                    scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
+                if preshift:
+                    sv = scr_s[...]
+                    for k, s in enumerate(NR):
+                        scr_sv[3 * k:3 * k + 3] = roll(sv, L - s)
+                if pre8:
+                    # tile-wide class pre-rolls of the whole staged 8-row
+                    # bf16 block: per-chunk gathers become aligned slices
+                    sv = scr_s[...]
+                    for k, s in enumerate(NR):
+                        scr_sv[8 * k:8 * k + 8] = roll(sv, L - s)
+
+            def region(start):
+                """[6, W0] stacked (u; u-up) at 128-aligned offset start,
+                assembled from the tile block and its +1 halo block."""
+                if start + W0 <= B:
+                    gu = ua[:, start:start + W0]
+                    gp = upa[:, start:start + W0]
+                elif start >= B:
+                    gu = ub[:, start - B:start - B + W0]
+                    gp = upb[:, start - B:start - B + W0]
+                else:
+                    gu = jnp.concatenate([ua[:, start:B],
+                                          ub[:, :start + W0 - B]], axis=1)
+                    gp = jnp.concatenate([upa[:, start:B],
+                                          upb[:, :start + W0 - B]], axis=1)
+                return jnp.concatenate([gu, gu - gp], axis=0)
+
+            # compute in C-wide sub-chunks to bound live VMEM (the full-B
+            # dataflow blows the 16 MB scoped-vmem budget)
+            for c0 in ([] if ablate == "stream" else range(0, B, C)):
+                if packed:
+                    f24 = _chunk_packed(region, cmv, ddv, amv, c0, scr_s,
+                                        scr_sv, scr_w)
+                    F = f24
+                    if ablate == "noscatter":
+                        nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + F[0:3]
+                        continue
+                    if s8:
+                        # aligned slot scatter (_align8_operator out8): F
+                        # is [64, C] with corner forces in 8-row slots, in
+                        # class-block order — roll whole aligned class
+                        # blocks, every extraction lands at sublane
+                        # offset 0; no relayouts
+                        Fv8 = jnp.concatenate(
+                            [F, jnp.zeros((64, 128), dtype)], axis=1)
+                        rows = {}
+                        p0 = 0
+                        for s, bases, js in A8B:
+                            blk = Fv8[8 * p0:8 * (p0 + len(js))]
+                            if s:
+                                blk = roll(blk, s)
+                            for i, j in enumerate(js):
+                                rows[j] = blk[8 * i:8 * i + 3]
+                            p0 += len(js)
+                        _merged_scatter(nf, rows, offs, c0, W0)
+                        continue
+                    if scatter_dslice:
+                        for j, o in enumerate(offs):
+                            idx = pl.ds(c0 + o, C)
+                            nf[:, idx] = nf[:, idx] + F[3 * j:3 * j + 3]
+                        continue
+                    # scatter through a zero-padded scratch + one roll per
+                    # shift class: all nf updates are lane-aligned (a
+                    # direct misaligned slice store costs a relayout per
+                    # corner; Mosaic also rejects pad-concats of
+                    # offset-mismatched vectors).  Only the rows of each
+                    # class are rolled.
+                    if scatter_val:
+                        # F is a dot result with canonical layout; pad it
+                        # as a value, skipping the scr_f round-trip
+                        Fv = jnp.concatenate(
+                            [F, jnp.zeros((24, 128), dtype)], axis=1)
+                    else:
+                        scr_f[:, :C] = F
+                        scr_f[:, C:] = jnp.zeros((24, 128), dtype)
+                        Fv = scr_f[...]
+                    rows = _class_rolled_rows(Fv, offs, roll)
+                    _merged_scatter(nf, rows, offs, c0, W0)
+                else:
+                    ue = jnp.concatenate([ua[...], ub[...]], axis=1)
+                    upe = jnp.concatenate([upa[...], upb[...]], axis=1)
+                    f = _chunk_slabs(ue, upe, cmv, c0)
+                    for j in range(8):
+                        a = c0 + offs[j]
+                        nf[:, a:a + C] = nf[:, a:a + C] + f[j]
+
+            force = jnp.concatenate(
+                [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
+            tail[...] = nf[:, B:B + o7]
+
+            # mass2_minusaM - mass_minusaM == mass_simple exactly (the
+            # dashpot and dangling-distribution terms cancel; consts.py
+            # node_masses), so the update needs only mass_minusaM:
+            #   u+ = (F + m2*u - m*up)/ms = u + (F + m*(u - up))/ms
+            ut = ua[...]
+            un = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
+            if packed_state:
+                # the output IS the next step's packed state: rows 3:6
+                # get the u -> up shift for free inside the same 8-row
+                # physical write
+                res = jnp.concatenate([un, ut, Sv[6:8]], axis=0)
+            else:
+                res = un
+            if write_out is not None:
+                write_out(res)          # resident: slice of the VMEM state
+            else:
+                out[...] = res
+        return run
+
     def kernel(*refs):
         if packed_state:
             # S rows 0:3 = u, 3:6 = up; K rows 0:3 = (c1, c2, beta),
             # 3:6 = mass_minusaM, 6 = inv_mass.  Loaded as VALUES
             # (Mosaic memref views must be sublane-aligned; row
             # slices of loaded blocks lower fine)
-            (Sa, Sb, K, dd, am, out, tail, nf,
-             scr_s, scr_sv, scr_w, scr_f) = refs
-            Sv, Sbv, Kv = Sa[...], Sb[...], K[...]
-            ua, upa = Sv[0:3], Sv[3:6]
-            ub, upb = Sbv[0:3], Sbv[3:6]
-            cm, mm, invm = Kv[0:3], Kv[3:6], Kv[6:7]
+            if nohalo:
+                (Sa, K, dd, am, out, tail, nf,
+                 scr_s, scr_sv, scr_w, scr_f, Sp) = refs
+            else:
+                (Sa, Sb, K, dd, am, out, tail, nf,
+                 scr_s, scr_sv, scr_w, scr_f) = refs
         else:
             (ua, ub, upa, upb, cm, mm, invm, dd, am, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
@@ -707,139 +875,32 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 scr_s[6:8, :] = jnp.zeros(
                     (2, B + o7 + 128), jnp.bfloat16)
 
-        nf[...] = jnp.zeros_like(nf)
-        cmv = cm[...]
-        ddv = dd[...]
+        run = make_run(dd, amv, out, tail, nf, scr_s, scr_sv, scr_w,
+                       scr_f)
 
-        if staged:
-            # stage W = u + beta*(u - up) for the tile + halo once,
-            # then pre-shift it once per lane-shift class: every corner
-            # window in every chunk becomes a plain aligned slice (the
-            # per-chunk [3, W0] rolls collapse into one tile-wide roll
-            # per class)
-            H = o7 + 128
-            L = B + H
-            ut0, ub0 = ua[...], ub[:, :H]
-            up0, upb0 = upa[...], upb[:, :H]
-            if bf16g:
-                # rows 0:3 = Wh, 3:6 = Wl (bf16): same staged bytes as
-                # one f32 W, no per-chunk split
-                Wt = ut0 + beta_s * (ut0 - up0)
-                Wh = Wt.astype(jnp.bfloat16)
-                scr_s[0:3, :B] = Wh
-                scr_s[3:6, :B] = (Wt - Wh.astype(dtype)).astype(
-                    jnp.bfloat16)
-                Wb = ub0 + beta_s * (ub0 - upb0)
-                Whb = Wb.astype(jnp.bfloat16)
-                scr_s[0:3, B:] = Whb
-                scr_s[3:6, B:] = (Wb - Whb.astype(dtype)).astype(
-                    jnp.bfloat16)
-            else:
-                scr_s[:, :B] = ut0 + beta_s * (ut0 - up0)
-                scr_s[:, B:] = ub0 + beta_s * (ub0 - upb0)
-            if preshift:
-                sv = scr_s[...]
-                for k, s in enumerate(NR):
-                    scr_sv[3 * k:3 * k + 3] = roll(sv, L - s)
-            if pre8:
-                # tile-wide class pre-rolls of the whole staged 8-row
-                # bf16 block: per-chunk gathers become aligned slices
-                sv = scr_s[...]
-                for k, s in enumerate(NR):
-                    scr_sv[8 * k:8 * k + 8] = roll(sv, L - s)
 
-        def region(start):
-            """[6, W0] stacked (u; u-up) at 128-aligned offset start,
-            assembled from the tile block and its +1 halo block."""
-            if start + W0 <= B:
-                gu = ua[:, start:start + W0]
-                gp = upa[:, start:start + W0]
-            elif start >= B:
-                gu = ub[:, start - B:start - B + W0]
-                gp = upb[:, start - B:start - B + W0]
-            else:
-                gu = jnp.concatenate([ua[:, start:B],
-                                      ub[:, :start + W0 - B]], axis=1)
-                gp = jnp.concatenate([upa[:, start:B],
-                                      upb[:, :start + W0 - B]], axis=1)
-            return jnp.concatenate([gu, gu - gp], axis=0)
-
-        # compute in C-wide sub-chunks to bound live VMEM (the full-B
-        # dataflow blows the 16 MB scoped-vmem budget)
-        for c0 in ([] if ablate == "stream" else range(0, B, C)):
-            if packed:
-                f24 = _chunk_packed(region, cmv, ddv, amv, c0, scr_s,
-                                    scr_sv, scr_w)
-                F = f24
-                if ablate == "noscatter":
-                    nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + F[0:3]
-                    continue
-                if s8:
-                    # aligned slot scatter (_align8_operator out8): F
-                    # is [64, C] with corner forces in 8-row slots, in
-                    # class-block order — roll whole aligned class
-                    # blocks, every extraction lands at sublane
-                    # offset 0; no relayouts
-                    Fv8 = jnp.concatenate(
-                        [F, jnp.zeros((64, 128), dtype)], axis=1)
-                    rows = {}
-                    p0 = 0
-                    for s, bases, js in A8B:
-                        blk = Fv8[8 * p0:8 * (p0 + len(js))]
-                        if s:
-                            blk = roll(blk, s)
-                        for i, j in enumerate(js):
-                            rows[j] = blk[8 * i:8 * i + 3]
-                        p0 += len(js)
-                    _merged_scatter(nf, rows, offs, c0, W0)
-                    continue
-                if scatter_dslice:
-                    for j, o in enumerate(offs):
-                        idx = pl.ds(c0 + o, C)
-                        nf[:, idx] = nf[:, idx] + F[3 * j:3 * j + 3]
-                    continue
-                # scatter through a zero-padded scratch + one roll per
-                # shift class: all nf updates are lane-aligned (a
-                # direct misaligned slice store costs a relayout per
-                # corner; Mosaic also rejects pad-concats of
-                # offset-mismatched vectors).  Only the rows of each
-                # class are rolled.
-                if scatter_val:
-                    # F is a dot result with canonical layout; pad it
-                    # as a value, skipping the scr_f round-trip
-                    Fv = jnp.concatenate(
-                        [F, jnp.zeros((24, 128), dtype)], axis=1)
-                else:
-                    scr_f[:, :C] = F
-                    scr_f[:, C:] = jnp.zeros((24, 128), dtype)
-                    Fv = scr_f[...]
-                rows = _class_rolled_rows(Fv, offs, roll)
-                _merged_scatter(nf, rows, offs, c0, W0)
-            else:
-                ue = jnp.concatenate([ua[...], ub[...]], axis=1)
-                upe = jnp.concatenate([upa[...], upb[...]], axis=1)
-                f = _chunk_slabs(ue, upe, cmv, c0)
-                for j in range(8):
-                    a = c0 + offs[j]
-                    nf[:, a:a + C] = nf[:, a:a + C] + f[j]
-
-        force = jnp.concatenate(
-            [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
-        tail[...] = nf[:, B:B + o7]
-
-        # mass2_minusaM - mass_minusaM == mass_simple exactly (the
-        # dashpot and dangling-distribution terms cancel; consts.py
-        # node_masses), so the update needs only mass_minusaM:
-        #   u+ = (F + m2*u - m*up)/ms = u + (F + m*(u - up))/ms
-        ut = ua[...]
-        un = ut + (force + mm[...] * (ut - upa[...])) * invm[...]
         if packed_state:
-            # the output IS the next step's packed state: rows 3:6
-            # get the u -> up shift for free inside the same 8-row
-            # physical write
-            out[...] = jnp.concatenate([un, ut, Sv[6:8]], axis=0)
+            def packed_run(Sv, Sbv, Kv):
+                run(Sv, Sbv, Sv[0:3], Sv[3:6], Sbv[0:3], Sbv[3:6],
+                    Kv[0:3], Kv[3:6], Kv[6:7])
+            if nohalo:
+                # delay-by-one pipelined dataflow (HT_PALLAS_NOHALO,
+                # default): the compute tile t-1 reads its packed
+                # state from the Sp scratch copy while block t
+                # streams in and supplies the halo as its first
+                # o7+128 columns -- the separate halo stream (a full
+                # extra tile at shapes where o7+129 rounds hb up to
+                # B) disappears.  Bit-identical: the last tile's
+                # halo columns are garbage masked by element
+                # validity exactly like the legacy clamped halo.
+                @pl.when(t > 0)
+                def _():
+                    packed_run(Sp[...], Sa[...], K[...])
+                Sp[...] = Sa[...]
+            else:
+                packed_run(Sa[...], Sb[...], K[...])
         else:
-            out[...] = un
+            run(None, None, ua, upa, ub, upb, cm, mm, invm)
 
     def _chunk_packed(region, cmv, ddv, amv, c0, scr_s, scr_sv, scr_w):
         """Corner-major [24, C] dataflow: full-sublane VPU utilization
@@ -1060,7 +1121,7 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
         return _butterfly(y)   # H symmetric -> inverse = forward
         # (the 1/8 Hadamard normalization is in the coefficients)
 
-    return kernel, am_dev
+    return kernel, am_dev, make_run
 
 
 def _bkt_bf16g(a8, dtype, interpret, default="1"):
@@ -1089,12 +1150,18 @@ def _bkt_bf16g(a8, dtype, interpret, default="1"):
 
 def _bkt_nohalo():
     """Pipelined delay-by-one dataflow for the node-basis BKT
-    kernels (HT_BKT_NOHALO, default on): the next-tile halo is read
-    from the block currently streaming in instead of a separate halo
-    operand, removing the extra hb-block of S and conv traffic per
-    tile.  Bit-identical to the halo-stream path (the last tile's
-    garbage halo columns are masked by element validity in both)."""
-    return os.environ.get("HT_BKT_NOHALO", "1") == "1"
+    kernels (HT_BKT_NOHALO): the next-tile halo is read from the
+    block currently streaming in instead of a separate halo operand,
+    removing the extra hb-block of S and conv traffic per tile
+    (73.4 of 256.9 MB/step at the 1M bench).  Bit-identical to the
+    halo-stream path (the last tile's garbage halo columns are
+    masked by element validity in both).  Default OFF: the
+    one-process A/B measured 571 us/step legacy vs 581 nohalo — the
+    delay-by-one structure loses as much compute/DMA overlap as it
+    saves in bytes (same finding as the elastic twin).  Kept as an
+    opt-in ablation; the VMEM-resident loop is the byte cut that
+    pays (run_resident)."""
+    return os.environ.get("HT_BKT_NOHALO", "0") == "1"
 
 
 def _bf16_split3(A):
@@ -1425,6 +1492,11 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     # next-tile halo (always true at production tiles; tiny test
     # bricks fall back to the legacy halo stream)
     nohalo = _bkt_nohalo() and H <= B
+    # measurement-only ablations (WRONG PHYSICS; see the elastic
+    # HT_PALLAS_ABLATE): "norec" skips the conv recursion math,
+    # "stream" skips the whole element pass, "nogather" skips
+    # gather+dot, "noop" gathers but skips the dot
+    abl = os.environ.get("HT_BKT_ABLATE", "")
 
     def body(Sv, Shalo, Kv, cvt, cvh, fm, out, conv_out, tail, nf,
              scr_v, scr_vv):
@@ -1436,9 +1508,15 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         u, up = Sv[0:3], Sv[3:6]
 
         # node-basis recursion on tile + halo; only tile rows persist
-        cn_t, dvs_t, dvk_t = rec(u, up, cvt[:R2].astype(dtype))
-        cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
-                                 cvh[:R2].astype(dtype))
+        if abl == "norec":
+            cvt3 = cvt[:R2].astype(dtype)
+            cn_t, dvs_t, dvk_t = cvt3, u, up
+            cn_h = cvh[:R2].astype(dtype)
+            dvs_h, dvk_h = Shalo[0:3], Shalo[3:6]
+        else:
+            cn_t, dvs_t, dvk_t = rec(u, up, cvt[:R2].astype(dtype))
+            cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
+                                     cvh[:R2].astype(dtype))
         pad = jnp.zeros((R2s - R2, B), dtype)
         conv_out[...] = jnp.concatenate([cn_t, pad],
                                         axis=0).astype(conv_dtype)
@@ -1475,7 +1553,21 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         mode = _mxu_mode("highest")
         prec = (jax.lax.Precision.HIGHEST if mode == "highest"
                 else jax.lax.Precision.DEFAULT)
-        for c0 in range(0, B, C):
+        for c0 in ([] if abl == "stream" else range(0, B, C)):
+            if abl == "nogather":
+                nf[:, c0:c0 + C] = nf[:, c0:c0 + C] + scr_v[0:3,
+                                                            c0:c0 + C]
+                continue
+            if abl == "noop" and a8 and not bf16g:
+                X8 = _gather_blocks8(
+                    lambda b: scr_v[:, pl.ds(b, W0)], offs, c0, C,
+                    W0, roll, A8B)
+                F = X8[0:24] * valid[:, c0:c0 + C]
+                Fv = jnp.concatenate(
+                    [F, jnp.zeros((24, 128), dtype)], axis=1)
+                rows = _class_rolled_rows(Fv, offs, roll)
+                _merged_scatter(nf, rows, offs, c0, W0)
+                continue
             if bf16g:
                 # [Xs8; Xs8; Xk8; Xk8] (K=256) against the per-field
                 # duplicated-column constants: full b4 split product
@@ -2027,6 +2119,7 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
 
     sdt = jnp.bfloat16 if bf16g else dtype
     nohalo = _bkt_nohalo() and H <= B
+    abl = os.environ.get("HT_BKT_ABLATE", "")
 
     def body(Sv, Shalo, Kv, cvt, cvh, fm, sc, out, conv_out, tail,
              nf, scr_v, scr_vv):
@@ -2039,11 +2132,18 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         cvbv = cvh.astype(dtype)
         scv = sc[...]
 
-        cn_t, dvs_t, dvk_t = rec(u, up, cvav[:R2],
-                                 cf_rows(Kv[6:7], scv))
+        if abl == "nocf":
+            # measurement-only: price the one-hot coefficient
+            # reconstruction by replacing it with a broadcast of
+            # set 0 (wrong physics for every bin != 0)
+            cf_t = jnp.broadcast_to(scv[:, 0:1], (RC, B)).astype(dtype)
+            cf_h = jnp.broadcast_to(scv[:, 0:1], (RC, H)).astype(dtype)
+        else:
+            cf_t = cf_rows(Kv[6:7], scv)
+            cf_h = cf_rows(cvbv[R2:R2 + 1], scv)
+        cn_t, dvs_t, dvk_t = rec(u, up, cvav[:R2], cf_t)
         cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
-                                 cvbv[:R2],
-                                 cf_rows(cvbv[R2:R2 + 1], scv))
+                                 cvbv[:R2], cf_h)
         # padding rows carry the (constant) bin index so the halo
         # stream serves next tile's cf_rows without a K halo operand
         pad = jnp.zeros((R2s - R2 - 1, B), dtype)
@@ -2079,7 +2179,7 @@ def _make_bkt_node_kernel(offs, B, o7, T, dtype, sets,
         mode = _mxu_mode("highest")
         prec = (jax.lax.Precision.HIGHEST if mode == "highest"
                 else jax.lax.Precision.DEFAULT)
-        for c0 in range(0, B, C):
+        for c0 in ([] if abl == "stream" else range(0, B, C)):
             # invalid elements have mu_f = kappa_f = 0, so no validity
             # row is needed -- the mu/ka scaling zeroes their force
             mu_c = muf[:, c0:c0 + C]
@@ -2531,7 +2631,7 @@ def build_call(offs, B, o7, T, LEN, f1e, f2e, dtype, interpret=False,
                tier="general", kco=None):
     """The pallas_call for one brick: (u, u, up, up, cm, mm, invm, dd)
     -> u_next [3, LEN].  tier/kco: see detect_tier."""
-    kernel, am = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+    kernel, am, _ = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
                               interpret=interpret, tier=tier, kco=kco)
     C, packed = _kernel_mode(B)
     # scratch shapes mirror the kernel's dataflow modes (_modes);
@@ -2596,13 +2696,16 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     S [8, LEN] = (u 0:3, up 3:6) and K [8, LEN] = (c1, c2, beta,
     mass_minusaM, inv_mass).  Halves the physical HBM traffic of
     build_call (see _make_kernel packed_state)."""
-    kernel, am = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
-                              interpret=interpret, tier=tier, kco=kco,
-                              packed_state=True)
+    return _build_call_packed_impl(offs, B, o7, T, LEN, f1e, f2e,
+                                   dtype, interpret, tier, kco)
+
+
+def _packed_scratches(offs, B, o7, dtype, tier):
+    """Scratch list of the packed elastic kernel (must mirror
+    _make_kernel's dataflow modes; align8 never touches scr_w/scr_f
+    -- value-concat gather + value scatter -- so those are
+    token-sized to keep VMEM headroom for big chunks)."""
     C, packed = _kernel_mode(B)
-    # scratch shapes mirror the kernel's dataflow modes (_modes);
-    # align8 never touches scr_w/scr_f (value-concat gather + value
-    # scatter) -- token-size them to keep VMEM headroom for big chunks
     modes = _modes(tier, dtype, packed)
     live = packed and not (modes["align8"] and _use_mxu())
     scr_w = (24, C) if live else (8, 128)
@@ -2622,6 +2725,188 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
         scr_sv = ((max(3 * nshift, 8), B + o7 + 128) if preshift
                   else (8, 128))
         scr_sv_dtype = dtype
+    return [pltpu.VMEM((3, o7), dtype),
+            pltpu.VMEM((3, B + o7 + 128), dtype),
+            pltpu.VMEM(scr_s, scr_s_dtype),
+            pltpu.VMEM(scr_sv, scr_sv_dtype),
+            pltpu.VMEM(scr_w, dtype),
+            pltpu.VMEM(scr_f, dtype)]
+
+
+def resident_vmem_bytes(LEN, o7, dtype=jnp.float32, conv_rows=0,
+                        conv_bytes=2):
+    """Approximate VMEM footprint of the resident time loop: the
+    state + constants live in scratch for the whole chunk."""
+    Hp = -(-(o7 + 128) // 128) * 128
+    esz = jnp.zeros((), dtype).dtype.itemsize
+    b = 8 * (LEN + Hp) * esz            # Sres
+    b += 8 * LEN * esz                  # Kres
+    if conv_rows:
+        b += conv_rows * (LEN + Hp) * conv_bytes
+    return b + (6 << 20)                # tile scratches + temps
+
+
+def build_resident_call(offs, B, o7, T, LEN, f1e, f2e, dtype, CH,
+                        tier="general", kco=None, src_pos=(),
+                        st_pos=None, st_phi=None, interpret=False):
+    """VMEM-RESIDENT time loop: the whole CH-step scan runs inside
+    ONE pallas kernel with the packed state S and the constant block
+    K held in VMEM scratch for the entire chunk — ZERO per-step HBM
+    state traffic (v5e has 128 MB VMEM/core; a <=1.4M-node brick's
+    S+K is ~75 MB, which is exactly the per-chip shard size class of
+    pod-scale runs, psolve.c's per-rank mesh).  The streaming packed
+    kernel moves 146.8 MB/step at the 1M bench and is DMA-bound at
+    ~283 us/step; here the per-step cost is pure compute.
+
+    grid = (CH,); S enters/leaves via one DMA per chunk (HBM-space
+    operands); per step only the source-force row streams in and the
+    station-sample row streams out.  Source/station node positions
+    are trace-time constants (static single-column slices).  The
+    per-tile compute is the IDENTICAL make_run body the streaming
+    kernel uses — same float sequence, bit-identical trajectories.
+
+    Returns advance(S [8, LEN], K [8, LEN], dd, srcf_pad
+    [CH, 8, 128]) -> (S' [8, LEN], samples [CH, 8, 128]); srcf_pad
+    rows 0:3 = force comps, column l = source l (pre-scaled by dt^2
+    and inv_mass); samples rows 0:3 at column s = station s's
+    pre-step phi-weighted displacement."""
+    _, am, mk_run = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                                 interpret=interpret, tier=tier,
+                                 kco=kco, packed_state=True)
+    modes = _modes(tier, dtype, True)
+    use_mxu = _use_mxu()
+    align8 = modes["align8"] and use_mxu
+    H = o7 + 128
+    Hp = -(-H // 128) * 128
+    LENR = LEN + Hp
+    src_pos = [int(p) for p in np.asarray(src_pos).reshape(-1)]
+    ns = 0 if st_pos is None else len(st_pos)
+    if ns:
+        st_pos = np.asarray(st_pos, np.int64).reshape(ns, -1)
+        st_phi = np.asarray(st_phi, np.float64).reshape(ns, -1)
+    assert len(src_pos) <= 128 and ns <= 128
+
+    def kernel(S0, K0, dd, am_r, srcf, Sfin, samples, tail, nf,
+               scr_s, scr_sv, scr_w, scr_f, Sres, Kres, sem):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            if interpret:
+                Sres[:, :LEN] = S0[...]
+                Kres[...] = K0[...]
+            else:
+                cp = pltpu.make_async_copy(S0, Sres.at[:, :LEN], sem)
+                cp.start()
+                cp.wait()
+                ck = pltpu.make_async_copy(K0, Kres, sem)
+                ck.start()
+                ck.wait()
+            # halo padding beyond LEN: read by the last tile's
+            # stencil, masked by element validity — zero once
+            Sres[:, LEN:] = jnp.zeros((8, Hp), dtype)
+            if align8:
+                scr_s[6:8, :] = jnp.zeros(
+                    (2, B + o7 + 128), jnp.bfloat16)
+
+        # pre-step station samples (the scan driver samples the carry
+        # before stepping)
+        if ns:
+            cols = []
+            for s in range(ns):
+                acc = None
+                for j in range(st_pos.shape[1]):
+                    p = int(st_pos[s, j])
+                    w = float(st_phi[s, j])
+                    v = w * Sres[0:3, p:p + 1]
+                    acc = v if acc is None else acc + v
+                cols.append(acc)
+            blk = jnp.concatenate(cols, axis=1)        # [3, ns]
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((3, 128 - ns), dtype)], axis=1)
+            samples[...] = jnp.concatenate(
+                [blk, jnp.zeros((5, 128), dtype)], axis=0)[None]
+        else:
+            samples[...] = jnp.zeros((1, 8, 128), dtype)
+
+        # one explicit time step: the per-tile sweep over the
+        # resident state, identical body to the streaming kernel
+        amv = am_r[...] if use_mxu else None
+        run = mk_run(dd, amv, None, tail, nf, scr_s, scr_sv, scr_w,
+                     scr_f)
+        tail[...] = jnp.zeros_like(tail)
+
+        def tile_body(i, carry):
+            tb = i * B
+            Sv = Sres[:, pl.ds(tb, B)]
+            Sbv = Sres[:, pl.ds(tb + B, H)]
+            Kv = Kres[:, pl.ds(tb, B)]
+
+            def wout(v):
+                Sres[:, pl.ds(tb, B)] = v
+
+            run(Sv, Sbv, Sv[0:3], Sv[3:6], Sbv[0:3], Sbv[3:6],
+                Kv[0:3], Kv[3:6], Kv[6:7], write_out=wout)
+            return carry
+
+        jax.lax.fori_loop(0, T, tile_body, 0)
+
+        # source injection (post-step, matching the scan driver's
+        # Sn.at[src].add): static single-column slice adds
+        if src_pos:
+            sv = srcf[...]
+            for l, p in enumerate(src_pos):
+                Sres[0:3, p:p + 1] = (Sres[0:3, p:p + 1]
+                                      + sv[0, 0:3, l:l + 1])
+
+        @pl.when(t == CH - 1)
+        def _():
+            if interpret:
+                Sfin[...] = Sres[:, :LEN]
+            else:
+                co = pltpu.make_async_copy(Sres.at[:, :LEN], Sfin,
+                                           sem)
+                co.start()
+                co.wait()
+
+    scratch = _packed_scratches(offs, B, o7, dtype, tier) + [
+        pltpu.VMEM((8, LENR), dtype),
+        pltpu.VMEM((8, LEN), dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    params = None
+    if not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int(resident_vmem_bytes(LEN, o7, dtype) + (8 << 20)),
+                127 * 1024 * 1024))
+    call = pl.pallas_call(
+        kernel,
+        grid=(CH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # S0
+            pl.BlockSpec(memory_space=pltpu.ANY),          # K
+            pl.BlockSpec((48, 1), lambda t: (0, 0)),
+            pl.BlockSpec(am.shape, lambda t: (0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # S final
+                   pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                   jax.ShapeDtypeStruct((CH, 8, 128), dtype)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=params,
+    )
+    return lambda S, K, dd, srcf_pad: call(S, K, dd, am, srcf_pad)
+
+
+def _build_call_packed_impl(offs, B, o7, T, LEN, f1e, f2e, dtype,
+                            interpret, tier, kco):
+    kernel, am, _ = _make_kernel(offs, B, o7, T, f1e, f2e, dtype,
+                              interpret=interpret, tier=tier, kco=kco,
+                              packed_state=True)
+    scratch = _packed_scratches(offs, B, o7, dtype, tier)
     blk = lambda t: (0, t)
     # halo operand narrowed to the stencil reach (see build_call)
     hb = _halo_block(B, o7)
@@ -2633,6 +2918,27 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
     # to the same pages, see tools/hbm_ceiling.py "aliased")
     alias = (os.environ.get("HT_PALLAS_ALIAS", "0") == "1"
              and not interpret)
+    nohalo = _elastic_nohalo() and o7 + 128 <= B
+    if nohalo:
+        # delay-by-one pipeline (see _make_kernel): grid T+1, S
+        # streams at t, K/out at t-1, no separate halo operand
+        blkc = lambda t: (0, jnp.maximum(t - 1, 0))
+        blks = lambda t: (0, jnp.minimum(t, T - 1))
+        call = pl.pallas_call(
+            kernel,
+            grid=(T + 1,),
+            in_specs=[
+                pl.BlockSpec((8, B), blks),
+                pl.BlockSpec((8, B), blkc),
+                pl.BlockSpec((48, 1), lambda t: (0, 0)),
+                pl.BlockSpec(am.shape, lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((8, B), blkc),
+            out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
+            scratch_shapes=scratch + [pltpu.VMEM((8, B), dtype)],
+            interpret=interpret,
+        )
+        return lambda S, Sb, K, dd: call(S, K, dd, am)
     call = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -2645,12 +2951,7 @@ def build_call_packed(offs, B, o7, T, LEN, f1e, f2e, dtype,
         out_specs=pl.BlockSpec((8, B), blk),
         out_shape=jax.ShapeDtypeStruct((8, LEN), dtype),
         input_output_aliases={0: 0} if alias else {},
-        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
-                        pltpu.VMEM((3, B + o7 + 128), dtype),
-                        pltpu.VMEM(scr_s, scr_s_dtype),
-                        pltpu.VMEM(scr_sv, scr_sv_dtype),
-                        pltpu.VMEM(scr_w, dtype),
-                        pltpu.VMEM(scr_f, dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return lambda *args: call(*args, am)
@@ -2831,6 +3132,7 @@ def _bkt_mix_runs(mx, runs, offs, shear_only, dtype, S, Sn, cv, cm):
     identical float sequence to _bkt_mix_one (same rec3 op order,
     same operator dot), with zero irregular memory ops."""
     R2 = 6 if shear_only else 12
+    cdt = cm.dtype                      # carry storage dtype
     cm = cm.astype(dtype)
     cms_out = []
     for c0, m0, L in runs:
@@ -2871,7 +3173,7 @@ def _bkt_mix_runs(mx, runs, offs, shear_only, dtype, S, Sn, cv, cm):
         for j, o in enumerate(offs):
             Sn = Sn.at[0:3, c0 + o:c0 + o + L].add(vals[j])
         cms_out.append(jnp.concatenate(newcm, axis=0))
-    return Sn, jnp.concatenate(cms_out, axis=-1)
+    return Sn, jnp.concatenate(cms_out, axis=-1).astype(cdt)
 
 
 def _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm):
@@ -2887,6 +3189,7 @@ def _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm):
     up8 = S[3:6][:, idx]
     du8 = u8 - up8
     cvg = cv[:R2][:, idx].astype(dtype)  # node conv PREV
+    cdt = cm.dtype
     cm = cm.astype(dtype)
     ce, cn = mx["mix_ce"], mx["mix_cn"]
 
@@ -2929,7 +3232,7 @@ def _bkt_mix_one(mx, shear_only, dtype, S, Sn, cv, cm):
                                   unique_indices=True)
     else:
         Sn = Sn.at[0:3, idx.reshape(-1)].add(flat)
-    return Sn, jnp.concatenate(newcm, axis=0)
+    return Sn, jnp.concatenate(newcm, axis=0).astype(cdt)
 
 
 def _make_packed_bkt_node_step(pt: PallasBrickTables, interpret=False):
@@ -3002,7 +3305,13 @@ def init_packed_state(pt: PallasBrickTables):
                                      pt.bkn_bin, R2,
                                      pt.conv_dtype_node))
             if pt.mix_M:
-                st = st + (jnp.zeros((R2, 8, pt.mix_M), pt.dtype),)
+                # the mixed-element corner state carries in the SAME
+                # storage dtype as the node conv: matching corners
+                # then round identically on both paths, so their
+                # correction cancels bit-exactly even at bf16 (and
+                # the epilogue's dominant carry halves)
+                st = st + (jnp.zeros((R2, 8, pt.mix_M),
+                                     pt.conv_dtype_node),)
             return st
         return (S, jnp.zeros((pt.conv_rows_node, pt.LEN),
                              pt.conv_dtype_node))
@@ -3134,7 +3443,8 @@ def _fit_conv_nodeq(pt, parts):
     out[R2, :len(pt.bkn_bin)] = pt.bkn_bin    # constant set-index row
     tail = (jnp.asarray(out, pt.conv_dtype_node),)
     if M:
-        tail += (jnp.asarray(mix, pt.dtype),)
+        # same storage dtype as the node conv (see init_packed_state)
+        tail += (jnp.asarray(mix, pt.conv_dtype_node),)
     return tail
 
 
@@ -3195,6 +3505,13 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
         chunk = min(total_steps, 1000)
     dt2 = dt * dt
 
+    if (packed and resident_applies(pt, tables, dtype)
+            and on_snap is None and snap_every is None):
+        state, samples = _run_resident_loop(
+            pt, src_forces, total_steps, dt, chunk, state,
+            start_step, on_chunk, on_samples, interpret)
+        return packed_snap_of(state), samples
+
     def make_xs(s, k):
         return (jnp.asarray(src_forces[s:s + k] * dt2, dtype),
                 jnp.arange(s, s + k, dtype=jnp.int32))
@@ -3208,6 +3525,82 @@ def run_pallas_solver(plan, tables, src_ids, src_forces, total_steps,
     if packed:
         state = packed_snap_of(state)
     return state, samples
+
+
+def resident_applies(pt, tables, dtype) -> bool:
+    """Eligibility of the VMEM-resident time loop
+    (build_resident_call; HT_PALLAS_RESIDENT=0 opts out): f32
+    elastic (BKT keeps the streaming kernels for now), small
+    source/station sets (static column slices in-kernel), and the
+    resident S+K must fit the v5e VMEM budget — which is exactly the
+    per-chip shard size class of pod-scale runs."""
+    if os.environ.get("HT_PALLAS_RESIDENT", "1") != "1":
+        return False
+    if tables.damping == "bkt" or dtype != jnp.float32:
+        return False
+    L = 0 if pt.src_pos is None else len(np.asarray(pt.src_pos))
+    ns = 0 if pt.st_pos is None else len(np.asarray(pt.st_pos))
+    if L > 128 or ns > 128:
+        return False
+    return (resident_vmem_bytes(pt.LEN, pt.o7, dtype)
+            <= int(os.environ.get("HT_RESIDENT_VMEM_MB", "112"))
+            * (1 << 20))
+
+
+def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
+                       start_step, on_chunk, on_samples, interpret):
+    """Chunked driver for the resident kernel (mirrors run_chunked's
+    on_chunk/on_samples contract; 4-D snapshot taps keep the
+    streaming path)."""
+    dtype = pt.dtype
+    L = 0 if pt.src_pos is None else len(np.asarray(pt.src_pos))
+    ns = 0 if pt.st_pos is None else len(np.asarray(pt.st_pos))
+    dt2 = dt * dt
+    invm_sc = None
+    if L:
+        invm_sc = np.asarray(pt.invm).reshape(-1)[
+            np.asarray(pt.src_pos).reshape(-1)]
+    K = jnp.concatenate([pt.cm, pt.mm, pt.invm,
+                         jnp.zeros((1, pt.LEN), dtype)], axis=0)
+    calls = {}
+    outs = []
+    S = state[0]
+    s = start_step
+    while s < total_steps:
+        k = min(chunk, total_steps - s)
+        adv = calls.get(k)
+        if adv is None:
+            adv = jax.jit(build_resident_call(
+                pt.offs, pt.B, pt.o7, pt.T, pt.LEN, pt.f1e, pt.f2e,
+                dtype, k, tier=pt.tier, kco=pt.kco,
+                src_pos=(pt.src_pos if L else ()),
+                st_pos=(pt.st_pos if ns else None),
+                st_phi=(pt.st_phi if ns else None),
+                interpret=interpret))
+            calls[k] = adv
+        sf = np.zeros((k, 8, 128), np.float32)
+        if L:
+            # same rounding order as the streaming step: srcf*dt2
+            # rounds to f32 first (make_xs), THEN multiplies by the
+            # f32 invm row — bit-identical injection
+            f32 = np.asarray(np.asarray(src_forces[s:s + k]) * dt2,
+                             np.float32)
+            sf[:, 0:3, :L] = (f32.transpose(0, 2, 1)
+                              * invm_sc.astype(np.float32)[None, None])
+        S, smp = adv(S, K, pt.dd, jnp.asarray(sf, dtype))
+        if ns:
+            samples = np.asarray(smp)[:, 0:3, :ns].transpose(0, 2, 1)
+        else:
+            samples = np.zeros((k, 0, 3), np.float32)
+        if on_samples is not None:
+            samples = on_samples(s, samples)
+        outs.append(samples)
+        s += k
+        if on_chunk is not None:
+            on_chunk(s, (S,))
+    samples = (np.concatenate(outs) if outs
+               else np.zeros((0, 0, 3)))
+    return (S,), samples
 
 
 def pallas_u_global(plan, u_pad, N):

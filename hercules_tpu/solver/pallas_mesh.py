@@ -1138,8 +1138,12 @@ def init_mesh_state(mt: MeshPallasTables):
             conv = conv + (tuple(jnp.zeros((mt.El, 8, 3), mt.dtype)
                                  for _ in range(4)),)
         for bi in sorted(mt.mix_slots, key=mt.mix_slots.get):
+            # same storage dtype as the node conv: matching corners
+            # round identically on both recursion paths, so their
+            # epilogue correction cancels bit-exactly even at bf16
             conv = conv + (jnp.zeros(
-                (R2, 8, mt.bkt_modes[bi][1]["M"]), mt.dtype),)
+                (R2, 8, mt.bkt_modes[bi][1]["M"]),
+                mt.conv_dtype_node),)
         return (Ss, conv)
     us = tuple(jnp.zeros((3, geo[4]), mt.dtype) for geo in mt.geo) \
         + (jnp.zeros((3, mt.NL), mt.dtype),)
@@ -1316,7 +1320,9 @@ def _fit_mesh_conv(mt: MeshPallasTables, conv_flat, node_basis):
                              for a in arrays[mt.NB:mt.NB + 4]),)
     if node_basis:
         for bi in sorted(mix_out, key=mt.mix_slots.get):
-            conv = conv + (jnp.asarray(mix_out[bi], dtype),)
+            # carry dtype matches init (conv_dtype_node)
+            conv = conv + (jnp.asarray(mix_out[bi],
+                                       mt.conv_dtype_node),)
     return conv
 
 

@@ -365,3 +365,34 @@ def test_bkt_uniform_bf16g_vs_exact_f32(bkt_problem, monkeypatch):
     assert scale > 0
     err = np.abs(us["b4"] - us["exact"]).max() / scale
     assert err < 1e-4, err
+
+
+def test_resident_matches_streaming_bit_exact(problem, monkeypatch):
+    """The VMEM-resident time loop (build_resident_call: whole chunk
+    inside one pallas kernel, state never leaves VMEM) is
+    BIT-IDENTICAL to the streaming packed kernel on the displacement
+    field: the per-tile compute is the same make_run body, the last
+    tile's halo is masked garbage in both, and the source injection
+    reproduces the streaming rounding order (srcf*dt2 -> f32, then
+    f32 invm multiply).  Station samples may differ at ulp level
+    (einsum accumulation order)."""
+    p, mesh, tables, plan = problem
+    T = 37
+    rng = np.random.default_rng(3)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[5, 900]]
+    st_phi = np.full((2, 8), 0.125)
+    res = {}
+    for v in ("1", "0"):
+        monkeypatch.setenv("HT_PALLAS_RESIDENT", v)
+        st, smp = run_pallas_solver(
+            plan, tables, nid, forces, T, p.delta_t,
+            st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float32,
+            interpret=True, chunk=16)
+        res[v] = (pallas_u_global(plan, st[0], mesh.nnum),
+                  np.asarray(smp))
+    assert np.abs(res["0"][0]).max() > 0
+    assert np.array_equal(res["1"][0], res["0"][0])
+    sscale = max(np.abs(res["0"][1]).max(), 1e-30)
+    assert np.abs(res["1"][1] - res["0"][1]).max() / sscale < 1e-5
