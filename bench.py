@@ -628,6 +628,52 @@ def main():
             mt = MeshPallasTables(plan, tables, src_ids=src_ids)
             step, consts = make_mesh_step(mt)
             state = init_mesh_state(mt)
+        elif which == "resident":
+            # VMEM-resident time loop: the whole scan runs inside one
+            # pallas kernel, state never leaves VMEM
+            from hercules_tpu.solver.pallas_brick import (
+                build_resident_bkt_call, build_resident_call,
+                resident_applies)
+            pt = PallasBrickTables(plan, tables, src_ids=src_ids)
+            if not resident_applies(pt, tables, jnp.float32):
+                raise RuntimeError("resident loop ineligible "
+                                   "(size/damping/source gates)")
+            bkt = tables.damping == "bkt"
+            L = len(np.asarray(pt.src_pos).reshape(-1))
+            invm_sc = jnp.asarray(
+                np.asarray(pt.invm).reshape(-1)[
+                    np.asarray(pt.src_pos).reshape(-1)], jnp.float32)
+            st0 = init_packed_state(pt)
+            if bkt:
+                adv = jax.jit(build_resident_bkt_call(
+                    pt.offs, pt.B, pt.o7, pt.T, pt.LEN, jnp.float32,
+                    pt.bk_scal, steps, shear_only=pt.bkt_shear_only,
+                    conv_dtype=pt.conv_dtype_node,
+                    src_pos=pt.src_pos))
+                Kb = jnp.concatenate(
+                    [pt.mm, pt.invm, pt.evalid_row,
+                     jnp.zeros((3, pt.LEN), jnp.float32)], axis=0)
+            else:
+                adv = jax.jit(build_resident_call(
+                    pt.offs, pt.B, pt.o7, pt.T, pt.LEN, pt.f1e,
+                    pt.f2e, jnp.float32, steps, tier=pt.tier,
+                    kco=pt.kco, src_pos=pt.src_pos))
+                Kb = jnp.concatenate(
+                    [pt.cm, pt.mm, pt.invm,
+                     jnp.zeros((1, pt.LEN), jnp.float32)], axis=0)
+
+            def scan(s, xs):
+                f = xs[0]                       # [k, L, 3]
+                sf = jnp.zeros((steps, 8, 128), jnp.float32)
+                sf = sf.at[:, 0:3, :L].set(
+                    f.transpose(0, 2, 1) * invm_sc[None, None, :])
+                if bkt:
+                    S2, CV2, _ = adv(s[0], s[1], Kb, sf)
+                    return (S2, CV2)
+                S2, _ = adv(s[0], Kb, pt.dd, sf)
+                return (S2,)
+
+            return scan, (st0 if bkt else (st0[0],))
         elif which == "packed":
             pt = PallasBrickTables(plan, tables, src_ids=src_ids)
             step, consts = make_packed_pallas_step(pt)
@@ -660,7 +706,7 @@ def main():
     # fallback chain: a toolchain regression (e.g. a Mosaic lowering
     # gap) must degrade the number, never zero it
     chains = {"pallas": ["pallas", "pallas-unpacked", "brick"],
-              "packed": ["packed", "pallas", "brick"],
+              "packed": ["resident", "packed", "pallas", "brick"],
               "pallas-unpacked": ["pallas-unpacked", "brick"],
               "mesh": ["mesh", "brick"],
               "brick": ["brick"]}
@@ -755,7 +801,13 @@ def main():
         halo_rows = {"packed": 8, "pallas": 16,
                      "pallas-unpacked": 16}.get(which, 0)
         conv_bytes = 0
-    if rows is not None:
+    if which == "resident":
+        amort = 3 * 8 * LEN * 4 / steps
+        print(f"# VMEM-resident loop: 0 MB/step HBM state traffic "
+              f"(S+K enter/leave once per {steps}-step chunk, "
+              f"{amort/1e6:.2f} MB/step amortized) — pure-compute "
+              f"bound", file=sys.stderr)
+    elif rows is not None:
         bytes_step = (rows * LEN + halo_rows * hb * Ttile) * 4 \
             + conv_bytes
         gbs = bytes_step * steps / dt / 1e9

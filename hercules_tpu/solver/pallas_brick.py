@@ -1499,11 +1499,13 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
     abl = os.environ.get("HT_BKT_ABLATE", "")
 
     def body(Sv, Shalo, Kv, cvt, cvh, fm, out, conv_out, tail, nf,
-             scr_v, scr_vv):
+             scr_v, scr_vv, write_out=None, write_conv=None):
         """One compute tile: Sv/cvt = the tile's packed state and conv
         block, Shalo/cvh = the NEXT tile's first H columns (under
         nohalo these are the prefix of the block currently streaming
-        in; the legacy path streams them as separate halo operands)."""
+        in; the legacy path streams them as separate halo operands).
+        write_out/write_conv: resident-mode callbacks writing slices
+        of the VMEM-resident state instead of the out blocks."""
         nf[...] = jnp.zeros_like(nf)
         u, up = Sv[0:3], Sv[3:6]
 
@@ -1518,8 +1520,11 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
             cn_h, dvs_h, dvk_h = rec(Shalo[0:3], Shalo[3:6],
                                      cvh[:R2].astype(dtype))
         pad = jnp.zeros((R2s - R2, B), dtype)
-        conv_out[...] = jnp.concatenate([cn_t, pad],
-                                        axis=0).astype(conv_dtype)
+        cnv = jnp.concatenate([cn_t, pad], axis=0).astype(conv_dtype)
+        if write_conv is not None:
+            write_conv(cnv)
+        else:
+            conv_out[...] = cnv
         if bf16g:
             # stage each field as (hi 0:3, lo 3:6, pad) bf16: same
             # staged bytes as one f32 field, half the roll volume;
@@ -1630,7 +1635,11 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
             [nf[:, :o7] + tail[...], nf[:, o7:B]], axis=1)
         tail[...] = nf[:, B:B + o7]
         un = u + (force + Kv[0:3] * (u - up)) * Kv[3:4]
-        out[...] = jnp.concatenate([un, u, Sv[6:8]], axis=0)
+        res = jnp.concatenate([un, u, Sv[6:8]], axis=0)
+        if write_out is not None:
+            write_out(res)
+        else:
+            out[...] = res
 
     def _zero_once(tail, scr_v, scr_vv):
         tail[...] = jnp.zeros_like(tail)
@@ -1683,8 +1692,9 @@ def _make_bkt_uniform_kernel(offs, B, o7, T, dtype, scal,
         cvp[...] = cva[...]
 
     kernel = kernel_nohalo if nohalo else kernel_halo
-    return kernel, jnp.asarray(fm_np,
-                               jnp.bfloat16 if bf16g else dtype), R2s
+    return (kernel,
+            jnp.asarray(fm_np, jnp.bfloat16 if bf16g else dtype),
+            R2s, body, _zero_once)
 
 
 def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
@@ -1694,7 +1704,7 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
     (S, S_halo, K, conv, conv_halo) -> (S_next [8, LEN],
     conv_next [R2s, LEN]).  K rows: mass_minusaM 0:3, inv_mass 3,
     valid 4."""
-    kernel, fm, R2s = _make_bkt_uniform_kernel(
+    kernel, fm, R2s, _, _ = _make_bkt_uniform_kernel(
         offs, B, o7, T, dtype, scal, shear_only=shear_only,
         conv_dtype=conv_dtype, interpret=interpret)
     if conv_dtype is None:
@@ -1766,6 +1776,163 @@ def build_bkt_uniform_call(offs, B, o7, T, LEN, dtype, scal,
         compiler_params=params,
     )
     return lambda S, Sb, K, cv, cvb: call(S, Sb, K, cv, cvb, fm)
+
+
+def build_resident_bkt_call(offs, B, o7, T, LEN, dtype, scal, CH,
+                            shear_only=False, conv_dtype=None,
+                            src_pos=(), st_pos=None, st_phi=None,
+                            interpret=False):
+    """VMEM-resident time loop for the uniform-Q node-basis BKT
+    kernel (see build_resident_call): S, K and the convolution state
+    all live in VMEM scratch for the whole CH-step chunk — the
+    streaming kernel's 256.9 MB/step at the 1M bench drops to the
+    amortized chunk entry/exit DMAs.  S+K+conv is ~114 MB at 1M
+    nodes (v5e: 128 MB/core).  Per-tile compute is the identical
+    _make_bkt_uniform_kernel body — bit-identical trajectories.
+
+    Returns advance(S [8, LEN], CV [R2s, LEN], K [8, LEN],
+    srcf_pad [CH, 8, 128]) -> (S', CV', samples [CH, 8, 128])."""
+    _, fm, R2s, body, zero_once = _make_bkt_uniform_kernel(
+        offs, B, o7, T, dtype, scal, shear_only=shear_only,
+        conv_dtype=conv_dtype, interpret=interpret)
+    if conv_dtype is None:
+        conv_dtype = dtype
+    a8 = os.environ.get("HT_BKT_ALIGN8", "1") == "1"
+    bf16g = _bkt_bf16g(a8, dtype, interpret, default="0")
+    p8 = (a8 and not bf16g
+          and os.environ.get("HT_BKT_PRESHIFT8", "0") == "1")
+    nshift = len({o % 128 for o in offs} - {0})
+    sdt = jnp.bfloat16 if bf16g else dtype
+    scr_v = ((8, B + o7 + 128) if a8 else (6, B + o7 + 128))
+    scr_vv = ((8, B + o7 + 128) if bf16g else
+              (8 * max(nshift, 1), B + o7 + 128) if p8 else (8, 128))
+    H = o7 + 128
+    Hp = -(-H // 128) * 128
+    LENR = LEN + Hp
+    src_pos = [int(p) for p in np.asarray(src_pos).reshape(-1)]
+    ns = 0 if st_pos is None else len(st_pos)
+    if ns:
+        st_pos = np.asarray(st_pos, np.int64).reshape(ns, -1)
+        st_phi = np.asarray(st_phi, np.float64).reshape(ns, -1)
+    assert len(src_pos) <= 128 and ns <= 128
+
+    def kernel(S0, CV0, K0, fm_r, srcf, Sfin, CVfin, samples, tail,
+               nf, scr_va, scr_vb, Sres, Kres, CVres, sem):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            if interpret:
+                Sres[:, :LEN] = S0[...]
+                Kres[...] = K0[...]
+                CVres[:, :LEN] = CV0[...]
+            else:
+                for src, dst in ((S0, Sres.at[:, :LEN]),
+                                 (K0, Kres),
+                                 (CV0, CVres.at[:, :LEN])):
+                    cp = pltpu.make_async_copy(src, dst, sem)
+                    cp.start()
+                    cp.wait()
+            Sres[:, LEN:] = jnp.zeros((8, Hp), dtype)
+            CVres[:, LEN:] = jnp.zeros((R2s, Hp), conv_dtype)
+            zero_once(tail, scr_va, scr_vb)
+
+        if ns:
+            cols = []
+            for s in range(ns):
+                acc = None
+                for j in range(st_pos.shape[1]):
+                    p = int(st_pos[s, j])
+                    v = float(st_phi[s, j]) * Sres[0:3, p:p + 1]
+                    acc = v if acc is None else acc + v
+                cols.append(acc)
+            blk = jnp.concatenate(cols, axis=1)
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((3, 128 - ns), dtype)], axis=1)
+            samples[...] = jnp.concatenate(
+                [blk, jnp.zeros((5, 128), dtype)], axis=0)[None]
+        else:
+            samples[...] = jnp.zeros((1, 8, 128), dtype)
+
+        tail[...] = jnp.zeros_like(tail)
+
+        def tile_body(i, carry):
+            tb = i * B
+            Sv = Sres[:, pl.ds(tb, B)]
+            Shalo = Sres[:, pl.ds(tb + B, H)]
+            Kv = Kres[:, pl.ds(tb, B)]
+            cvt = CVres[:, pl.ds(tb, B)]
+            cvh = CVres[:, pl.ds(tb + B, H)]
+
+            def wout(v):
+                Sres[:, pl.ds(tb, B)] = v
+
+            def wconv(v):
+                CVres[:, pl.ds(tb, B)] = v
+
+            body(Sv, Shalo, Kv, cvt, cvh, fm_r, None, None, tail,
+                 nf, scr_va, scr_vb, write_out=wout,
+                 write_conv=wconv)
+            return carry
+
+        jax.lax.fori_loop(0, T, tile_body, 0)
+
+        if src_pos:
+            sv = srcf[...]
+            for l, p in enumerate(src_pos):
+                Sres[0:3, p:p + 1] = (Sres[0:3, p:p + 1]
+                                      + sv[0, 0:3, l:l + 1])
+
+        @pl.when(t == CH - 1)
+        def _():
+            if interpret:
+                Sfin[...] = Sres[:, :LEN]
+                CVfin[...] = CVres[:, :LEN]
+            else:
+                for src, dst in ((Sres.at[:, :LEN], Sfin),
+                                 (CVres.at[:, :LEN], CVfin)):
+                    co = pltpu.make_async_copy(src, dst, sem)
+                    co.start()
+                    co.wait()
+
+    cbytes = jnp.zeros((), conv_dtype).dtype.itemsize
+    params = None
+    if not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int(resident_vmem_bytes(LEN, o7, dtype,
+                                        conv_rows=R2s,
+                                        conv_bytes=cbytes))
+                + (8 << 20),
+                127 * 1024 * 1024))
+    call = pl.pallas_call(
+        kernel,
+        grid=(CH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # S0
+            pl.BlockSpec(memory_space=pltpu.ANY),          # CV0
+            pl.BlockSpec(memory_space=pltpu.ANY),          # K
+            pl.BlockSpec(fm.shape, lambda t: (0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
+                   jax.ShapeDtypeStruct((R2s, LEN), conv_dtype),
+                   jax.ShapeDtypeStruct((CH, 8, 128), dtype)],
+        scratch_shapes=[pltpu.VMEM((3, o7), dtype),
+                        pltpu.VMEM((3, B + o7 + 128), dtype),
+                        pltpu.VMEM(scr_v, sdt),
+                        pltpu.VMEM(scr_vv, sdt),
+                        pltpu.VMEM((8, LENR), dtype),
+                        pltpu.VMEM((8, LEN), dtype),
+                        pltpu.VMEM((R2s, LENR), conv_dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+        compiler_params=params,
+    )
+    return lambda S, CV, K, srcf_pad: call(S, CV, K, fm, srcf_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -3536,14 +3703,22 @@ def resident_applies(pt, tables, dtype) -> bool:
     per-chip shard size class of pod-scale runs."""
     if os.environ.get("HT_PALLAS_RESIDENT", "1") != "1":
         return False
-    if tables.damping == "bkt" or dtype != jnp.float32:
+    if dtype != jnp.float32:
         return False
+    conv_rows, cb = 0, 2
+    if tables.damping == "bkt":
+        # uniform-Q node-basis only (the general/nodeq tier's mixed
+        # epilogue and bin streams keep the streaming path for now)
+        if not getattr(pt, "bkt_uniform", False):
+            return False
+        conv_rows = pt.conv_rows_node
+        cb = jnp.zeros((), pt.conv_dtype_node).dtype.itemsize
     L = 0 if pt.src_pos is None else len(np.asarray(pt.src_pos))
     ns = 0 if pt.st_pos is None else len(np.asarray(pt.st_pos))
     if L > 128 or ns > 128:
         return False
-    return (resident_vmem_bytes(pt.LEN, pt.o7, dtype)
-            <= int(os.environ.get("HT_RESIDENT_VMEM_MB", "112"))
+    return (resident_vmem_bytes(pt.LEN, pt.o7, dtype, conv_rows, cb)
+            <= int(os.environ.get("HT_RESIDENT_VMEM_MB", "118"))
             * (1 << 20))
 
 
@@ -3553,6 +3728,7 @@ def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
     on_chunk/on_samples contract; 4-D snapshot taps keep the
     streaming path)."""
     dtype = pt.dtype
+    bkt = pt.damping == "bkt"
     L = 0 if pt.src_pos is None else len(np.asarray(pt.src_pos))
     ns = 0 if pt.st_pos is None else len(np.asarray(pt.st_pos))
     dt2 = dt * dt
@@ -3560,8 +3736,13 @@ def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
     if L:
         invm_sc = np.asarray(pt.invm).reshape(-1)[
             np.asarray(pt.src_pos).reshape(-1)]
-    K = jnp.concatenate([pt.cm, pt.mm, pt.invm,
-                         jnp.zeros((1, pt.LEN), dtype)], axis=0)
+    if bkt:
+        K = jnp.concatenate([pt.mm, pt.invm, pt.evalid_row,
+                             jnp.zeros((3, pt.LEN), dtype)], axis=0)
+        CV = state[1]
+    else:
+        K = jnp.concatenate([pt.cm, pt.mm, pt.invm,
+                             jnp.zeros((1, pt.LEN), dtype)], axis=0)
     calls = {}
     outs = []
     S = state[0]
@@ -3570,13 +3751,23 @@ def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
         k = min(chunk, total_steps - s)
         adv = calls.get(k)
         if adv is None:
-            adv = jax.jit(build_resident_call(
-                pt.offs, pt.B, pt.o7, pt.T, pt.LEN, pt.f1e, pt.f2e,
-                dtype, k, tier=pt.tier, kco=pt.kco,
-                src_pos=(pt.src_pos if L else ()),
-                st_pos=(pt.st_pos if ns else None),
-                st_phi=(pt.st_phi if ns else None),
-                interpret=interpret))
+            if bkt:
+                adv = jax.jit(build_resident_bkt_call(
+                    pt.offs, pt.B, pt.o7, pt.T, pt.LEN, dtype,
+                    pt.bk_scal, k, shear_only=pt.bkt_shear_only,
+                    conv_dtype=pt.conv_dtype_node,
+                    src_pos=(pt.src_pos if L else ()),
+                    st_pos=(pt.st_pos if ns else None),
+                    st_phi=(pt.st_phi if ns else None),
+                    interpret=interpret))
+            else:
+                adv = jax.jit(build_resident_call(
+                    pt.offs, pt.B, pt.o7, pt.T, pt.LEN, pt.f1e,
+                    pt.f2e, dtype, k, tier=pt.tier, kco=pt.kco,
+                    src_pos=(pt.src_pos if L else ()),
+                    st_pos=(pt.st_pos if ns else None),
+                    st_phi=(pt.st_phi if ns else None),
+                    interpret=interpret))
             calls[k] = adv
         sf = np.zeros((k, 8, 128), np.float32)
         if L:
@@ -3587,7 +3778,10 @@ def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
                              np.float32)
             sf[:, 0:3, :L] = (f32.transpose(0, 2, 1)
                               * invm_sc.astype(np.float32)[None, None])
-        S, smp = adv(S, K, pt.dd, jnp.asarray(sf, dtype))
+        if bkt:
+            S, CV, smp = adv(S, CV, K, jnp.asarray(sf, dtype))
+        else:
+            S, smp = adv(S, K, pt.dd, jnp.asarray(sf, dtype))
         if ns:
             samples = np.asarray(smp)[:, 0:3, :ns].transpose(0, 2, 1)
         else:
@@ -3597,10 +3791,10 @@ def _run_resident_loop(pt, src_forces, total_steps, dt, chunk, state,
         outs.append(samples)
         s += k
         if on_chunk is not None:
-            on_chunk(s, (S,))
+            on_chunk(s, (S, CV) if bkt else (S,))
     samples = (np.concatenate(outs) if outs
                else np.zeros((0, 0, 3)))
-    return (S,), samples
+    return ((S, CV) if bkt else (S,)), samples
 
 
 def pallas_u_global(plan, u_pad, N):

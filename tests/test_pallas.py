@@ -396,3 +396,44 @@ def test_resident_matches_streaming_bit_exact(problem, monkeypatch):
     assert np.array_equal(res["1"][0], res["0"][0])
     sscale = max(np.abs(res["0"][1]).max(), 1e-30)
     assert np.abs(res["1"][1] - res["0"][1]).max() / sscale < 1e-5
+
+
+def test_resident_bkt_matches_streaming(bkt_problem, monkeypatch):
+    """The VMEM-resident uniform-Q BKT loop (build_resident_bkt_call)
+    vs the streaming packed BKT kernel: same per-tile body, same conv
+    storage dtype.  Trajectories agree to ~1 ulp/step (f32; the
+    in-kernel source-column adds and the fused scan body round a few
+    source-adjacent lanes differently), far inside the bf16-conv
+    storage error (~6e-5) and the 1e-2 golden budget."""
+    from hercules_tpu.solver.pallas_brick import PallasBrickTables
+
+    p, mesh, tables, plan = bkt_problem
+    T = 37
+    rng = np.random.default_rng(3)
+    nid = mesh.elem_lnid[mesh.lenum // 2, :2].astype(np.int32)
+    forces = rng.standard_normal((T, 2, 3)) * 1e8
+    st_nodes = mesh.elem_lnid[[5, 900]]
+    st_phi = np.full((2, 8), 0.125)
+    res = {}
+    for v in ("1", "0"):
+        monkeypatch.setenv("HT_PALLAS_RESIDENT", v)
+        pt = PallasBrickTables(plan, tables, dtype=jnp.float32)
+        if v == "1":
+            from hercules_tpu.solver.pallas_brick import \
+                resident_applies
+            assert resident_applies(pt, tables, jnp.float32)
+        st, smp = run_pallas_solver(
+            plan, tables, nid, forces, T, p.delta_t,
+            st_nodes=st_nodes, st_phi=st_phi, dtype=jnp.float32,
+            interpret=True, chunk=16)
+        res[v] = (pallas_u_global(plan, st[0], mesh.nnum),
+                  np.asarray(smp), np.asarray(st[2]))
+    scale = np.abs(res["0"][0]).max()
+    assert scale > 0
+    assert np.abs(res["1"][0] - res["0"][0]).max() / scale < 1e-5
+    cs = max(np.abs(res["0"][2].astype(np.float64)).max(), 1e-30)
+    assert (np.abs(res["1"][2].astype(np.float64)
+                   - res["0"][2].astype(np.float64)).max() / cs
+            < 1e-4)
+    ss = max(np.abs(res["0"][1]).max(), 1e-30)
+    assert np.abs(res["1"][1] - res["0"][1]).max() / ss < 1e-4
