@@ -345,10 +345,15 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                      const uint8_t* slevel, int64_t n,
                      const int64_t* src, int64_t nsrc,
                      int64_t fx, int64_t fy, int64_t fz,
+                     int64_t minlv,
                      uint8_t* split, uint8_t* trig) {
     parallel_for(nsrc, [&](int64_t s0, int64_t e0) {
         for (int64_t si = s0; si < e0; si++) {
             int64_t i = src[si];
+            int L = slevel[i];
+            // a violation needs a containing leaf at level < L-1;
+            // sources at the two coarsest levels can never find one
+            if (L < (int)minlv + 2) continue;
             uint64_t l = slo[i], h = shi[i];
             uint64_t hh = (h << 1) | (l >> 63);
             int64_t x = (int64_t)(uint32_t)(compact3(l)
@@ -357,7 +362,6 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                                             | (compact3(hh >> 1) << 21));
             int64_t z = (int64_t)(uint32_t)(compact3(l >> 2)
                                             | (compact3(hh >> 2) << 21));
-            int L = slevel[i];
             int64_t e = (int64_t)1 << (30 - L);
             for (int dx = -1; dx <= 1; dx++)
                 for (int dy = -1; dy <= 1; dy++)
@@ -372,14 +376,43 @@ void ht_balance_scan(const uint64_t* shi, const uint64_t* slo,
                         uint64_t qh, ql;
                         interleave_one((uint32_t)px, (uint32_t)py,
                                        (uint32_t)pz, &qh, &ql);
-                        int64_t lo_i = 0, hi_i = n;
-                        while (lo_i < hi_i) {
-                            int64_t mid = (lo_i + hi_i) >> 1;
-                            bool le = (shi[mid] < qh)
-                                || (shi[mid] == qh && slo[mid] <= ql);
-                            if (le) lo_i = mid + 1; else hi_i = mid;
+                        // floor search SEEDED at the source leaf:
+                        // probes sit one tick outside the leaf, so
+                        // in Morton order the floor is usually
+                        // within a few positions of i — gallop
+                        // out from i, then binary-search the
+                        // bracketed range (exact same floor as the
+                        // full binary search, ~4-8 probes instead
+                        // of log2(11M) = 24 cache-missing ones)
+                        auto le = [&](int64_t m) {
+                            return (shi[m] < qh)
+                                || (shi[m] == qh && slo[m] <= ql);
+                        };
+                        int64_t a, b;   // le(a) (or a==-1), !le(b) (or b==n)
+                        if (le(i)) {
+                            a = i;
+                            int64_t step = 1;
+                            while (a + step < n && le(a + step)) {
+                                a += step;
+                                step <<= 1;
+                            }
+                            b = a + step < n ? a + step : n;
+                        } else {
+                            b = i;
+                            a = i - 1;
+                            int64_t step = 1;
+                            while (a >= 0 && !le(a)) {
+                                b = a;
+                                a -= step;
+                                step <<= 1;
+                            }
+                            if (a < 0) a = -1;
                         }
-                        int64_t f = lo_i - 1;
+                        while (a + 1 < b) {
+                            int64_t mid = (a + b) >> 1;
+                            if (le(mid)) a = mid; else b = mid;
+                        }
+                        int64_t f = a;
                         if (f >= 0 && (int)slevel[f] < L - 1) {
                             // containment check: on interval-sharded
                             // trees the key space has gaps, so the
@@ -427,27 +460,66 @@ void ht_dangling_scan(const uint64_t* nhi, const uint64_t* nlo,
                       int64_t fx, int64_t fy, int64_t fz,
                       int64_t* out_nid, int64_t* out_anc,
                       uint8_t* out_deps) {
-    auto find = [&](int64_t cx, int64_t cy, int64_t cz) -> int64_t {
-        if (cx > fx - 1) cx = fx - 1;
-        if (cy > fy - 1) cy = fy - 1;
-        if (cz > fz - 1) cz = fz - 1;
-        uint64_t qh, ql;
-        interleave_one((uint32_t)cx, (uint32_t)cy, (uint32_t)cz,
-                       &qh, &ql);
-        int64_t lo_i = 0, hi_i = nn;
-        while (lo_i < hi_i) {
-            int64_t mid = (lo_i + hi_i) >> 1;
-            bool lt = (nhi[mid] < qh)
-                || (nhi[mid] == qh && nlo[mid] < ql);
-            if (lt) lo_i = mid + 1; else hi_i = mid;
+    // galloped exact search seeded near the element's own corner-0
+    // node: candidates sit inside the element, so in Morton order
+    // their node rows are within a short range of the corner's —
+    // ~4-8 probes instead of log2(nn) cache-missing ones.  Elements
+    // are Morton-sorted, so the per-element seed itself gallops from
+    // the previous element's in O(1) amortized.
+    auto lbound_from = [&](int64_t seed, uint64_t qh,
+                           uint64_t ql) -> int64_t {
+        auto ltf = [&](int64_t m) {
+            return (nhi[m] < qh) || (nhi[m] == qh && nlo[m] < ql);
+        };
+        if (seed < 0) seed = 0;
+        if (seed >= nn) seed = nn - 1;
+        int64_t a, b, st = 1;
+        if (ltf(seed)) {
+            a = seed;
+            while (a + st < nn && ltf(a + st)) { a += st; st <<= 1; }
+            b = (a + st < nn) ? a + st : nn;
+        } else {
+            b = seed;
+            a = seed - 1;
+            while (a >= 0 && !ltf(a)) { b = a; a -= st; st <<= 1; }
+            if (a < 0) a = -1;
         }
-        return (lo_i < nn && nhi[lo_i] == qh && nlo[lo_i] == ql)
-            ? lo_i : -1;
+        while (a + 1 < b) {
+            int64_t mid = (a + b) >> 1;
+            if (ltf(mid)) a = mid; else b = mid;
+        }
+        return b;          // first index with key >= q
     };
     parallel_for(nb, [&](int64_t s, int64_t e0) {
+        int64_t run_seed = 0;
+        int64_t seed = 0;
+        auto find = [&](int64_t cx, int64_t cy, int64_t cz) -> int64_t {
+            if (cx > fx - 1) cx = fx - 1;
+            if (cy > fy - 1) cy = fy - 1;
+            if (cz > fz - 1) cz = fz - 1;
+            uint64_t qh, ql;
+            interleave_one((uint32_t)cx, (uint32_t)cy, (uint32_t)cz,
+                           &qh, &ql);
+            int64_t lb = lbound_from(seed, qh, ql);
+            return (lb < nn && nhi[lb] == qh && nlo[lb] == ql)
+                ? lb : -1;
+        };
         for (int64_t i = s; i < e0; i++) {
             int64_t x = bx[i], y = by[i], z = bz[i];
             int64_t e = be[i], h = e >> 1;
+            {
+                // per-element seed: lower bound of corner 0's key,
+                // galloped from the previous element's seed
+                int64_t cx = x > fx - 1 ? fx - 1 : x;
+                int64_t cy = y > fy - 1 ? fy - 1 : y;
+                int64_t cz = z > fz - 1 ? fz - 1 : z;
+                uint64_t qh, ql;
+                interleave_one((uint32_t)cx, (uint32_t)cy,
+                               (uint32_t)cz, &qh, &ql);
+                run_seed = lbound_from(run_seed, qh, ql);
+                if (run_seed >= nn) run_seed = nn - 1;
+                seed = run_seed;
+            }
             int ci = 0;
             for (int axis = 0; axis < 3; axis++)
                 for (int f1 = 0; f1 < 2; f1++)

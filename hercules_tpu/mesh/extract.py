@@ -81,6 +81,7 @@ def _pack(x, y, z):
 
 
 def extract_mesh(tree: Octree) -> MeshArrays:
+    from ..utils.timers import GLOBAL_TIMERS as TM
     x, y, z = tree.coords()
     lv = tree.level
     e = tree.edgeticks()
@@ -91,7 +92,8 @@ def extract_mesh(tree: Octree) -> MeshArrays:
     # — peak stays ~0.4 KB/element so 1e8+-element meshes fit one
     # host; see bench.py mesh_scale_bench)
     from .. import native
-    ck = native.corner_keys(x, y, z, e, tree.farendp)
+    with TM.measure("extract: corner keys"):
+        ck = native.corner_keys(x, y, z, e, tree.farendp)
     if ck is not None:
         # fused corner generation + far-boundary clamp + interleave
         # (octor.c:1583-1588 which-order, :6100-6106 clamping)
@@ -111,8 +113,10 @@ def extract_mesh(tree: Octree) -> MeshArrays:
                          np.minimum(cz, tree.farendp[2] - 1))
         del cx, cy, cz
     # unique corners in Z order -> node table; gnid = index
-    order = morton.zorder_argsort(chi, clo)
-    gg = native.group_ids(chi, clo, order)
+    with TM.measure("extract: zorder argsort"):
+        order = morton.zorder_argsort(chi, clo)
+    with TM.measure("extract: group ids"):
+        gg = native.group_ids(chi, clo, order)
     if gg is not None:
         # fused single pass: per-corner node ids + group starts (no
         # full-key gathers, no cumsum, no id scatter)
@@ -164,26 +168,45 @@ def extract_mesh(tree: Octree) -> MeshArrays:
     h = be // 2
 
     dn_entries = {}  # node id -> (anchor ids tuple)
-    scan = (native.dangling_scan(nhi, nlo, bx, by, bz, be,
-                                 tree.farendp)
-            if len(bx) else ((), (), ()))
+    dn_direct = None  # vectorized (ids, anchors, deps) from the scan
+    with TM.measure("extract: dangling scan"):
+        scan = (native.dangling_scan(nhi, nlo, bx, by, bz, be,
+                                     tree.farendp)
+                if len(bx) else ((), (), ()))
     if len(bx) and scan is not None:
         # fused native scan: candidate rows in the same case order as
         # the numpy path below; edges (cases 0:12) processed first so
         # the edge classification wins ties exactly like the
-        # insertion-ordered dict build
+        # insertion-ordered dict build.  The first-win dedup runs
+        # VECTORIZED (round 5: the per-candidate python dict loop was
+        # ~1/3 of extract time on interface-heavy production meshes)
+        # and reproduces the dict's insertion order exactly, so the
+        # dn tables — and every downstream accumulation order — are
+        # bit-identical.
         nid18, anc18, deps18 = scan
-        for k in range(18):
+        c_ids, c_anc, c_deps = [], [], []
+        for k in range(18):       # k-major == dict insertion order
             ids = nid18[:, k]
             m = ids >= 0
             if not m.any():
                 continue
-            deps = 2 if k < 12 else 4
-            for nid, arow in zip(ids[m], anc18[m, k]):
-                nid = int(nid)
-                if nid not in dn_entries:
-                    dn_entries[nid] = tuple(int(a)
-                                            for a in arow[:deps])
+            c_ids.append(ids[m])
+            c_anc.append(anc18[m, k])
+            c_deps.append(np.full(int(m.sum()),
+                                  2 if k < 12 else 4, np.int64))
+        if c_ids:
+            idsf = np.concatenate(c_ids)
+            ancf = np.concatenate(c_anc)
+            depf = np.concatenate(c_deps)
+            uq_s, first = np.unique(idsf, return_index=True)
+            o = np.argsort(first, kind="stable")   # insertion order
+            win = first[o]
+            dn_direct = (idsf[win].astype(np.int32),
+                         ancf[win].astype(np.int64), depf[win])
+        else:
+            dn_direct = (np.zeros(0, np.int32),
+                         np.zeros((0, 4), np.int64),
+                         np.zeros(0, np.int64))
         # numpy candidate path skipped
         bx, by, bz, be, h = bx[:0], by[:0], bz[:0], be[:0], h[:0]
 
@@ -269,18 +292,33 @@ def extract_mesh(tree: Octree) -> MeshArrays:
                     dn_entries[nid] = tuple(int(anchors[j][row])
                                             for j in range(4))
 
-    D = len(dn_entries)
-    dn_ids = np.fromiter(dn_entries.keys(), np.int32, count=D)
-    dn_anchors = np.zeros((D, 4), np.int32)
-    dn_weights = np.zeros((D, 4), np.float64)
-    for i, (nid, anc) in enumerate(dn_entries.items()):
-        deps = len(anc)
-        for j, a in enumerate(anc):
-            if a < 0:
-                raise RuntimeError(
-                    f"dangling node {nid}: anchor corner missing from mesh")
-            dn_anchors[i, j] = a
-            dn_weights[i, j] = 1.0 / deps
+    if dn_direct is not None:
+        d_ids, d_anc, d_deps = dn_direct
+        D = len(d_ids)
+        dn_ids = d_ids
+        dn_anchors = np.zeros((D, 4), np.int32)
+        dn_weights = np.zeros((D, 4), np.float64)
+        cols = np.arange(4)[None, :]
+        live = cols < d_deps[:, None]
+        if D and (d_anc[live] < 0).any():
+            raise RuntimeError(
+                "dangling node: anchor corner missing from mesh")
+        dn_anchors[live] = d_anc[live]
+        dn_weights[live] = np.repeat(1.0 / d_deps, d_deps)
+    else:
+        D = len(dn_entries)
+        dn_ids = np.fromiter(dn_entries.keys(), np.int32, count=D)
+        dn_anchors = np.zeros((D, 4), np.int32)
+        dn_weights = np.zeros((D, 4), np.float64)
+        for i, (nid, anc) in enumerate(dn_entries.items()):
+            deps = len(anc)
+            for j, a in enumerate(anc):
+                if a < 0:
+                    raise RuntimeError(
+                        f"dangling node {nid}: anchor corner missing "
+                        f"from mesh")
+                dn_anchors[i, j] = a
+                dn_weights[i, j] = 1.0 / deps
     dangling = np.zeros(N, dtype=bool)
     dangling[dn_ids] = True
     if D and dangling[dn_anchors[dn_weights > 0]].any():

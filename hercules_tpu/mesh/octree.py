@@ -159,7 +159,7 @@ class Octree:
         return {k: v[order] for k, v in rec.items()}
 
     # ------------------------------------------------------------------
-    def balance(self):
+    def balance(self, frontier_keys=None):
         """Enforce the 2-to-1 constraint across all 26 directions
         (octor_balancetree:4397-4776, prioritized ripple propagation).
 
@@ -173,9 +173,20 @@ class Octree:
         (as source) or a source whose probe just caused a split (its
         point now lands in a child that may still be too coarse).
         Returns the split count for stats.
+
+        frontier_keys: optional (hi, lo) keys restricting the FIRST
+        sweep's probe sources.  Sound when the tree was balanced
+        before a refine pass that only SPLIT leaves (the progressive
+        meshing loop, psolve.c:2002-2090): a violation's source must
+        be ≥2 levels finer than its neighbor, old leaves' levels are
+        unchanged and their neighbors only got finer, so every new
+        violation has a NEW child as its source.  The result is
+        identical to a full first sweep (tested).
         """
         nsplits = 0
         frontier = None           # (hi, lo) keys to probe next sweep
+        if frontier_keys is not None:
+            frontier = frontier_keys
         while True:
             if self.n == 0:
                 break
@@ -229,7 +240,9 @@ class Octree:
         fused pass; NumPy fallback)."""
         from .. import native
         got = native.balance_scan(self.hi, self.lo, self.level, src,
-                                  self.farendp)
+                                  self.farendp,
+                                  minlv=int(self.level.min())
+                                  if self.n else 0)
         if got is not None:
             return got
         x, y, z = self.coords()

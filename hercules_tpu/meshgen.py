@@ -17,6 +17,40 @@ from .mesh import Octree, extract_mesh
 from .mesh.extract import MeshArrays
 
 
+def _cached_setrec(setrec, cache):
+    """Wrap setrec with a (leaf-key, level) -> record cache from the
+    previous progressive step: a leaf whose geometry is unchanged
+    re-queries nothing (setrec is a pure function of (hi, lo, level)
+    -- CVM samples at leaf-determined points).  Misses (children
+    created since) fall through to the real setrec.  Results are
+    bit-identical to uncached queries."""
+    from .mesh.extract import _key128
+
+    ck, clv, crec = cache
+
+    def wrapped(tree_, hi, lo, lv):
+        k = _key128(hi, lo)
+        pos = np.minimum(np.searchsorted(ck, k), len(ck) - 1)
+        hit = (ck[pos] == k) & (clv[pos] == lv)
+        if not hit.any():
+            return setrec(tree_, hi, lo, lv)
+        miss = ~hit
+        out = {}
+        if miss.any():
+            sub = setrec(tree_, hi[miss], lo[miss], lv[miss])
+        else:
+            sub = {name: v[:0] for name, v in crec.items()}
+        for name, rows in crec.items():
+            col = np.empty(len(lv), rows.dtype)
+            col[hit] = rows[pos[hit]]
+            if miss.any():
+                col[miss] = sub[name]
+            out[name] = col
+        return out
+
+    return wrapped
+
+
 def generate_mesh(params: Params, cvm: CVM,
                   buildings=None, verbose=False) -> MeshArrays:
     from .utils.timers import GLOBAL_TIMERS as TM
@@ -30,9 +64,18 @@ def generate_mesh(params: Params, cvm: CVM,
     toexpand = make_toexpand(params, buildings=buildings)
 
     # progressive meshing (psolve.c:2002-2090): refine towards the target
-    # frequency in factor-of-2 steps to keep 2:1 ripple local
+    # frequency in factor-of-2 steps to keep 2:1 ripple local.
+    # Across steps, (a) setrec results are cached per (leaf, level) --
+    # a leaf that survived the previous step re-queries nothing (the
+    # material record is a pure function of the leaf geometry), and
+    # (b) the balance first-sweep probes only the leaves refine
+    # actually split (sound: the tree enters each step balanced and
+    # refine only splits, so every new 2:1 violation has a new child
+    # as its source -- see Octree.balance).
     steps = max(0, int(params.step_meshing))
     rec = None
+    cache = None       # (key128 sorted, levels, {name: rows})
+    balanced_before = False
     for mstep_pow in range(steps, -1, -1):
         mstep = 1 << mstep_pow
         scale = 1.0 / mstep
@@ -43,10 +86,35 @@ def generate_mesh(params: Params, cvm: CVM,
             def te(tree_, hi, lo, lv, rec_, _s=scale):
                 return rec_["edgesize"] > rec_["Vs"] / (params.factor * _s)
 
+        from .mesh.extract import _key128
+        sr = setrec if cache is None else _cached_setrec(setrec, cache)
+        pre = None
+        if balanced_before:
+            # balanced + sorted leaf set entering this step
+            pre = (_key128(tree.hi, tree.lo), tree.level.copy())
         with TM.measure("Octor Refinetree"):
-            rec = tree.refine(setrec, te)
+            rec = tree.refine(sr, te)
+        if mstep > 1:
+            # record aligned with the POST-refine sorted leaves (the
+            # balance below splits some of them; their children miss
+            # on the level check and re-query)
+            cache = (_key128(tree.hi, tree.lo), tree.level.copy(),
+                     rec)
         with TM.measure("Octor Balancetree"):
-            tree.balance()
+            if pre is not None:
+                # first-sweep sources = leaves refine created (a
+                # surviving (key, level) pair is unchanged; child 0
+                # shares its parent's anchor but not its level)
+                k = _key128(tree.hi, tree.lo)
+                pos = np.minimum(np.searchsorted(pre[0], k),
+                                 len(pre[0]) - 1)
+                new = ((pre[0][pos] != k)
+                       | (pre[1][pos] != tree.level))
+                tree.balance(frontier_keys=(tree.hi[new],
+                                            tree.lo[new]))
+            else:
+                tree.balance()
+        balanced_before = True
         if verbose:
             print(f"  meshing step x{mstep}: {tree.n} leaves")
 

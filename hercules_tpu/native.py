@@ -69,7 +69,7 @@ def get_lib():
     lib.ht_corner_keys.argtypes = [u32p, u32p, u32p, i64p, i64,
                                    i64, i64, i64, u64p, u64p]
     lib.ht_balance_scan.argtypes = [u64p, u64p, u8p, i64, i64p, i64,
-                                    i64, i64, i64, u8p, u8p]
+                                    i64, i64, i64, i64, u8p, u8p]
     i32p_ = ctypes.POINTER(ctypes.c_int32)
     lib.ht_group_ids.argtypes = [u64p, u64p, i64p, i64, i32p_, u8p]
     lib.ht_dangling_scan.argtypes = [u64p, u64p, i64,
@@ -231,11 +231,13 @@ def group_ids(hi, lo, order):
     return gid, first.astype(bool)
 
 
-def balance_scan(hi, lo, level, src, farendp):
+def balance_scan(hi, lo, level, src, farendp, minlv=0):
     """Fused 2:1-balance probe scan (ht_balance_scan): returns
     (split mask over the sorted leaves, triggered mask over src) —
-    probing only from the `src` leaf indices.  None when the native
-    library is missing."""
+    probing only from the `src` leaf indices, floor searches galloped
+    out from each source's own position (Morton locality), sources at
+    the two coarsest levels skipped (they can never find a >=2-coarser
+    neighbor).  None when the native library is missing."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "ht_balance_scan"):
         return None
@@ -252,6 +254,7 @@ def balance_scan(hi, lo, level, src, farendp):
         _p(hi, u64p), _p(lo, u64p), _p(level, u8p), len(level),
         _p(src, i64p), len(src),
         int(farendp[0]), int(farendp[1]), int(farendp[2]),
+        int(minlv),
         _p(out, u8p), _p(trig, u8p))
     return out.astype(bool), trig[:len(src)].astype(bool)
 

