@@ -3,8 +3,8 @@
 comparisons).  Builds the 1M-element bench problem once, then for each
 config re-traces the packed step and times it.
 
-Usage: python tools_ab.py <damping> <steps> KEY=V[,KEY=V...] [...]
-e.g.:  python tools_ab.py bkt 400 HT_BKT_NOHALO=0 HT_BKT_NOHALO=1
+Usage: python hercules_tpu/tools/perf_ab.py <damping> <steps> KEY=V[,KEY=V...] [...]
+e.g.:  python hercules_tpu/tools/perf_ab.py bkt 400 HT_BKT_NOHALO=0 HT_BKT_NOHALO=1
 """
 import os
 import sys
@@ -18,7 +18,8 @@ def main():
     steps = int(sys.argv[2])
     configs = sys.argv[3:]
     os.environ.setdefault("BENCH_DAMPING", damping)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
     from bench import build
 
     import jax
