@@ -823,7 +823,7 @@ def main():
     if (os.environ.get("BENCH_QLAYERS", "1") == "1"
             and "BENCH_DAMPING" not in os.environ
             and not os.environ.get("BENCH_MESH")
-            and which == "packed"):
+            and which in ("packed", "resident")):
         try:
             q_eups, q_tier = _qlayers_leg(target, min(steps, 400))
             extra["qlayers_bkt_eups"] = q_eups

@@ -1909,14 +1909,14 @@ def build_resident_bkt_call(offs, B, o7, T, LEN, dtype, scal, CH,
         kernel,
         grid=(CH,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # S0
-            pl.BlockSpec(memory_space=pltpu.ANY),          # CV0
-            pl.BlockSpec(memory_space=pltpu.ANY),          # K
+            pl.BlockSpec(memory_space=pl.ANY),          # S0
+            pl.BlockSpec(memory_space=pl.ANY),          # CV0
+            pl.BlockSpec(memory_space=pl.ANY),          # K
             pl.BlockSpec(fm.shape, lambda t: (0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
                    jax.ShapeDtypeStruct((R2s, LEN), conv_dtype),
@@ -3051,13 +3051,13 @@ def build_resident_call(offs, B, o7, T, LEN, f1e, f2e, dtype, CH,
         kernel,
         grid=(CH,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # S0
-            pl.BlockSpec(memory_space=pltpu.ANY),          # K
+            pl.BlockSpec(memory_space=pl.ANY),          # S0
+            pl.BlockSpec(memory_space=pl.ANY),          # K
             pl.BlockSpec((48, 1), lambda t: (0, 0)),
             pl.BlockSpec(am.shape, lambda t: (0, 0)),
             pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # S final
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),   # S final
                    pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((8, LEN), dtype),
                    jax.ShapeDtypeStruct((CH, 8, 128), dtype)],
