@@ -469,3 +469,24 @@ def test_cli_default_lands_on_fused_packed_kernel():
     assert sim.solver_path_name == "pallas_packed", \
         (f"CLI default selected '{sim.solver_path_name}' instead of "
          f"the fused packed kernel on a uniform mesh")
+
+
+def test_resident_vs_streaming_on_chip(problem, exact_mxu,
+                                       monkeypatch):
+    """The VMEM-resident time loop vs the streaming packed kernel,
+    both Mosaic-compiled on the real chip: same per-tile body, same
+    float sequence — tight agreement (the interpret-mode twin proves
+    bit-exactness; on-chip the source-injection lane rounding can
+    differ by ulps)."""
+    from hercules_tpu.solver.pallas_brick import (pallas_u_global,
+                                                  resident_applies,
+                                                  run_pallas_solver)
+    p, mesh, tables, plan, src_ids, forces, T = problem
+    us = []
+    for v in ("1", "0"):
+        monkeypatch.setenv("HT_PALLAS_RESIDENT", v)
+        state, _ = run_pallas_solver(plan, tables, src_ids, forces,
+                                     T, p.delta_t,
+                                     dtype=jnp.float32)
+        us.append(pallas_u_global(plan, state[0], mesh.nnum))
+    _check(us[0], us[1], atol=1e-6)
