@@ -858,6 +858,13 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             else:
                 (Sa, Sb, K, dd, am, out, tail, nf,
                  scr_s, scr_sv, scr_w, scr_f) = refs
+                # load the blocks FIRST (the pre-refactor statement
+                # order): Mosaic schedules these whole-block loads
+                # against the in-flight DMAs, and issuing them after
+                # the t==0 conditional measurably degrades the
+                # overlap (TeraShake mesh-path bricks ran 24.6 ->
+                # 44.9 ms/step with the loads below the when-block)
+                pSv, pSbv, pKv = Sa[...], Sb[...], K[...]
         else:
             (ua, ub, upa, upb, cm, mm, invm, dd, am, out, tail, nf,
              scr_s, scr_sv, scr_w, scr_f) = refs
@@ -883,7 +890,10 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
             def packed_run(Sv, Sbv, Kv):
                 run(Sv, Sbv, Sv[0:3], Sv[3:6], Sbv[0:3], Sbv[3:6],
                     Kv[0:3], Kv[3:6], Kv[6:7])
-            if nohalo:
+            if not nohalo:
+                run(pSv, pSbv, pSv[0:3], pSv[3:6], pSbv[0:3],
+                    pSbv[3:6], pKv[0:3], pKv[3:6], pKv[6:7])
+            elif nohalo:
                 # delay-by-one pipelined dataflow (HT_PALLAS_NOHALO,
                 # default): the compute tile t-1 reads its packed
                 # state from the Sp scratch copy while block t
@@ -897,8 +907,6 @@ def _make_kernel(offs, B, o7, T, f1e, f2e, dtype, chunk=None,
                 def _():
                     packed_run(Sp[...], Sa[...], K[...])
                 Sp[...] = Sa[...]
-            else:
-                packed_run(Sa[...], Sb[...], K[...])
         else:
             run(None, None, ua, upa, ub, upb, cm, mm, invm)
 
